@@ -1,0 +1,63 @@
+"""strom_spark — a PySpark-native engine with the capabilities of the
+reference stream-component library (antonmi/Strom), re-expressed
+Spark-first.
+
+Core object: a ``Flow`` (named registry of lazy DataFrames).  Components
+are pure ``Flow -> Flow`` rewriters; a ``Pipeline`` composes them and is
+itself a component.  All compute lowers to DataFrame/SQL plans so
+Catalyst/Tungsten/AQE handle optimization and physical execution.
+"""
+
+from .flow import Flow, as_flow
+from .component import Component, Pipeline
+from .session import get_spark
+from .sources.source import Source, SourceOrigin, Read, ReadLines, ReadStream
+from .sources.sink import Sink, SinkOrigin, Write, Console, Null, Memory
+from .operators.transformer import (
+    Transformer,
+    Map,
+    Filter,
+    FlatMap,
+    PandasMap,
+    SQL,
+    Agg,
+    Join,
+)
+from .operators.mixer import Mixer, MixerTree
+from .operators.splitter import Splitter, SplitterTree, Repartition
+from .operators.renamer import Renamer
+
+__all__ = [
+    "Flow",
+    "as_flow",
+    "Component",
+    "Pipeline",
+    "get_spark",
+    "Source",
+    "SourceOrigin",
+    "Read",
+    "ReadLines",
+    "ReadStream",
+    "Sink",
+    "SinkOrigin",
+    "Write",
+    "Console",
+    "Null",
+    "Memory",
+    "Transformer",
+    "Map",
+    "Filter",
+    "FlatMap",
+    "PandasMap",
+    "SQL",
+    "Agg",
+    "Join",
+    "Mixer",
+    "MixerTree",
+    "Splitter",
+    "SplitterTree",
+    "Repartition",
+    "Renamer",
+]
+
+__version__ = "0.1.0"
