@@ -11,6 +11,7 @@ Catalyst/Tungsten/AQE handle optimization and physical execution.
 from .flow import Flow, as_flow
 from .component import Component, Pipeline
 from .session import get_spark
+from .io import load_table, load_flow, TABLES
 from .sources.source import Source, SourceOrigin, Read, ReadLines, ReadStream
 from .sources.sink import Sink, SinkOrigin, Write, Console, Null, Memory
 from .operators.transformer import (
@@ -26,6 +27,21 @@ from .operators.transformer import (
 from .operators.mixer import Mixer, MixerTree
 from .operators.splitter import Splitter, SplitterTree, Repartition
 from .operators.renamer import Renamer
+from .operators.stateful import StatefulTransformer
+from .operators.windows import CountWindow, SlidingCountWindow, TimeWindow
+from .operators.relational import Sort, Limit, Distinct, TopK, TopKPerGroup, SetOp
+from .operators.loop import Iterate
+from .operators.cep import MatchDecide
+from .operators.dedup import (
+    ExactDedup,
+    NgramJaccardPairs,
+    MinHashLSHPairs,
+    SimHash,
+    SimHashPairs,
+    EmbeddingNearDupPairs,
+)
+from .operators.similarity import CosineTopK, CosineLSHJoin
+from .operators.multimodal import MediaFeatures, synthetic_assets
 
 __all__ = [
     "Flow",
@@ -58,6 +74,28 @@ __all__ = [
     "SplitterTree",
     "Repartition",
     "Renamer",
+    "StatefulTransformer",
+    "CountWindow",
+    "SlidingCountWindow",
+    "TimeWindow",
+    "Sort",
+    "Limit",
+    "Distinct",
+    "TopK",
+    "TopKPerGroup",
+    "SetOp",
+    "Iterate",
+    "MatchDecide",
+    "ExactDedup",
+    "NgramJaccardPairs",
+    "MinHashLSHPairs",
+    "SimHash",
+    "SimHashPairs",
+    "EmbeddingNearDupPairs",
+    "CosineTopK",
+    "CosineLSHJoin",
+    "MediaFeatures",
+    "synthetic_assets",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,175 @@
+"""Text-analysis expression builders for large-scale corpus pipelines.
+
+Everything here is a **pure Column expression** (JVM-side, whole-stage
+codegen, no Python in the hot path) so it runs at 100 TB scan speed and
+is replicable as ANSI SQL for the DuckDB oracle.  Hashing uses md5 hex
+strings because md5 is bit-identical across engines (Spark's
+xxhash64/hash have no DuckDB equivalent); where oracle parity doesn't
+matter, swap ``hash_fn=F.xxhash64`` for ~2-3× cheaper hashing.
+
+Covers SURVEY's training-data-pipeline surface: tokenization + token
+counting (whitespace + BPE-ish regex), shingling, document
+fingerprinting, 32-bit SimHash, language ID (marker-token heuristic),
+and quality scoring (length/punct/stopword/repetition features).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: marker stopwords per language for the n-gram/marker heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "y", "es", "una"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def _c(col: "Column | str") -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize(col: "Column | str") -> Column:
+    """Lowercase, collapse whitespace, trim — the canonical form used
+    for fingerprints and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def tokens(col: "Column | str") -> Column:
+    """Whitespace tokens of the normalized text (no empty tokens)."""
+    return F.split(normalize(col), " ")
+
+
+def token_count(col: "Column | str") -> Column:
+    t = tokens(col)
+    # empty text -> split returns [""] -> count 0
+    return F.size(F.filter(t, lambda x: x != F.lit("")))
+
+
+def bpe_token_count(col: "Column | str") -> Column:
+    """Token count under the BPE-ish regex pre-tokenizer."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_REGEX), 0))
+
+
+def fingerprint(col: "Column | str") -> Column:
+    """Deterministic 128-bit content fingerprint (hex) of the
+    normalized text — the exact-dedup key.  Hashing the normalized form
+    makes the fingerprint whitespace/case-insensitive."""
+    return F.md5(normalize(col))
+
+
+def word_shingles(col: "Column | str", k: int = 3) -> Column:
+    """Array of distinct k-word shingles (space-joined) — the unit set
+    for Jaccard/MinHash dedup."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+    return F.array_distinct(sh)
+
+
+def char_shingles(col: "Column | str", k: int = 5) -> Column:
+    """Array of distinct k-char shingles of the normalized text."""
+    s = normalize(col)
+    n = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, k)))
+
+
+def simhash32(col: "Column | str") -> Column:
+    """32-bit SimHash as a '0'/'1' bit-string.
+
+    Bit j is the sign of sum over tokens of ±1, where +1 iff hex digit
+    j of md5(token) is >= 8 (i.e. matches [89a-f]).  Uses token
+    multiplicity (standard SimHash weighting).  Bit-string output keeps
+    it engine-portable (no uint64 semantics differences).
+    """
+    sigs = F.transform(tokens(col), lambda t: F.md5(t))
+    bits = [
+        F.when(
+            F.aggregate(
+                sigs,
+                F.lit(0),
+                lambda acc, s: acc
+                + F.when(F.substring(s, j, 1).rlike("[89a-f]"), F.lit(1)).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for j in range(1, 33)
+    ]
+    return F.concat(*bits)
+
+
+def hamming_bits(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length bit-strings."""
+    return F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.length(a)),
+            lambda i: F.substring(a, i, 1) != F.substring(b, i, 1),
+        )
+    )
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+
+def lang_id(col: "Column | str") -> Column:
+    """Marker-token language heuristic: score = count of language
+    marker tokens; argmax wins, ties broken in fixed order
+    en > de > fr > es; no markers at all -> 'und' (undetermined)."""
+    t = tokens(col)
+    scores = {lang: _marker_hits(t, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # build reversed so earlier langs win ties via later when() override
+    for lang in reversed(list(LANG_MARKERS)):
+        result = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(result)
+    return result
+
+
+def quality_features(col: "Column | str") -> dict[str, Column]:
+    """Quality-scoring features (all double, rounded for oracle
+    stability): n_chars, n_tokens, avg_token_len, punct_ratio,
+    stopword_ratio, uniq_token_ratio, plus a composite [0,1] score."""
+    c = _c(col)
+    t = tokens(col)
+    n_tok = token_count(col)
+    n_chars = F.length(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    n_uniq = F.size(F.array_distinct(t))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    avg_len = F.length(F.concat_ws("", t)) / safe_tok
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / safe_tok
+    uniq_ratio = n_uniq / safe_tok
+    # composite: reward mid-length docs with stopwords, low punctuation,
+    # vocabulary variety — a transparent, deterministic heuristic
+    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.3) * length_score
+        + F.lit(0.25) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.2) * uniq_ratio
+    )
+    r = lambda x: F.round(x.cast("double"), 6)
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tok.cast("bigint"),
+        "avg_token_len": r(avg_len),
+        "punct_ratio": r(punct_ratio),
+        "stopword_ratio": r(stop_ratio),
+        "uniq_token_ratio": r(uniq_ratio),
+        "quality_score": r(score),
+    }

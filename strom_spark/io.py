@@ -1,0 +1,46 @@
+"""Testdata table loading.
+
+The driver's synthetic tables are TPC-H-ish parquet; ``events.ts`` is
+written as parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+rejects ([PARQUET_TYPE_ILLEGAL]).  With
+``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as
+bigint nanoseconds; ``load_table`` converts it back to a proper
+timestamp (microsecond precision — sub-microsecond truncation, same as
+any engine normalizing to SQL timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # convert any nanos-as-long column back to timestamp
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df
+
+
+def load_flow(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):
+    from .flow import Flow
+
+    return Flow({name: load_table(spark, sf_dir, name) for name in names})

@@ -1,0 +1,407 @@
+"""Deduplication components for training-data pipelines.
+
+Five strategies, all expressed as shuffle-conscious DataFrame plans:
+
+  - **ExactDedup** — hash-groupBy on a content fingerprint.  One
+    shuffle on the 128-bit key; at 100 TB this is the cheapest possible
+    dedup (fingerprint computed in the scan, map-side partial agg).
+  - **NgramJaccardPairs** — exact Jaccard over k-word shingles via an
+    inverted-index self-join (shingle -> doc postings), NOT an O(n²)
+    cross join: only docs sharing a shingle ever meet.  The optional
+    ``max_shingle_freq`` drops ultra-common shingles (stop-shingles) —
+    at web scale a handful of boilerplate shingles would otherwise
+    create quadratic hot postings; dropping them is both a skew fix and
+    standard practice.
+  - **MinHashLSHPairs** — MinHash signatures + banded LSH: candidate
+    pairs meet only inside an LSH band bucket (b bands × r rows), then
+    are verified with exact Jaccard.  Sub-quadratic candidate
+    generation; the verify join touches only candidates.
+  - **SimHashPairs** — 32-bit SimHash; pairs within Hamming distance d
+    found by the block-split trick (split the bit-string into d+1
+    blocks; any pair at distance <= d shares a block — pigeonhole, so
+    recall is exact), verified by true Hamming distance.
+  - **EmbeddingNearDupPairs** — cosine near-dup over an embedding
+    column; all-pairs via self-join is the exact baseline, with
+    magnitude blocking unavailable for cosine — the scale path is the
+    LSH variant in ``similarity.py``.
+
+Hashing uses md5 (engine-portable, oracle-parity); pass
+``hash_fn="xxhash64"`` where parity is not required for ~2-3× faster
+signatures.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..component import Component
+from ..flow import Flow
+from ..functions import text as TXT
+from ..functions import vectors as V
+
+
+class ExactDedup(Component):
+    """One row per distinct normalized text: the kept (minimum) id, the
+    duplicate count.  ``keep='rows'`` instead returns the surviving
+    full rows (left-semi join back — no wide shuffle of payload)."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        keep: str = "summary",
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.text_col = text_col
+        self.keep = keep
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        fp = TXT.fingerprint(self.text_col)
+        summary = (
+            df.select(F.col(self.id_col), fp.alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(
+                F.min(self.id_col).alias("keep_id"),
+                F.count("*").alias("n_copies"),
+            )
+        )
+        if self.keep == "summary":
+            out = summary
+        else:
+            keep_ids = summary.select(F.col("keep_id").alias(self.id_col))
+            out = df.join(keep_ids, on=self.id_col, how="left_semi")
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+def _shingle_postings(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) postings list — distinct k-word shingles."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(TXT.word_shingles(text_col, k)).alias("shingle"),
+    )
+
+
+def _jaccard_pairs(
+    postings: DataFrame,
+    threshold: float,
+    max_shingle_freq: int | None,
+) -> DataFrame:
+    """Inverted-index join -> intersection counts -> Jaccard.
+
+    Scale notes: the postings self-join shuffles on `shingle` (skew
+    handled by max_shingle_freq + AQE); intersection counts shuffle on
+    the (d1, d2) pair key.  Both keys are high-cardinality ->
+    well-distributed."""
+    if max_shingle_freq is not None:
+        freq_ok = (
+            postings.groupBy("shingle")
+            .agg(F.count("*").alias("__f"))
+            .filter(F.col("__f") <= max_shingle_freq)
+            .drop("__f")
+        )
+        postings = postings.join(freq_ok, "shingle", "left_semi")
+    sizes = postings.groupBy("id").agg(F.count("*").alias("n"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("id").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("d2"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn("jaccard", F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+class NgramJaccardPairs(Component):
+    """Exact near-duplicate pairs by k-word-shingle Jaccard >=
+    ``threshold``.  Output: (d1, d2, jaccard), d1 < d2."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 3,
+        threshold: float = 0.8,
+        max_shingle_freq: int | None = None,
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.threshold = threshold
+        self.max_shingle_freq = max_shingle_freq
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        postings = _shingle_postings(flow[self.input], self.id_col, self.text_col, self.k)
+        out = _jaccard_pairs(postings, self.threshold, self.max_shingle_freq)
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+class MinHashLSHPairs(Component):
+    """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
+
+    Signature: for seed i in 0..num_hashes-1, sig_i = min over shingles
+    of md5(i || '|' || shingle) — min over hex strings (lexicographic =
+    uniform order on the hash space).  Bands of ``rows_per_band``
+    concatenated signatures become bucket keys; only same-bucket pairs
+    are candidates (sub-quadratic).  Candidates then verified with the
+    exact Jaccard join restricted to candidate ids, so the output has
+    no false positives; recall is the standard LSH S-curve
+    (32 hashes / 16 bands × 2 rows -> P(catch | j=0.8) ≈ 1-(1-0.64)^16
+    ≈ 0.9999).
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 3,
+        threshold: float = 0.8,
+        num_hashes: int = 32,
+        rows_per_band: int = 2,
+        label: str | None = None,
+    ):
+        if num_hashes % rows_per_band:
+            raise ValueError("num_hashes must be divisible by rows_per_band")
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.rows_per_band = rows_per_band
+        self.label = label
+
+    def signatures(self, df: DataFrame) -> DataFrame:
+        """(id, h0..h{n-1}) — one shuffle (groupBy id), min-agg per seed."""
+        postings = _shingle_postings(df, self.id_col, self.text_col, self.k)
+        mins = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(self.num_hashes)
+        ]
+        return postings.groupBy("id").agg(*mins)
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        sig = self.signatures(df)
+        n_bands = self.num_hashes // self.rows_per_band
+        band_keys = F.array(
+            *[
+                F.concat_ws(
+                    "#",
+                    F.lit(str(b)),
+                    *[F.col(f"h{b * self.rows_per_band + r}") for r in range(self.rows_per_band)],
+                )
+                for b in range(n_bands)
+            ]
+        )
+        buckets = sig.select(F.col("id"), F.explode(band_keys).alias("bucket"))
+        ba, bb = buckets.alias("a"), buckets.alias("b")
+        candidates = (
+            ba.join(bb, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+            .distinct()
+        )
+        # verify candidates with exact jaccard (no false positives)
+        postings = _shingle_postings(df, self.id_col, self.text_col, self.k)
+        cand_ids = candidates.select(F.col("d1").alias("id")).union(
+            candidates.select(F.col("d2").alias("id"))
+        ).distinct()
+        pruned = postings.join(cand_ids, "id", "left_semi")
+        exact = _jaccard_pairs(pruned, self.threshold, None)
+        out = exact.join(candidates, ["d1", "d2"], "left_semi")
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+class SimHash(Component):
+    """Per-document 32-bit SimHash bit-string: (id, simhash)."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.text_col = text_col
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        out = df.select(
+            F.col(self.id_col).alias("id"), TXT.simhash32(self.text_col).alias("simhash")
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+class SimHashPairs(Component):
+    """Pairs within Hamming distance <= ``max_distance`` of 32-bit
+    SimHash.  Block-split candidate generation (exact recall by
+    pigeonhole: distance <= d => some block of d+1 is identical), then
+    exact Hamming verification.  Candidate join shuffles on (block_id,
+    block_bits) — distributed, never all-pairs."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        max_distance: int = 3,
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.text_col = text_col
+        self.max_distance = max_distance
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        sig = df.select(
+            F.col(self.id_col).alias("id"), TXT.simhash32(self.text_col).alias("simhash")
+        )
+        n_blocks = self.max_distance + 1
+        width = 32 // n_blocks
+        # block i covers [i*width+1, ...]; last block takes the remainder
+        blocks = F.array(
+            *[
+                F.concat_ws(
+                    "#",
+                    F.lit(str(i)),
+                    F.substring(
+                        "simhash",
+                        i * width + 1,
+                        width if i < n_blocks - 1 else 32 - width * (n_blocks - 1),
+                    ),
+                )
+                for i in range(n_blocks)
+            ]
+        )
+        bucketed = sig.select("id", "simhash", F.explode(blocks).alias("block"))
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        cand = (
+            a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+            .select(
+                F.col("a.id").alias("d1"),
+                F.col("b.id").alias("d2"),
+                F.col("a.simhash").alias("s1"),
+                F.col("b.simhash").alias("s2"),
+            )
+            .distinct()
+        )
+        out = (
+            cand.withColumn("hamming", TXT.hamming_bits(F.col("s1"), F.col("s2")))
+            .filter(F.col("hamming") <= self.max_distance)
+            .select("d1", "d2", "hamming")
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+class EmbeddingNearDupPairs(Component):
+    """Cosine near-duplicate pairs over an embedding column — the exact
+    baseline: L2-normalize once, then a self-join with dot-product
+    filter.  Exact but O(n²) in pairs; use for bounded candidate sets /
+    verification, and ``similarity.CosineLSHJoin`` as the scale path."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.95,
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        normed = df.select(
+            F.col(self.id_col).alias("id"), V.l2_normalize(self.vec_col).alias("v")
+        )
+        a, b = normed.alias("a"), normed.alias("b")
+        out = (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .withColumn("cosine", F.round(V.dot(F.col("a.v"), F.col("b.v")), 6))
+            .filter(F.col("cosine") >= self.threshold)
+            .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"), "cosine")
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -1,0 +1,159 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side design is real and tested — schema, partitioning, Arrow
+batch shape, UDF signatures — while the actual media decode is stubbed
+(this container has no image/audio libraries): ``decode_fn=None`` uses
+a deterministic fake "decoder" that derives features from the raw
+bytes, clearly marked; pass a real decode_fn (PIL/torchaudio/ffmpeg)
+in production.
+
+At 100 TB the constraints this module encodes:
+  - media bytes travel as ``binary`` columns inside parquet — scanned
+    lazily, column-pruned away unless the plan touches them;
+  - decode/feature-extract runs in ``mapInPandas`` (Arrow batches,
+    constant memory per batch, linear scan — no shuffle);
+  - per-file batch memory is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — set it small for
+    large blobs;
+  - derived features (small, typed) should be written to their own
+    table so downstream analytics never re-scan the blobs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from ..component import Component
+from ..flow import Flow
+
+#: schema for a multimodal asset table
+ASSET_SCHEMA = (
+    "asset_id bigint, media_type string, content binary, "
+    "width int, height int, duration_ms int, sample_rate int"
+)
+
+#: schema of extracted features
+FEATURE_SCHEMA = (
+    "asset_id bigint, media_type string, n_bytes bigint, "
+    "content_hash string, feat array<double>"
+)
+
+
+def _fake_decode(content: bytes, media_type: str) -> list[float]:
+    """Deterministic stand-in for a real decoder: 8 features derived
+    from byte statistics.  NOT a real decode — replace via decode_fn."""
+    if content is None or len(content) == 0:
+        return [0.0] * 8
+    arr = memoryview(content)
+    n = len(arr)
+    step = max(1, n // 64)
+    sampled = bytes(arr[::step])[:64]
+    s = sum(sampled)
+    return [
+        float(n),
+        float(s % 997),
+        float(sampled[0]),
+        float(sampled[-1]),
+        float(max(sampled)),
+        float(min(sampled)),
+        float(s / max(len(sampled), 1)),
+        float(len(set(sampled))),
+    ]
+
+
+class MediaFeatures(Component):
+    """Decode + feature-extract binary media via mapInPandas.
+
+    ``decode_fn(content: bytes, media_type: str) -> list[float]``; when
+    None, a deterministic byte-statistics fake is used (container has
+    no media libs).  To make the stub explicit, ``strict=True`` raises
+    NotImplementedError instead of faking.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "asset_id",
+        content_col: str = "content",
+        media_type_col: str = "media_type",
+        decode_fn: Callable[[bytes, str], list] | None = None,
+        strict: bool = False,
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.content_col = content_col
+        self.media_type_col = media_type_col
+        self.decode_fn = decode_fn
+        self.strict = strict
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        id_col, content_col, mt_col = self.id_col, self.content_col, self.media_type_col
+        decode = self.decode_fn
+        strict = self.strict
+        if strict and decode is None:
+            raise NotImplementedError(
+                "no media decoder available in this environment; pass decode_fn="
+            )
+        if decode is None:
+            decode = _fake_decode
+
+        # hash/size computed JVM-side before Python — blobs enter Arrow
+        # only for the decode itself.
+        prepared = df.select(
+            F.col(id_col).alias("asset_id"),
+            F.col(mt_col).alias("media_type"),
+            F.length(F.col(content_col)).cast("bigint").alias("n_bytes"),
+            F.md5(F.col(content_col)).alias("content_hash"),
+            F.col(content_col).alias("__content"),
+        )
+
+        def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                feats = [
+                    decode(c, m)
+                    for c, m in zip(pdf["__content"], pdf["media_type"])
+                ]
+                out = pdf.drop(columns="__content")
+                out["feat"] = feats
+                yield out
+
+        out = prepared.mapInPandas(extract, schema=FEATURE_SCHEMA)
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+def synthetic_assets(spark, n: int = 100, seed: int = 7):
+    """Deterministic synthetic asset table for tests (binary payloads
+    derived from the id — no media libs involved)."""
+    rows = []
+    for i in range(n):
+        media = ["image", "audio", "video"][i % 3]
+        content = bytes(((i * 31 + j * seed) % 251) for j in range((i % 50) * 20 + 16))
+        rows.append(
+            {
+                "asset_id": i,
+                "media_type": media,
+                "content": content,
+                "width": 64 if media == "image" else None,
+                "height": 64 if media == "image" else None,
+                "duration_ms": 1000 * (i % 30) if media != "image" else None,
+                "sample_rate": 16000 if media == "audio" else None,
+            }
+        )
+    return spark.createDataFrame(rows, schema=ASSET_SCHEMA)

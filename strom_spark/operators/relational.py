@@ -1,0 +1,146 @@
+"""Relational components the reference lacks (SURVEY §2.3 "does NOT
+have") — exposed as the idiomatic Spark superset: sort, limit, top-k,
+distinct, set ops, dedup-by-key.  All one-liner lowerings; they exist
+so the Flow/Pipeline surface is complete."""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..component import Component
+from ..flow import Flow
+from .transformer import _PerStream, _resolve_expr
+
+
+class Sort(_PerStream):
+    def __init__(self, name_or_names, *cols: Any, ascending: bool = True, label: str | None = None):
+        super().__init__(name_or_names, label=label)
+        self.cols = cols
+        self.ascending = ascending
+
+    def transform_df(self, df):
+        cols = [_resolve_expr(c, df) if not isinstance(c, str) else F.col(c) for c in self.cols]
+        if not self.ascending:
+            cols = [c.desc() for c in cols]
+        return df.orderBy(*cols)
+
+
+class Limit(_PerStream):
+    def __init__(self, name_or_names, n: int, *, label: str | None = None):
+        super().__init__(name_or_names, label=label)
+        self.n = n
+
+    def transform_df(self, df):
+        return df.limit(self.n)
+
+
+class Distinct(_PerStream):
+    """``dropDuplicates`` — full-row distinct or by subset of columns
+    (keeps an arbitrary row per key; for deterministic keep-rules use
+    ``TopKPerGroup(k=1)``)."""
+
+    def __init__(self, name_or_names, subset: Sequence[str] | None = None, *, label: str | None = None):
+        super().__init__(name_or_names, label=label)
+        self.subset = list(subset) if subset else None
+
+    def transform_df(self, df):
+        return df.dropDuplicates(self.subset) if self.subset else df.distinct()
+
+
+class TopK(Component):
+    """Global top-k by ordering expressions.  Lowering is
+    ``orderBy().limit(k)`` which Spark executes as a distributed
+    TakeOrdered — per-partition top-k then merge on the driver; no full
+    sort, no full shuffle.  Always pass a tie-breaker for deterministic
+    result sets."""
+
+    def __init__(self, input: str, output: str | None = None, *, k: int, order_by: Sequence[Any], label: str | None = None):
+        self.input = input
+        self.output = output or input
+        self.k = k
+        self.order_by = list(order_by)
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        cols = [F.col(c) if isinstance(c, str) else _resolve_expr(c, df) for c in self.order_by]
+        out = df.orderBy(*cols).limit(self.k)
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self):
+        return (self.input,)
+
+    def output_names(self):
+        return (self.output,)
+
+
+class TopKPerGroup(Component):
+    """Top-k rows per group: ``row_number() over (partitionBy...orderBy...)
+    <= k``.  The standard scalable pattern — one shuffle on the group
+    key, no global sort."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        k: int,
+        partition_by: Sequence[str],
+        order_by: Sequence[Any],
+        rank_col: str | None = None,
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.k = k
+        self.partition_by = list(partition_by)
+        self.order_by = list(order_by)
+        self.rank_col = rank_col
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        cols = [F.col(c) if isinstance(c, str) else _resolve_expr(c, df) for c in self.order_by]
+        w = W.partitionBy(*self.partition_by).orderBy(*cols)
+        rn = F.row_number().over(w)
+        out = df.withColumn("__rn", rn).filter(F.col("__rn") <= self.k)
+        out = out.withColumnRenamed("__rn", self.rank_col) if self.rank_col else out.drop("__rn")
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self):
+        return (self.input,)
+
+    def output_names(self):
+        return (self.output,)
+
+
+class SetOp(Component):
+    """UNION (dedup) / INTERSECT / EXCEPT between two named streams."""
+
+    def __init__(self, op: str, left: str, right: str, output: str, *, label: str | None = None):
+        if op not in ("union", "intersect", "except"):
+            raise ValueError("op must be union|intersect|except")
+        self.op = op
+        self.left = left
+        self.right = right
+        self.output = output
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        l, r = flow[self.left], flow[self.right]
+        if self.op == "union":
+            out = l.unionByName(r, allowMissingColumns=True).distinct()
+        elif self.op == "intersect":
+            out = l.intersect(r)
+        else:
+            out = l.subtract(r)  # EXCEPT DISTINCT semantics
+        return flow.without(self.left, self.right).with_stream(self.output, out)
+
+    def input_names(self):
+        return (self.left, self.right)
+
+    def output_names(self):
+        return (self.output,)

@@ -1,0 +1,206 @@
+"""Window components: count, sliding(count), and time windows.
+
+Reference builds all three from the stateful Transformer
+(``test/examples/window_test.exs``): buffer events in the acc until the
+window closes, then emit the batch.  Spark-first versions:
+
+  - **CountWindow** (tumbling, size N): no native count-window in
+    Spark.  Batch lowering: ``row_number() over (order)`` then
+    ``groupBy(floor((rn-1)/N))`` — fully distributed after the rank.
+    The global ``row_number`` needs a total order; with
+    ``partition_by`` the numbering (and windows) are per key, which
+    scales.  Global (no partition) count windows are inherently
+    sequential — a single-partition sort, same as the reference.
+  - **SlidingCountWindow** (size N, step S): windows starting every S
+    rows.  Lowered via element_at over a collected frame per window
+    start... no — lowered as: rn-based window ids for each covered
+    window via sequence + explode (each row belongs to up to N/S
+    windows), then groupBy window id.  Pure built-ins, no Python.
+  - **TimeWindow** (tumbling/sliding over event time): native
+    ``F.window(ts, size, step)`` — strictly better than the
+    reference's tick-stream trick (event time + watermark on streams).
+
+Each component aggregates per window with user aggs, or emits the
+window id for downstream use (``aggs=None``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..component import Component
+from ..flow import Flow
+from .transformer import _resolve_expr
+
+
+class CountWindow(Component):
+    """Tumbling count window: consecutive groups of ``size`` events in
+    ``order_by`` order (per ``partition_by`` key if given — the scale
+    path).  Adds ``window_id`` (0-based) and aggregates if ``aggs``."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        size: int,
+        order_by: Sequence[str],
+        partition_by: Sequence[str] = (),
+        aggs: Mapping[str, Any] | None = None,
+        drop_partial: bool = False,
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.size = size
+        self.order_by = tuple(order_by)
+        self.partition_by = tuple(partition_by)
+        self.aggs = dict(aggs) if aggs else None
+        self.drop_partial = drop_partial
+        self.label = label
+
+    def _with_window_id(self, df: DataFrame) -> DataFrame:
+        w = W.partitionBy(*self.partition_by) if self.partition_by else W.partitionBy()
+        w = w.orderBy(*[F.col(c) for c in self.order_by])
+        rn = F.row_number().over(w)
+        return df.withColumn("window_id", ((rn - F.lit(1)) / F.lit(self.size)).cast("bigint"))
+
+    def transform(self, flow: Flow) -> Flow:
+        df = self._with_window_id(flow[self.input])
+        keys = [*self.partition_by, "window_id"]
+        if self.drop_partial:
+            counts = F.count("*").over(W.partitionBy(*keys))
+            df = df.withColumn("__wn", counts).filter(F.col("__wn") == self.size).drop("__wn")
+        if self.aggs is not None:
+            exprs = [_resolve_expr(e, df).alias(n) for n, e in self.aggs.items()]
+            df = df.groupBy(*keys).agg(*exprs)
+        return flow.without(self.input).with_stream(self.output, df)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+class SlidingCountWindow(Component):
+    """Sliding count window of ``size`` events advancing by ``step``
+    (reference: retain ``size - overlap``; ``step = size - overlap``).
+
+    Lowering: each row with rank ``rn`` (1-based) belongs to windows
+    ``w`` where ``w*step < rn <= w*step + size`` — computed as an
+    exploded integer sequence, then grouped.  Built-ins only; the fan
+    -out factor is ``size/step`` rows, shuffled once.
+    Windows are emitted only when complete (the reference emits on
+    buffer-full) unless ``keep_partial=True`` emits trailing partials.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        size: int,
+        step: int,
+        order_by: Sequence[str],
+        partition_by: Sequence[str] = (),
+        aggs: Mapping[str, Any] | None = None,
+        keep_partial: bool = False,
+        label: str | None = None,
+    ):
+        if step <= 0 or size <= 0:
+            raise ValueError("size and step must be positive")
+        self.input = input
+        self.output = output or input
+        self.size = size
+        self.step = step
+        self.order_by = tuple(order_by)
+        self.partition_by = tuple(partition_by)
+        self.aggs = dict(aggs) if aggs else None
+        self.keep_partial = keep_partial
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        w = W.partitionBy(*self.partition_by) if self.partition_by else W.partitionBy()
+        w = w.orderBy(*[F.col(c) for c in self.order_by])
+        size, step = F.lit(self.size), F.lit(self.step)
+        # materialize the rank first: explode() cannot nest a window fn
+        df = df.withColumn("__rn", F.row_number().over(w))  # 1-based
+        rn = F.col("__rn")
+        # window ids w (0-based, start row = w*step+1): ceil((rn-size)/step) <= w <= floor((rn-1)/step)
+        lo = F.greatest(F.lit(0), F.ceil((rn - size) / step))
+        hi = F.floor((rn - F.lit(1)) / step)
+        df = df.withColumn(
+            "window_id", F.explode(F.sequence(lo.cast("bigint"), hi.cast("bigint")))
+        ).drop("__rn")
+        keys = [*self.partition_by, "window_id"]
+        if not self.keep_partial:
+            n = F.count("*").over(W.partitionBy(*keys))
+            df = df.withColumn("__wn", n).filter(F.col("__wn") == self.size).drop("__wn")
+        if self.aggs is not None:
+            exprs = [_resolve_expr(e, df).alias(a) for a, e in self.aggs.items()]
+            df = df.groupBy(*keys).agg(*exprs)
+        return flow.without(self.input).with_stream(self.output, df)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+class TimeWindow(Component):
+    """Event-time window via native ``F.window`` — tumbling when
+    ``slide`` is None, else sliding.  Emits ``window_start``/
+    ``window_end`` columns (flattened for oracle-friendliness).  On
+    streaming inputs pass ``watermark=("ts_col", "10 minutes")`` for
+    late-data bounds (the reference has no late-data policy at all —
+    user code handles it; watermarks are the idiomatic upgrade)."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        ts: str,
+        size: str,
+        slide: str | None = None,
+        partition_by: Sequence[str] = (),
+        aggs: Mapping[str, Any],
+        watermark: tuple[str, str] | None = None,
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.ts = ts
+        self.size = size
+        self.slide = slide
+        self.partition_by = tuple(partition_by)
+        self.aggs = dict(aggs)
+        self.watermark = watermark
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        if self.watermark:
+            df = df.withWatermark(*self.watermark)
+        win = F.window(self.ts, self.size, self.slide) if self.slide else F.window(self.ts, self.size)
+        exprs = [_resolve_expr(e, df).alias(n) for n, e in self.aggs.items()]
+        out = (
+            df.groupBy(win.alias("window"), *self.partition_by)
+            .agg(*exprs)
+            .withColumn("window_start", F.col("window.start"))
+            .withColumn("window_end", F.col("window.end"))
+            .drop("window")
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

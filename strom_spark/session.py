@@ -27,5 +27,6 @@ def get_spark(app_name: str = "strom_spark", shuffle_partitions: int | None = No
         .config("spark.driver.memory", os.environ.get("STROM_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
