@@ -1,38 +1,917 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query is expressed through the strom_spark Flow/component engine
+(the library this repo builds) and has a DuckDB-runnable ANSI-SQL
+oracle.  Determinism rules used throughout so Spark and DuckDB hash
+identically:
+
+  - money columns are clean 2-decimal doubles -> cast to DECIMAL(18,2)
+    before arithmetic (exact in both engines), cast back to DOUBLE at
+    the end;
+  - averages are ROUND(CAST(SUM(decimal) AS DOUBLE) / COUNT(*), 4) on
+    both sides (identical IEEE ops);
+  - text hashing is md5 (bit-identical hex in both engines);
+  - event timestamps are parquet TIMESTAMP(NANOS): Spark loads them as
+    microseconds (see strom_spark/io.py), oracles use epoch_us/
+    time_bucket so both sides operate at the same precision;
+  - every computed column is explicitly aliased the same on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strom_spark import (
+    Agg,
+    CosineTopK,
+    CountWindow,
+    Distinct,
+    EmbeddingNearDupPairs,
+    ExactDedup,
+    Filter,
+    FlatMap,
+    Flow,
+    Iterate,
+    Join,
+    MatchDecide,
+    MediaFeatures,
+    MinHashLSHPairs,
+    Mixer,
+    NgramJaccardPairs,
+    Pipeline,
+    SimHash,
+    SimHashPairs,
+    SlidingCountWindow,
+    Sort,
+    Splitter,
+    StatefulTransformer,
+    TimeWindow,
+    TopK,
+    TopKPerGroup,
+    Transformer,
+    load_table,
+    synthetic_assets,
+)
+from strom_spark.functions import text as TXT
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _avg(sum_expr, count_expr=None):
+    """CAST(SUM AS DOUBLE)/COUNT — the identical single IEEE division
+    on both engines; no rounding (round() tie-breaks differ across
+    engines on exact dyadic ties, the raw doubles never do)."""
+    count_expr = count_expr if count_expr is not None else F.count("*")
+    return sum_expr.cast("double") / count_expr
+
+
+#: shared oracle CTE fragments (DuckDB SQL)
+_NORM_DOCS = r"""
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ntext
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(ntext, ' ') AS w FROM norm)
+"""
+
+_SHINGLES = r"""
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) t(i)
+)
+"""
+
+_JACCARD_PAIRS = r"""
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT da, db, c / (sa.n + sb.n - c) AS jaccard
+  FROM inter JOIN sizes sa ON inter.da = sa.doc_id
+             JOIN sizes sb ON inter.db = sb.doc_id
+)
+"""
+
+_SIMHASH = r"""
+sigs AS (SELECT doc_id, list_transform(w, t -> md5(t)) AS hs FROM toks),
+bits AS (
+  SELECT doc_id, j,
+    CASE WHEN 2 * len(list_filter(hs, s -> s[j:j] >= '8')) > len(hs)
+         THEN '1' ELSE '0' END AS b
+  FROM sigs, unnest(range(1, 33)) t(j)
+),
+sh32 AS (
+  SELECT doc_id AS id, string_agg(b, '' ORDER BY j) AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def register(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return register
+
+
+# --------------------------------------------------------------------------
+# A. relational / stream core
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 adapted to the synthetic schema: scan -> filter
+    (pushed to parquet) -> partial/final hash agg.  One shuffle on the
+    tiny (flag, status) key."""
+    flow = Flow({"lineitem": load_table(spark, sf_dir, "lineitem")})
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    out = Pipeline(
+        [
+            Filter("lineitem", F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")),
+            Agg(
+                "lineitem",
+                "q1",
+                by=["l_returnflag", "l_linestatus"],
+                aggs={
+                    "sum_qty": F.sum(_dec("l_quantity")).cast("double"),
+                    "sum_base_price": F.sum(_dec("l_extendedprice")).cast("double"),
+                    "sum_disc_price": F.sum(disc_price).cast("double"),
+                    "sum_charge": F.sum(disc_price * (F.lit(1) + _dec("l_tax"))).cast("double"),
+                    "avg_qty": _avg(F.sum(_dec("l_quantity"))),
+                    "avg_price": _avg(F.sum(_dec("l_extendedprice"))),
+                    "count_order": F.count("*"),
+                },
+            ),
+        ]
+    )(flow)
+    return out["q1"]
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+SELECT o.o_orderkey,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate, o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast the filtered customer dim, shuffle
+    only the fact side; distributed TakeOrdered for the top 10."""
+    flow = Flow(
+        {
+            "customer": load_table(spark, sf_dir, "customer"),
+            "orders": load_table(spark, sf_dir, "orders"),
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+        }
+    )
+    cutoff = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    out = Pipeline(
+        [
+            Filter("customer", F.col("c_mktsegment") == "BUILDING"),
+            Filter("orders", F.col("o_orderdate") < cutoff),
+            Filter("lineitem", F.col("l_shipdate") > cutoff),
+            Join("orders", "customer", "oc", on=F.expr("o_custkey = c_custkey"), broadcast=True),
+            Join("lineitem", "oc", "ocl", on=F.expr("l_orderkey = o_orderkey"), broadcast=True),
+            Agg(
+                "ocl",
+                "q3",
+                by=[
+                    F.col("o_orderkey"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                    F.col("o_orderpriority"),
+                ],
+                aggs={
+                    "revenue": F.sum(
+                        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+                    ).cast("double")
+                },
+            ),
+            TopK("q3", k=10, order_by=[F.col("revenue").desc(), F.col("o_orderkey")]),
+        ]
+    )(flow)
+    return out["q3"].select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+
+
+@_q(
+    "q5_region_revenue",
+    """
+SELECT n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: all dimension joins broadcast; the only wide
+    shuffle is the final tiny group-by."""
+    flow = Flow({t: load_table(spark, sf_dir, t) for t in ("region", "nation", "customer", "orders", "lineitem", "supplier")})
+    out = Pipeline(
+        [
+            Filter("region", F.col("r_name") == "ASIA"),
+            Join("nation", "region", "nr", on=F.expr("n_regionkey = r_regionkey"), broadcast=True),
+            Join("customer", "nr", "cnr", on=F.expr("c_nationkey = n_nationkey"), broadcast=True),
+            Join("orders", "cnr", "ocnr", on=F.expr("o_custkey = c_custkey"), broadcast=True),
+            Join("lineitem", "ocnr", "locnr", on=F.expr("l_orderkey = o_orderkey"), broadcast=True),
+            Join(
+                "locnr",
+                "supplier",
+                "all6",
+                on=F.expr("s_suppkey = l_suppkey AND s_nationkey = n_nationkey"),
+                broadcast=True,
+            ),
+            Agg(
+                "all6",
+                "q5",
+                by=["n_name"],
+                aggs={
+                    "revenue": F.sum(
+                        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+                    ).cast("double")
+                },
+            ),
+        ]
+    )(flow)
+    return out["q5"]
+
+
+@_q(
+    "filter_project_highvalue",
+    """
+SELECT l_orderkey, l_linenumber,
+  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net
+FROM lineitem
+WHERE l_quantity >= 45 AND l_discount <= 0.02
+""",
+)
+def filter_project_highvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + scalar projection — both pushed into the parquet scan."""
+    flow = Flow({"lineitem": load_table(spark, sf_dir, "lineitem")})
+    out = Pipeline(
+        [
+            Filter("lineitem", (F.col("l_quantity") >= 45) & (F.col("l_discount") <= 0.02)),
+            Transformer(
+                "lineitem",
+                select={
+                    "l_orderkey": "l_orderkey",
+                    "l_linenumber": "l_linenumber",
+                    "net": (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double"),
+                },
+            ),
+        ]
+    )(flow)
+    return out["lineitem"]
+
+
+@_q(
+    "words_count",
+    f"""
+WITH {_NORM_DOCS}
+SELECT t.word, COUNT(*) AS n
+FROM (SELECT unnest(w) AS word FROM toks) t
+WHERE t.word != ''
+GROUP BY t.word
+""",
+)
+def words_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's words-count golden workload
+    (test/examples/words_count_test.exs) over documents: flatMap ->
+    hash agg; Catalyst's partial/final agg replaces the hand-built
+    hash-partition + merge + :done sentinel."""
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    out = Pipeline(
+        [
+            FlatMap("docs", TXT.tokens("text"), alias="word"),
+            Filter("docs", F.col("word") != ""),
+            Agg("docs", "counts", by=["word"], aggs={"n": F.count("*")}),
+        ]
+    )(flow)
+    return out["counts"]
+
+
+@_q(
+    "mix_tagged_union",
+    """
+SELECT src, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT 'clicks' AS src, event_type, value FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'purchases' AS src, event_type, value FROM events WHERE event_type = 'purchase'
+) GROUP BY src, event_type
+""",
+)
+def mix_tagged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splitter -> tagged Mixer -> agg (the reference's label-and-mix
+    pattern, README.md:117-160).  Union is a metadata-only plan node."""
+    flow = Flow({"events": load_table(spark, sf_dir, "events")})
+    out = Pipeline(
+        [
+            Splitter(
+                "events",
+                {
+                    "clicks": F.col("event_type") == "click",
+                    "purchases": F.col("event_type") == "purchase",
+                },
+            ),
+            Mixer(["clicks", "purchases"], "mixed", tag="src"),
+            Agg(
+                "mixed",
+                "agg",
+                by=["src", "event_type"],
+                aggs={"n": F.count("*"), "sum_value": F.sum(_dec("value")).cast("double")},
+            ),
+        ]
+    )(flow)
+    return out["agg"]
+
+
+@_q(
+    "split_route_counts",
+    """
+SELECT 'high' AS branch, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events WHERE value >= 100
+UNION ALL
+SELECT 'low' AS branch, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events WHERE value < 100
+UNION ALL
+SELECT 'errors' AS branch, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events WHERE event_type = 'error'
+""",
+)
+def split_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splitter multi-match semantics (an event can reach several
+    outputs — reference lib/splitter.ex:73-80): the 'errors' branch
+    overlaps 'high'/'low'; per-branch aggregate, re-mixed."""
+    flow = Flow({"events": load_table(spark, sf_dir, "events")})
+    aggs = {"n": F.count("*"), "sum_value": F.sum(_dec("value")).cast("double")}
+    out = Pipeline(
+        [
+            Splitter(
+                "events",
+                {
+                    "high": F.col("value") >= 100,
+                    "low": F.col("value") < 100,
+                    "errors": F.col("event_type") == "error",
+                },
+            ),
+            Agg("high", aggs=aggs),
+            Agg("low", aggs=aggs),
+            Agg("errors", aggs=aggs),
+            Mixer(["high", "low", "errors"], "routed", tag="branch"),
+        ]
+    )(flow)
+    return out["routed"].select("branch", "n", "sum_value")
+
+
+@_q(
+    "topk_orders",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k -> distributed TakeOrdered (per-partition top-k +
+    driver merge), never a full sort."""
+    flow = Flow({"orders": load_table(spark, sf_dir, "orders")})
+    out = TopK(
+        "orders", k=10, order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    )(flow)
+    return out["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@_q("distinct_event_types", "SELECT DISTINCT event_type FROM events")
+def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flow = Flow({"events": load_table(spark, sf_dir, "events")})
+    out = Pipeline(
+        [Transformer("events", select={"event_type": "event_type"}), Distinct("events")]
+    )(flow)
+    return out["events"]
+
+
+@_q(
+    "latest_event_per_user",
+    """
+SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-by-key with a deterministic keep rule: top-1 per user by
+    (ts, event_id) — one shuffle on user_id."""
+    flow = Flow({"events": load_table(spark, sf_dir, "events")})
+    out = TopKPerGroup(
+        "events",
+        k=1,
+        partition_by=["user_id"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    )(flow)
+    return out["events"].select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+@_q(
+    "count_window_stats",
+    """
+SELECT CAST(floor((rn - 1) / 100) AS BIGINT) AS window_id, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_total
+FROM (SELECT o_totalprice, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+GROUP BY 1
+""",
+)
+def count_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling count window (reference window_test.exs) lowered to
+    row_number + groupBy.  Global count windows are inherently a total
+    order (same as the reference's single stream); keyed variants
+    partition and scale."""
+    flow = Flow({"orders": load_table(spark, sf_dir, "orders")})
+    out = CountWindow(
+        "orders",
+        "win",
+        size=100,
+        order_by=["o_orderkey"],
+        aggs={
+            "n": F.count("*"),
+            "sum_total": F.sum(_dec("o_totalprice")).cast("double"),
+            "avg_total": _avg(F.sum(_dec("o_totalprice"))),
+        },
+    )(flow)
+    return out["win"]
+
+
+@_q(
+    "sliding_window_qty",
+    """
+WITH ranked AS (
+  SELECT l_quantity, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+),
+assigned AS (
+  SELECT l_quantity, w.window_id
+  FROM ranked, unnest(range(
+      CAST(greatest(0, ceil((rn - 500) / 250.0)) AS BIGINT),
+      CAST(floor((rn - 1) / 250.0) AS BIGINT) + 1)) w(window_id)
+),
+full_windows AS (
+  SELECT window_id, COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s
+  FROM assigned GROUP BY window_id HAVING COUNT(*) = 500
+)
+SELECT window_id, CAST(s AS DOUBLE) AS sum_qty FROM full_windows
+""",
+)
+def sliding_window_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding count window size=500 step=250 over a total order —
+    lowered to an exploded window-id sequence (fan-out size/step = 2)
+    + group-by; no Python, one shuffle."""
+    flow = Flow({"lineitem": load_table(spark, sf_dir, "lineitem")})
+    out = SlidingCountWindow(
+        "lineitem",
+        "win",
+        size=500,
+        step=250,
+        order_by=["l_orderkey", "l_linenumber"],
+        aggs={"sum_qty": F.sum(_dec("l_quantity")).cast("double")},
+    )(flow)
+    return out["win"]
+
+
+@_q(
+    "time_window_daily",
+    """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS day_start,
+  event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def time_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window via native F.window — the upgrade
+    over the reference's tick-stream processing-time trick."""
+    flow = Flow({"events": load_table(spark, sf_dir, "events")})
+    out = TimeWindow(
+        "events",
+        "agg",
+        ts="ts",
+        size="1 day",
+        partition_by=["event_type"],
+        aggs={"n": F.count("*"), "sum_value": F.sum(_dec("value")).cast("double")},
+    )(flow)
+    return out["agg"].select(
+        F.unix_timestamp("window_start").alias("day_start"), "event_type", "n", "sum_value"
+    )
+
+
+@_q(
+    "sessionize_users",
+    """
+WITH gaps AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+),
+flags AS (
+  SELECT user_id,
+    CASE WHEN prev IS NULL OR tus - prev > 3600000000 THEN 1 ELSE 0 END AS new_session
+  FROM gaps
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flags GROUP BY user_id
+""",
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>threshold flag + sum — one shuffle on
+    user_id.  (Streaming flavor would be session_window(ts, gap).)"""
+    from pyspark.sql import Window as W
+
+    flow = Flow({"events": load_table(spark, sf_dir, "events")})
+
+    def sessionz(df):
+        w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+        tus = F.unix_micros("ts")
+        prev = F.lag(tus).over(w)
+        new_s = F.when(prev.isNull() | ((tus - prev) > 3600000000), 1).otherwise(0)
+        return df.withColumn("new_session", new_s)
+
+    flow = flow.with_stream("events", sessionz(flow["events"]))
+    out = Agg(
+        "events",
+        "sessions",
+        by=["user_id"],
+        aggs={"n_sessions": F.sum("new_session").cast("bigint"), "n_events": F.count("*")},
+    )(flow)
+    return out["sessions"]
+
+
+@_q(
+    "cep_order_fulfillment",
+    """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS arrived, MAX(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey,
+  CASE WHEN COALESCE(p.arrived, 0) >= 1
+        AND NOT COALESCE(p.last_ship > o.o_orderdate + INTERVAL 30 DAY, FALSE)
+       THEN 'ALL_PARCELS_SHIPPED' ELSE 'THRESHOLD_EXCEEDED' END AS decision
+FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+""",
+)
+def cep_order_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parcels CEP decision (reference test/examples/parcels) on
+    the TPC-H-ish schema: lineitems play parcels; an order is satisfied
+    iff at least one parcel arrived and none shipped later than
+    orderdate + 30 days.  Batch lowering is a join + group-by decision
+    — no state machine needed (SURVEY §2.3)."""
+    orders = load_table(spark, sf_dir, "orders").withColumn("expected", F.lit(1))
+    flow = Flow({"orders": orders, "lineitem": load_table(spark, sf_dir, "lineitem")})
+    li = flow["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey")
+    flow = flow.with_stream("lineitem", li)
+    out = MatchDecide(
+        "orders",
+        "lineitem",
+        "decisions",
+        key="o_orderkey",
+        expected_col="expected",
+        event_ts="l_shipdate",
+        order_ts="o_orderdate",
+        timeout_days=30,
+    )(flow)
+    return out["decisions"]
+
+
+@_q(
+    "iterate_to_ten",
+    """
+SELECT event_id,
+  CAST(CASE WHEN user_id % 20 >= 10 THEN user_id % 20 ELSE 10 END AS BIGINT) AS final_value
+FROM events
+""",
+)
+def iterate_to_ten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's feedback-loop golden workload
+    (test/loop_test.exs:41-57): values loop through +1 until >= 10 —
+    driver-side fixpoint iteration (Spark DAGs are acyclic)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 20).alias("v")
+    )
+    flow = Flow({"n": ev})
+    out = Iterate(
+        "n",
+        body=lambda df: df.withColumn("v", F.col("v") + 1),
+        exit_when=F.col("v") >= 10,
+        max_iterations=12,
+    )(flow)
+    return out["n"].select("event_id", F.col("v").cast("bigint").alias("final_value"))
+
+
+# --------------------------------------------------------------------------
+# B. LLM-data-pipeline operators
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    f"""
+WITH {_NORM_DOCS}
+SELECT md5(ntext) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM norm GROUP BY md5(ntext)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    return ExactDedup("docs", "dedup")(flow)["dedup"]
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_NORM_DOCS}, {_SHINGLES}, {_JACCARD_PAIRS}
+SELECT da AS d1, db AS d2, jaccard FROM jac WHERE jaccard >= 0.8
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    return NgramJaccardPairs("docs", "pairs", threshold=0.8)(flow)["pairs"]
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_NORM_DOCS}, {_SHINGLES}, {_JACCARD_PAIRS}
+SELECT da AS d1, db AS d2, jaccard FROM jac WHERE jaccard >= 0.8
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidates, exact-verified — with the
+    16-band × 2-row config the output equals the exact Jaccard pairs
+    at threshold 0.8 (recall ≈ 0.9999; verified in tests), so the
+    oracle is the exact-pairs SQL."""
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    return MinHashLSHPairs("docs", "pairs", threshold=0.8)(flow)["pairs"]
+
+
+@_q(
+    "dedup_simhash",
+    f"""
+WITH {_NORM_DOCS}, {_SIMHASH}
+SELECT id, simhash FROM sh32
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    return SimHash("docs", "sig")(flow)["sig"]
+
+
+@_q(
+    "simhash_pairs",
+    f"""
+WITH {_NORM_DOCS}, {_SIMHASH}
+SELECT a.id AS d1, b.id AS d2,
+  CAST(len(list_filter(range(1, 33), j -> a.simhash[j:j] != b.simhash[j:j])) AS INT) AS hamming
+FROM sh32 a JOIN sh32 b ON a.id < b.id
+WHERE len(list_filter(range(1, 33), j -> a.simhash[j:j] != b.simhash[j:j])) <= 4
+""",
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 4) via block-split candidate
+    generation (exact recall by pigeonhole) + exact verification; the
+    oracle brute-forces all pairs — same result, quadratic cost the
+    Spark plan avoids."""
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    out = SimHashPairs("docs", "pairs", max_distance=4)(flow)["pairs"]
+    return out.select("d1", "d2", F.col("hamming").cast("int").alias("hamming"))
+
+
+@_q(
+    "dedup_embedding",
+    """
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flow = Flow({"emb": load_table(spark, sf_dir, "embeddings")})
+    return EmbeddingNearDupPairs("emb", "pairs", threshold=0.3)(flow)["pairs"]
+
+
+@_q(
+    "knn_topk",
+    """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT qid, nid, round(list_cosine_similarity(qv, cv), 6) AS cosine
+  FROM q CROSS JOIN c WHERE qid != nid
+),
+r AS (
+  SELECT qid AS query_id, nid AS neighbor_id, cosine,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+""",
+)
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, linear
+    corpus scan — the correct 100 TB plan for small query sets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flow = Flow({"corpus": emb, "queries": emb.filter(F.col("vec_id") < 10)})
+    return CosineTopK("corpus", "queries", "knn", k=5)(flow)["knn"]
+
+
+@_q(
+    "text_stats",
+    rf"""
+WITH {_NORM_DOCS},
+scored AS (
+  SELECT t.doc_id,
+    CAST(len(list_filter(w, x -> x != '')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+    len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','a'], x))) AS s_en,
+    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+    len(list_filter(w, x -> list_contains(['le','la','les','et','est','une'], x))) AS s_fr,
+    len(list_filter(w, x -> list_contains(['el','los','las','y','es','una'], x))) AS s_es,
+    md5(n.ntext) AS fingerprint
+  FROM toks t JOIN norm n ON t.doc_id = n.doc_id JOIN documents d ON t.doc_id = d.doc_id
+)
+SELECT doc_id, n_tokens, n_bpe,
+  CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+       ELSE 'und' END AS lang,
+  fingerprint
+FROM scored
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    out = Transformer(
+        "docs",
+        select={
+            "doc_id": "doc_id",
+            "n_tokens": TXT.token_count("text").cast("bigint"),
+            "n_bpe": TXT.bpe_token_count("text").cast("bigint"),
+            "lang": TXT.lang_id("text"),
+            "fingerprint": TXT.fingerprint("text"),
+        },
+    )(flow)
+    return out["docs"]
+
+
+@_q(
+    "text_quality",
+    rf"""
+WITH {_NORM_DOCS},
+feats AS (
+  SELECT t.doc_id,
+    length(d.text) AS n_chars,
+    len(list_filter(w, x -> x != '')) AS n_tok,
+    len(regexp_extract_all(d.text, '[^A-Za-z0-9\s]')) AS n_punct,
+    len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS n_stop,
+    len(list_distinct(w)) AS n_uniq,
+    length(array_to_string(w, '')) AS sum_len
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+)
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  sum_len / greatest(n_tok, 1) AS avg_token_len,
+  n_punct / greatest(n_chars, 1) AS punct_ratio,
+  n_stop / greatest(n_tok, 1) AS stopword_ratio,
+  n_uniq / greatest(n_tok, 1) AS uniq_token_ratio,
+  0.3 * least(n_tok / 100.0, 1.0)
+      + 0.25 * least((n_stop / greatest(n_tok, 1)) * 5, 1.0)
+      + 0.25 * (1.0 - least((n_punct / greatest(n_chars, 1)) * 10, 1.0))
+      + 0.2 * (n_uniq / greatest(n_tok, 1)) AS quality_score
+FROM feats
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    feats = TXT.quality_features("text")
+    out = Transformer("docs", select={"doc_id": "doc_id", **feats})(flow)
+    return out["docs"]
+
+
+@_q(
+    "langid_counts",
+    f"""
+WITH {_NORM_DOCS},
+scored AS (
+  SELECT doc_id,
+    len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','a'], x))) AS s_en,
+    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+    len(list_filter(w, x -> list_contains(['le','la','les','et','est','une'], x))) AS s_fr,
+    len(list_filter(w, x -> list_contains(['el','los','las','y','es','una'], x))) AS s_es
+  FROM toks
+)
+SELECT CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+       ELSE 'und' END AS lang, COUNT(*) AS n
+FROM scored GROUP BY 1
+""",
+)
+def langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    out = Pipeline(
+        [
+            Transformer("docs", select={"lang": TXT.lang_id("text")}),
+            Agg("docs", "counts", by=["lang"], aggs={"n": F.count("*")}),
+        ]
+    )(flow)
+    return out["counts"]
+
+
+@_q("media_features")  # no SQL oracle: mapInPandas decode plumbing (rows-only check)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary assets -> mapInPandas feature
+    extraction (decode stubbed deterministically — no media libs in
+    this container)."""
+    flow = Flow({"assets": synthetic_assets(spark, n=200)})
+    out = MediaFeatures("assets", "features")(flow)["features"]
+    return out.select("asset_id", "media_type", "n_bytes", "content_hash")
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

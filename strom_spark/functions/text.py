@@ -155,7 +155,10 @@ def quality_features(col: "Column | str") -> dict[str, Column]:
     stop_ratio = n_stop / safe_tok
     uniq_ratio = n_uniq / safe_tok
     # composite: reward mid-length docs with stopwords, low punctuation,
-    # vocabulary variety — a transparent, deterministic heuristic
+    # vocabulary variety — a transparent, deterministic heuristic.
+    # NOTE: no rounding anywhere — every term is the same IEEE op
+    # sequence in any engine, so raw doubles are bit-identical, whereas
+    # round() tie-breaking differs across engines on exact dyadic ties.
     length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     score = (
         F.lit(0.3) * length_score
@@ -163,13 +166,12 @@ def quality_features(col: "Column | str") -> dict[str, Column]:
         + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
         + F.lit(0.2) * uniq_ratio
     )
-    r = lambda x: F.round(x.cast("double"), 6)
     return {
         "n_chars": n_chars.cast("bigint"),
         "n_tokens": n_tok.cast("bigint"),
-        "avg_token_len": r(avg_len),
-        "punct_ratio": r(punct_ratio),
-        "stopword_ratio": r(stop_ratio),
-        "uniq_token_ratio": r(uniq_ratio),
-        "quality_score": r(score),
+        "avg_token_len": avg_len.cast("double"),
+        "punct_ratio": punct_ratio.cast("double"),
+        "stopword_ratio": stop_ratio.cast("double"),
+        "uniq_token_ratio": uniq_ratio.cast("double"),
+        "quality_score": score.cast("double"),
     }

@@ -34,9 +34,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # convert any nanos-as-long column back to timestamp
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division — double division loses ulps on large ns values
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

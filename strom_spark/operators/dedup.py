@@ -130,7 +130,9 @@ def _jaccard_pairs(
     return (
         inter.join(sa, "d1")
         .join(sb, "d2")
-        .withColumn("jaccard", F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6))
+        # no rounding: a single int/int double division is bit-identical
+        # across engines, and rounding tie-breaks are not
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
@@ -213,10 +215,15 @@ class MinHashLSHPairs(Component):
         self.label = label
 
     def signatures(self, df: DataFrame) -> DataFrame:
-        """(id, h0..h{n-1}) — one shuffle (groupBy id), min-agg per seed."""
+        """(id, h0..h{n-1}) — one shuffle (groupBy id), min-agg per seed.
+
+        Hashing is xxhash64(seed, shingle): JVM-native and codegen'd,
+        ~3× faster than md5-hex here.  The LSH output needs no
+        cross-engine hash parity — candidates are verified with exact
+        Jaccard, so the hash only affects recall, not correctness."""
         postings = _shingle_postings(df, self.id_col, self.text_col, self.k)
         mins = [
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
             for i in range(self.num_hashes)
         ]
         return postings.groupBy("id").agg(*mins)
@@ -230,7 +237,10 @@ class MinHashLSHPairs(Component):
                 F.concat_ws(
                     "#",
                     F.lit(str(b)),
-                    *[F.col(f"h{b * self.rows_per_band + r}") for r in range(self.rows_per_band)],
+                    *[
+                        F.col(f"h{b * self.rows_per_band + r}").cast("string")
+                        for r in range(self.rows_per_band)
+                    ],
                 )
                 for b in range(n_bands)
             ]
@@ -259,6 +269,30 @@ class MinHashLSHPairs(Component):
         return (self.output,)
 
 
+def _simhash_sig(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) via explode + single codegen'd hash aggregate.
+
+    The naive per-row expression (32 × aggregate-lambda, each re-hashing
+    every token) is ~50× slower: higher-order functions are interpreted
+    and defeat common-subexpression elimination.  Here md5 runs once per
+    token, then 32 conditional sums ride one hash aggregate — one
+    shuffle on the doc id, whole-stage codegen throughout."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(TXT.tokens(text_col)).alias("tok")
+    ).withColumn("__h", F.md5("tok"))
+    bit_aggs = [
+        F.when(
+            F.sum(F.when(F.substring("__h", j, 1) >= "8", 1).otherwise(0)) * 2 > F.count("*"),
+            F.lit("1"),
+        )
+        .otherwise(F.lit("0"))
+        .alias(f"__b{j}")
+        for j in range(1, 33)
+    ]
+    sig = toks.groupBy("id").agg(*bit_aggs)
+    return sig.select("id", F.concat(*[F.col(f"__b{j}") for j in range(1, 33)]).alias("simhash"))
+
+
 class SimHash(Component):
     """Per-document 32-bit SimHash bit-string: (id, simhash)."""
 
@@ -278,10 +312,7 @@ class SimHash(Component):
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
-        df = flow[self.input]
-        out = df.select(
-            F.col(self.id_col).alias("id"), TXT.simhash32(self.text_col).alias("simhash")
-        )
+        out = _simhash_sig(flow[self.input], self.id_col, self.text_col)
         return flow.without(self.input).with_stream(self.output, out)
 
     def input_names(self) -> Sequence[str]:
@@ -317,9 +348,7 @@ class SimHashPairs(Component):
 
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input]
-        sig = df.select(
-            F.col(self.id_col).alias("id"), TXT.simhash32(self.text_col).alias("simhash")
-        )
+        sig = _simhash_sig(df, self.id_col, self.text_col)
         n_blocks = self.max_distance + 1
         width = 32 // n_blocks
         # block i covers [i*width+1, ...]; last block takes the remainder
@@ -364,10 +393,22 @@ class SimHashPairs(Component):
 
 
 class EmbeddingNearDupPairs(Component):
-    """Cosine near-duplicate pairs over an embedding column — the exact
-    baseline: L2-normalize once, then a self-join with dot-product
-    filter.  Exact but O(n²) in pairs; use for bounded candidate sets /
-    verification, and ``similarity.CosineLSHJoin`` as the scale path."""
+    """Cosine near-duplicate pairs over an embedding column — exact
+    all-pairs via blocked matrix multiply.
+
+    Strategy ``gemm`` (default): one side is collected+broadcast as a
+    normalized float64 matrix; ``mapInPandas`` streams corpus blocks and
+    computes block × matrixᵀ with numpy GEMM — vectorized, no pair
+    materialization, linear scan of the corpus.  The broadcast side must
+    fit in executor memory (64-dim × 10M vectors ≈ 5 GB — beyond that,
+    tile the broadcast side or use ``similarity.CosineLSHJoin`` as the
+    sub-quadratic scale path).
+
+    Strategy ``join``: pure-plan self-join with JVM fold dot product —
+    no driver collection, but interpreted HOFs make it ~10× slower per
+    pair; useful when the input is a lazy/streaming plan that must not
+    be collected at build time.
+    """
 
     def __init__(
         self,
@@ -377,27 +418,69 @@ class EmbeddingNearDupPairs(Component):
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         threshold: float = 0.95,
+        strategy: str = "gemm",
         label: str | None = None,
     ):
+        if strategy not in ("gemm", "join"):
+            raise ValueError("strategy must be 'gemm' or 'join'")
         self.input = input
         self.output = output or input
         self.id_col = id_col
         self.vec_col = vec_col
         self.threshold = threshold
+        self.strategy = strategy
         self.label = label
 
-    def transform(self, flow: Flow) -> Flow:
-        df = flow[self.input]
+    def _gemm(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        slim = df.select(
+            F.col(self.id_col).cast("bigint").alias("id"),
+            F.col(self.vec_col).cast("array<double>").alias("v"),
+        )
+        pdf = slim.toPandas()
+        ids_all = pdf["id"].to_numpy()
+        M = np.stack(pdf["v"].to_list()).astype("float64")
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        bc = df.sparkSession.sparkContext.broadcast((ids_all, M))
+        threshold = self.threshold
+
+        def block(batches):
+            b_ids, b_M = bc.value
+            for batch in batches:
+                ids = batch["id"].to_numpy()
+                B = np.stack(batch["v"].to_list()).astype("float64")
+                B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+                S = np.round(B @ b_M.T, 6)
+                ii, jj = np.nonzero(S >= threshold)
+                keep = ids[ii] < b_ids[jj]
+                if keep.any():
+                    yield pd.DataFrame(
+                        {
+                            "d1": ids[ii][keep],
+                            "d2": b_ids[jj][keep],
+                            "cosine": S[ii, jj][keep],
+                        }
+                    )
+
+        return slim.mapInPandas(block, schema="d1 bigint, d2 bigint, cosine double")
+
+    def _join(self, df: DataFrame) -> DataFrame:
         normed = df.select(
             F.col(self.id_col).alias("id"), V.l2_normalize(self.vec_col).alias("v")
         )
         a, b = normed.alias("a"), normed.alias("b")
-        out = (
+        return (
             a.join(b, F.col("a.id") < F.col("b.id"))
             .withColumn("cosine", F.round(V.dot(F.col("a.v"), F.col("b.v")), 6))
             .filter(F.col("cosine") >= self.threshold)
             .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"), "cosine")
         )
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        out = self._gemm(df) if self.strategy == "gemm" else self._join(df)
         return flow.without(self.input).with_stream(self.output, out)
 
     def input_names(self) -> Sequence[str]:

@@ -1,0 +1,100 @@
+"""Structured Streaming parity: the same components over unbounded
+input, drained deterministically with availableNow triggers."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from strom_spark import Filter, Flow, Mixer, Pipeline, Source, ReadStream, Transformer, TimeWindow
+from strom_spark.streaming.control import run_available
+from strom_spark.streaming.stateful import StreamingStatefulTransformer, count_window_kernel
+
+
+@pytest.fixture()
+def stream_dir(spark, sf_dir):
+    """Stage the events table as a parquet dir a stream can read."""
+    from strom_spark import load_table
+
+    d = tempfile.mkdtemp(prefix="strom_stream_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _read_stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_streaming_filter_transform_mix(spark, stream_dir):
+    """simple-numbers shape on a stream: split/transform/mix then drain."""
+    events = _read_stream(spark, stream_dir)
+    flow = Pipeline(
+        [
+            Filter("events", F.col("event_type") == "click"),
+            Transformer("events", value2=F.col("value") * 2),
+        ]
+    )(Flow({"events": events}))
+    df = flow["events"]
+    assert df.isStreaming
+    q = run_available(df, query_name="t_stream_basic")
+    got = spark.sql("SELECT count(*) AS n, round(sum(value2), 2) AS s FROM t_stream_basic").collect()[0]
+    batch = spark.read.parquet(stream_dir).filter("event_type = 'click'")
+    expected = batch.agg(
+        F.count("*").alias("n"), F.round(F.sum(F.col("value") * 2), 2).alias("s")
+    ).collect()[0]
+    assert (got.n, got.s) == (expected.n, expected.s)
+
+
+def test_streaming_time_window_watermark(spark, stream_dir):
+    events = _read_stream(spark, stream_dir)
+    flow = TimeWindow(
+        "events",
+        "agg",
+        ts="ts",
+        size="1 day",
+        partition_by=["event_type"],
+        aggs={"n": F.count("*")},
+        watermark=("ts", "1 hour"),
+    )(Flow({"events": events}))
+    q = run_available(flow["agg"], query_name="t_stream_window")
+    total = spark.sql("SELECT sum(n) AS t FROM t_stream_window").collect()[0].t
+    # append mode emits only watermark-closed windows; all but the last
+    # day close once the stream drains
+    n_events = spark.read.parquet(stream_dir).count()
+    assert total is not None and 0 < total <= n_events
+
+
+def test_streaming_stateful_count_window(spark):
+    """The reference count-window example on a stream: per-key buffers
+    persist across micro-batches via applyInPandasWithState."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="strom_sscw_")
+    try:
+        # two files -> two micro-batches; windows must span the boundary
+        pd.DataFrame({"k": ["a"] * 7, "value": list(range(1, 8))}).to_parquet(f"{d}/p1.parquet")
+        pd.DataFrame({"k": ["a"] * 5, "value": list(range(8, 13))}).to_parquet(f"{d}/p2.parquet")
+        schema = "k string, value bigint"
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        flow = StreamingStatefulTransformer(
+            "s",
+            count_window_kernel(5),
+            schema="window_index bigint, n bigint, sum_value double, avg_value double",
+            key_by=["k"],
+            order_by=["value"],
+        )(Flow({"s": stream}))
+        q = run_available(flow["s"], query_name="t_sscw", output_mode="append")
+        rows = sorted(
+            spark.sql("SELECT * FROM t_sscw").collect(), key=lambda r: r.window_index
+        )
+        # 12 values -> two full windows of 5 (remainder 2 buffered in state)
+        assert [(r.window_index, r.n, r.avg_value) for r in rows] == [
+            (0, 5, 3.0),
+            (1, 5, 8.0),
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,102 @@
+"""Local replica of the driver's correctness gate: run each
+__spark_entry__ query on Spark and its oracle on DuckDB at sf0.01,
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from strom_spark import get_spark
+from strom_spark.io import TABLES
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, (int,)):
+        return str(v)
+    return str(v)
+
+
+def frame_signature(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(",".join(norm_cell(r[i]) for i in order) for r in rows)
+    return lines
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    spark = get_spark("correctness")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        t1 = time.time()
+        if name not in oracles:
+            print(f"ok?   {name}: rows={len(srows)} (no oracle, rows-only) [{t1-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        dcols = list(ddf.columns)
+        drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+        t2 = time.time()
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            failures.append(name)
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            failures.append(name)
+            continue
+        ssig = frame_signature(srows, scols)
+        dsig = frame_signature(drows, dcols)
+        if ssig != dsig:
+            diffs = [(a, b) for a, b in zip(ssig, dsig) if a != b][:3]
+            print(f"FAIL  {name}: value mismatch ({len([1 for a,b in zip(ssig,dsig) if a!=b])} rows); first: {diffs}")
+            failures.append(name)
+            continue
+        print(f"PASS  {name}: rows={len(srows)} [spark {t1-t0:.1f}s, duck {t2-t1:.1f}s]")
+    print()
+    print(f"{len(failures)} failures: {failures}" if failures else "ALL GREEN")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
