@@ -269,28 +269,39 @@ class MinHashLSHPairs(Component):
         return (self.output,)
 
 
-def _simhash_sig(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) via explode + single codegen'd hash aggregate.
+def _simhash_sig_int(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sig bigint) via explode + single codegen'd hash aggregate.
 
     The naive per-row expression (32 × aggregate-lambda, each re-hashing
     every token) is ~50× slower: higher-order functions are interpreted
     and defeat common-subexpression elimination.  Here md5 runs once per
     token, then 32 conditional sums ride one hash aggregate — one
-    shuffle on the doc id, whole-stage codegen throughout."""
+    shuffle on the doc id, whole-stage codegen throughout.  The
+    signature is packed into a single bigint (bit j of 32, MSB-first) so
+    downstream Hamming distance is one ``bit_count(a ^ b)`` and block
+    extraction is shift+mask — all integer codegen, no string ops."""
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(TXT.tokens(text_col)).alias("tok")
     ).withColumn("__h", F.md5("tok"))
     bit_aggs = [
-        F.when(
-            F.sum(F.when(F.substring("__h", j, 1) >= "8", 1).otherwise(0)) * 2 > F.count("*"),
-            F.lit("1"),
-        )
-        .otherwise(F.lit("0"))
+        (F.sum(F.when(F.substring("__h", j, 1) >= "8", 1).otherwise(0)) * 2 > F.count("*"))
+        .cast("long")
         .alias(f"__b{j}")
         for j in range(1, 33)
     ]
     sig = toks.groupBy("id").agg(*bit_aggs)
-    return sig.select("id", F.concat(*[F.col(f"__b{j}") for j in range(1, 33)]).alias("simhash"))
+    packed = sum(
+        (F.col(f"__b{j}") * F.lit(1 << (32 - j)) for j in range(2, 33)),
+        F.col("__b1") * F.lit(1 << 31),
+    )
+    return sig.select("id", packed.alias("sig"))
+
+
+def _simhash_sig(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — the 32-char bit-string form (oracle-portable)."""
+    return _simhash_sig_int(df, id_col, text_col).select(
+        "id", F.lpad(F.bin("sig"), 32, "0").alias("simhash")
+    )
 
 
 class SimHash(Component):
@@ -348,40 +359,36 @@ class SimHashPairs(Component):
 
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input]
-        sig = _simhash_sig(df, self.id_col, self.text_col)
+        sig = _simhash_sig_int(df, self.id_col, self.text_col)
         n_blocks = self.max_distance + 1
         width = 32 // n_blocks
-        # block i covers [i*width+1, ...]; last block takes the remainder
-        blocks = F.array(
-            *[
-                F.concat_ws(
-                    "#",
-                    F.lit(str(i)),
-                    F.substring(
-                        "simhash",
-                        i * width + 1,
-                        width if i < n_blocks - 1 else 32 - width * (n_blocks - 1),
-                    ),
-                )
-                for i in range(n_blocks)
-            ]
+        # block i covers bits [i*width, i*width+L) from the MSB; the
+        # last block takes the remainder.  Encode (block bits, block
+        # index) in ONE long join key: integer shuffle key + codegen'd
+        # equi-join, no string concat.
+        def block_key(i: int):
+            length = width if i < n_blocks - 1 else 32 - width * (n_blocks - 1)
+            shift = 32 - i * width - length
+            bits = F.shiftrightunsigned(F.col("sig"), shift).bitwiseAND(
+                F.lit((1 << length) - 1)
+            )
+            return F.shiftleft(bits, 4) + F.lit(i)
+
+        bucketed = sig.select(
+            "id", "sig", F.explode(F.array(*[block_key(i) for i in range(n_blocks)])).alias("bk")
         )
-        bucketed = sig.select("id", "simhash", F.explode(blocks).alias("block"))
         a, b = bucketed.alias("a"), bucketed.alias("b")
-        cand = (
-            a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        # hamming = popcount(xor) rides the join projection (pure
+        # integer codegen), so false candidates die before the distinct.
+        out = (
+            a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
             .select(
                 F.col("a.id").alias("d1"),
                 F.col("b.id").alias("d2"),
-                F.col("a.simhash").alias("s1"),
-                F.col("b.simhash").alias("s2"),
+                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
             )
-            .distinct()
-        )
-        out = (
-            cand.withColumn("hamming", TXT.hamming_bits(F.col("s1"), F.col("s2")))
             .filter(F.col("hamming") <= self.max_distance)
-            .select("d1", "d2", "hamming")
+            .distinct()
         )
         return flow.without(self.input).with_stream(self.output, out)
 
