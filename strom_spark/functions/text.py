@@ -65,14 +65,26 @@ def fingerprint(col: "Column | str") -> Column:
     return F.md5(normalize(col))
 
 
-def word_shingles(col: "Column | str", k: int = 3) -> Column:
-    """Array of distinct k-word shingles (space-joined) — the unit set
-    for Jaccard/MinHash dedup."""
-    t = tokens(col)
+def shingles_of_tokens(t: Column, k: int) -> Column:
+    """Distinct k-shingles of an already-bound token-array COLUMN.
+
+    ``t`` must be a plain column reference (not a derived expression):
+    higher-order-function lambdas re-evaluate their body's whole
+    subtree per element, so passing ``tokens(text)`` directly would run
+    the normalize-regex once per shingle index (~50× slowdown at
+    corpus scale).  Callers project the token array first."""
     n = F.size(t)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
     return F.array_distinct(sh)
+
+
+def word_shingles(col: "Column | str", k: int = 3) -> Column:
+    """Array of distinct k-word shingles (space-joined) — the unit set
+    for Jaccard/MinHash dedup.  Prefer projecting ``tokens`` to a
+    column and calling :func:`shingles_of_tokens` in hot paths (see
+    its docstring for the per-element re-evaluation trap)."""
+    return shingles_of_tokens(tokens(col), k)
 
 
 def char_shingles(col: "Column | str", k: int = 5) -> Column:

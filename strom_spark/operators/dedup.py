@@ -91,10 +91,14 @@ class ExactDedup(Component):
 
 
 def _shingle_postings(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle) postings list — distinct k-word shingles."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(TXT.word_shingles(text_col, k)).alias("shingle"),
+    """(id, shingle) postings list — distinct k-word shingles.
+
+    Tokens are projected to a bound column BEFORE shingling so the
+    normalize-regex runs once per document, not once per shingle (HOF
+    lambdas re-evaluate derived subtrees per element)."""
+    toks = df.select(F.col(id_col).alias("id"), TXT.tokens(text_col).alias("__toks"))
+    return toks.select(
+        "id", F.explode(TXT.shingles_of_tokens(F.col("__toks"), k)).alias("shingle")
     )
 
 
