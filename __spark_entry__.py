@@ -38,6 +38,7 @@ from strom_spark import (
     Filter,
     FlatMap,
     Flow,
+    IVFTopK,
     Iterate,
     Join,
     MatchDecide,
@@ -46,11 +47,13 @@ from strom_spark import (
     Mixer,
     NgramJaccardPairs,
     Pipeline,
+    SetOp,
     SimHash,
     SimHashPairs,
     SlidingCountWindow,
     Sort,
     Splitter,
+    SplitterTree,
     StatefulTransformer,
     TimeWindow,
     TopK,
@@ -897,6 +900,337 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     flow = Flow({"assets": synthetic_assets(spark, n=200)})
     out = MediaFeatures("assets", "features")(flow)["features"]
     return out.select("asset_id", "media_type", "n_bytes", "content_hash")
+
+
+# --------------------------------------------------------------------------
+# C. relational superset, routing, ordered-merge, re-batching
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "json_props_extract",
+    """
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column parse + aggregate (SURVEY §2.3's 'idiomatic
+    superset': the reference has no JSON functions).  get_json_object
+    is JVM-side; at scale prefer from_json with an explicit schema so
+    the parse happens once per row."""
+    flow = Flow({"events": load_table(spark, sf_dir, "events")})
+    out = Pipeline(
+        [
+            Transformer(
+                "events",
+                select={
+                    "event_type": "event_type",
+                    "k": F.get_json_object("props", "$.k").cast("bigint"),
+                },
+            ),
+            Agg(
+                "events",
+                "agg",
+                by=["event_type"],
+                aggs={"n": F.count("*"), "avg_k": _avg(F.sum("k")), "max_k": F.max("k")},
+            ),
+        ]
+    )(flow)
+    return out["agg"]
+
+
+@_q(
+    "rollup_revenue",
+    """
+SELECT r.r_name, n.n_name,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP subtotals (superset op).  All dimension joins
+    broadcast; the rollup is one hash-agg pass with grouping-set
+    expansion — no extra shuffle vs the plain groupBy."""
+    flow = Flow(
+        {
+            "orders": load_table(spark, sf_dir, "orders"),
+            "customer": load_table(spark, sf_dir, "customer"),
+            "nation": load_table(spark, sf_dir, "nation"),
+            "region": load_table(spark, sf_dir, "region"),
+        }
+    )
+    out = Pipeline(
+        [
+            Join("customer", "nation", "cn", on=F.col("c_nationkey") == F.col("n_nationkey"), broadcast=True),
+            Join("cn", "region", "cnr", on=F.col("n_regionkey") == F.col("r_regionkey"), broadcast=True),
+            Join("orders", "cnr", "ocnr", on=F.col("o_custkey") == F.col("c_custkey"), broadcast=True),
+            Agg(
+                "ocnr",
+                "agg",
+                by=["r_name", "n_name"],
+                mode="rollup",
+                aggs={
+                    "revenue": F.sum(_dec("o_totalprice")).cast("double"),
+                    "n_orders": F.count("*"),
+                },
+            ),
+        ]
+    )(flow)
+    return out["agg"]
+
+
+@_q(
+    "top3_customers_per_nation",
+    """
+WITH spend AS (
+  SELECT n.n_name, c.c_custkey,
+    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, c_custkey, spend, rnk FROM (
+  SELECT n_name, c_custkey, spend,
+    row_number() OVER (PARTITION BY n_name ORDER BY spend DESC, c_custkey) AS rnk
+  FROM spend
+) WHERE rnk <= 3
+""",
+)
+def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (superset op) via TopKPerGroup: one shuffle on
+    the group key, per-group heap — never a global sort."""
+    flow = Flow(
+        {
+            "orders": load_table(spark, sf_dir, "orders"),
+            "customer": load_table(spark, sf_dir, "customer"),
+            "nation": load_table(spark, sf_dir, "nation"),
+        }
+    )
+    out = Pipeline(
+        [
+            Join("customer", "nation", "cn", on=F.col("c_nationkey") == F.col("n_nationkey"), broadcast=True),
+            Join("orders", "cn", "ocn", on=F.col("o_custkey") == F.col("c_custkey"), broadcast=True),
+            Agg(
+                "ocn",
+                "spend",
+                by=["n_name", "c_custkey"],
+                aggs={"spend": F.sum(_dec("o_totalprice")).cast("double")},
+            ),
+            TopKPerGroup(
+                "spend",
+                "top",
+                k=3,
+                partition_by=["n_name"],
+                order_by=[F.col("spend").desc(), F.col("c_custkey")],
+                rank_col="rnk",
+            ),
+        ]
+    )(flow)
+    return out["top"]
+
+
+@_q(
+    "set_ops_repeat_buyers",
+    """
+SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1998-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+""",
+)
+def set_ops_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT as a component (superset op — the reference has no
+    set ops beyond union).  Both sides prune to one column before the
+    shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    flow = Flow(
+        {
+            "early": orders.filter(split).select("o_custkey"),
+            "late": orders.filter(~split).select("o_custkey"),
+        }
+    )
+    out = SetOp("intersect", "early", "late", "both")(flow)
+    return out["both"]
+
+
+@_q(
+    "round_robin_pairs",
+    """
+WITH o AS (
+  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn
+  FROM events WHERE event_id % 2 = 1
+),
+e AS (
+  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn
+  FROM events WHERE event_id % 2 = 0
+)
+SELECT o.rn AS pair_no, o.event_id AS odd_id, e.event_id AS even_id
+FROM o JOIN e ON o.rn = e.rn
+""",
+)
+def round_robin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's round-robin merge (README.md:117-160,
+    simple_numbers_test.exs:50-105): split, number each side in stream
+    order, pair by position.  Global row_number is a total-order op —
+    inherently single-partition (SURVEY §7.4.1); at scale use
+    zipWithIndex-style partition offsets or a keyed variant."""
+    from pyspark.sql import Window as W
+
+    flow = Flow({"events": load_table(spark, sf_dir, "events")})
+    rn = F.row_number().over(W.orderBy("event_id"))
+    out = Pipeline(
+        [
+            Splitter(
+                "events",
+                {"odd": F.col("event_id") % 2 == 1, "even": F.col("event_id") % 2 == 0},
+            ),
+            Transformer("odd", select={"odd_id": "event_id", "rn": rn}),
+            Transformer("even", select={"even_id": "event_id", "rn": rn}),
+            Join("odd", "even", "pairs", on="rn"),
+        ]
+    )(flow)
+    return out["pairs"].select(
+        F.col("rn").alias("pair_no"), "odd_id", "even_id"
+    )
+
+
+@_q(
+    "hash_route_counts",
+    """
+WITH b AS (
+  SELECT ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::UBIGINT % 4 AS bucket
+  FROM events
+)
+SELECT 'p' || bucket::VARCHAR AS route, COUNT(*) AS n FROM b GROUP BY 1
+""",
+)
+def hash_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitterTree :hash routing (reference lib/splitter_tree.ex:56-68
+    — :erlang.phash2(event, n)) with an engine-portable md5-derived
+    bucket.  Each route is an independent filter over the same scan;
+    per-route aggregate, re-mixed with the route tag."""
+    flow = Flow({"events": load_table(spark, sf_dir, "events")})
+    bucket = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    routes = [f"p{i}" for i in range(4)]
+    comps = [SplitterTree("events", routes, mode="hash", partition_expr=bucket)]
+    comps += [Agg(r, aggs={"n": F.count("*")}) for r in routes]
+    comps += [Mixer(routes, "counts", tag="route")]
+    out = Pipeline(comps)(flow)
+    return out["counts"].select("route", "n")
+
+
+@_q(
+    "rebatch_lines",
+    rf"""
+WITH RECURSIVE {_NORM_DOCS},
+words AS (
+  SELECT doc_id, i::INT AS i, w[i] AS word
+  FROM toks, unnest(range(1, len(w) + 1)) t(i)
+),
+rec AS (
+  SELECT doc_id, i, 1 AS line_no, word AS line FROM words WHERE i = 1
+  UNION ALL
+  SELECT w.doc_id, w.i,
+    CASE WHEN length(r.line) + 1 + length(w.word) <= 100 THEN r.line_no ELSE r.line_no + 1 END,
+    CASE WHEN length(r.line) + 1 + length(w.word) <= 100 THEN r.line || ' ' || w.word ELSE w.word END
+  FROM rec r JOIN words w ON w.doc_id = r.doc_id AND w.i = r.i + 1
+)
+SELECT r.doc_id, r.line_no, r.line
+FROM rec r LEFT JOIN words nxt ON nxt.doc_id = r.doc_id AND nxt.i = r.i + 1
+WHERE nxt.i IS NULL OR length(r.line) + 1 + length(nxt.word) > 100
+""",
+)
+def rebatch_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The telegram golden workload (reference
+    test/examples/telegram_test.exs:18-31): split text into words,
+    greedily re-batch into lines <= 100 chars.  Inherently sequential
+    per document -> StatefulTransformer keyed by doc_id (the scalable
+    keyed-state path; the oracle replays the same greedy fold as a
+    recursive CTE)."""
+
+    def pack(event, acc):
+        w = event["word"]
+        if acc is None:
+            return [], {"doc_id": event["doc_id"], "line_no": 1, "line": w}
+        if len(acc["line"]) + 1 + len(w) <= 100:
+            acc["line"] = acc["line"] + " " + w
+            return [], acc
+        emitted = dict(acc)
+        return [emitted], {"doc_id": event["doc_id"], "line_no": acc["line_no"] + 1, "line": w}
+
+    def flush(acc):
+        return [acc] if acc is not None else []
+
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    out = Pipeline(
+        [
+            Transformer("docs", select={"doc_id": "doc_id", "toks": TXT.tokens("text")}),
+            Transformer(
+                "docs",
+                select={
+                    "doc_id": "doc_id",
+                    "ws": F.transform(
+                        F.col("toks"),
+                        lambda x, i: F.struct((i + 1).alias("i"), x.alias("word")),
+                    ),
+                },
+            ),
+            FlatMap("docs", F.col("ws"), alias="w", keep=("doc_id",)),
+            Transformer(
+                "docs", select={"doc_id": "doc_id", "i": F.col("w.i"), "word": F.col("w.word")}
+            ),
+            StatefulTransformer(
+                "docs",
+                pack,
+                acc=lambda: None,
+                schema="doc_id bigint, line_no int, line string",
+                key_by=["doc_id"],
+                order_by=["i"],
+                flush=flush,
+            ),
+        ]
+    )(flow)
+    return out["docs"]
+
+
+@_q("ann_ivf")  # approximate (recall < 1 by design): rows-only driver check;
+# tests assert recall >= 0.9 against the exact CosineTopK result.
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors — the sub-linear scale path
+    next to knn_topk's brute force (SURVEY §7.2.7)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flow = Flow({"corpus": emb, "queries": emb.filter(F.col("vec_id") < 10)})
+    return IVFTopK(
+        "corpus", "queries", "ann", k=5, n_centroids=16, n_probe=4
+    )(flow)["ann"]
+
+
+@_q("approx_distinct_users")  # HLL++ sketch: engine-specific estimate, no
+# cross-engine oracle; tests assert within 5% of the exact count.
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the constant-memory
+    distinct-count at 100 TB (superset op; exact distinct shuffles
+    every key)."""
+    flow = Flow({"events": load_table(spark, sf_dir, "events")})
+    out = Agg(
+        "events",
+        "agg",
+        by=["event_type"],
+        aggs={"approx_users": F.approx_count_distinct("user_id")},
+    )(flow)
+    return out["agg"]
 
 
 # --------------------------------------------------------------------------

@@ -40,7 +40,7 @@ from .operators.dedup import (
     SimHashPairs,
     EmbeddingNearDupPairs,
 )
-from .operators.similarity import CosineTopK, CosineLSHJoin
+from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK
 from .operators.multimodal import MediaFeatures, synthetic_assets
 
 __all__ = [
@@ -94,6 +94,7 @@ __all__ = [
     "EmbeddingNearDupPairs",
     "CosineTopK",
     "CosineLSHJoin",
+    "IVFTopK",
     "MediaFeatures",
     "synthetic_assets",
 ]

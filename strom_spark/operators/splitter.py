@@ -71,6 +71,10 @@ class SplitterTree(Component):
     ``mode="hash"``: route each event to output ``i`` where
     ``i = pmod(hash(partition_cols...), n)`` — deterministic disjoint
     partitioning, the analog of ``:erlang.phash2(event, n)``.
+
+    ``partition_expr`` overrides the bucket hash with any integer
+    Column (e.g. an md5-derived engine-portable hash, or a business
+    rule); it is taken ``pmod n``.
     """
 
     def __init__(
@@ -80,6 +84,7 @@ class SplitterTree(Component):
         *,
         mode: str = "copy",
         partition_by: Sequence[str] = (),
+        partition_expr=None,
         label: str | None = None,
     ):
         if mode not in ("copy", "hash"):
@@ -88,6 +93,7 @@ class SplitterTree(Component):
         self.outputs = tuple(outputs)
         self.mode = mode
         self.partition_by = tuple(partition_by)
+        self.partition_expr = partition_expr
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
@@ -98,8 +104,11 @@ class SplitterTree(Component):
             for name in self.outputs:
                 adds[name] = df
         else:
-            cols = [F.col(c) for c in self.partition_by] or [F.col(c) for c in df.columns]
-            bucket = F.pmod(F.hash(*cols), F.lit(n))
+            if self.partition_expr is not None:
+                bucket = F.pmod(self.partition_expr, F.lit(n))
+            else:
+                cols = [F.col(c) for c in self.partition_by] or [F.col(c) for c in df.columns]
+                bucket = F.pmod(F.hash(*cols), F.lit(n))
             for i, name in enumerate(self.outputs):
                 adds[name] = df.filter(bucket == i)
         return flow.without(self.input).updated(adds)

@@ -230,6 +230,12 @@ class Agg(Component):
     hash aggregate does exactly that automatically, no sentinel needed).
 
     ``Agg("in", "out", by=["k"], aggs={"n": F.count("*")})``
+
+    ``mode`` selects the grouping shape: ``"groupby"`` (default),
+    ``"rollup"`` or ``"cube"`` — hierarchical/cross-dimension subtotal
+    rows exactly as SQL ``GROUP BY ROLLUP/CUBE`` (part of the idiomatic
+    superset; the physical plan is still one partial+final hash
+    aggregate pass, grouping-set rows expanded map-side).
     """
 
     def __init__(
@@ -239,18 +245,27 @@ class Agg(Component):
         *,
         by: Sequence[Any] = (),
         aggs: Mapping[str, Any],
+        mode: str = "groupby",
         label: str | None = None,
     ):
+        if mode not in ("groupby", "rollup", "cube"):
+            raise ValueError("mode must be groupby|rollup|cube")
         self.input = input
         self.output = output or input
         self.by = list(by)
         self.aggs = dict(aggs)
+        self.mode = mode
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input]
         exprs = [_resolve_expr(e, df).alias(n) for n, e in self.aggs.items()]
-        grouped = df.groupBy(*self.by) if self.by else df.groupBy()
+        if self.mode == "rollup":
+            grouped = df.rollup(*self.by)
+        elif self.mode == "cube":
+            grouped = df.cube(*self.by)
+        else:
+            grouped = df.groupBy(*self.by) if self.by else df.groupBy()
         out = grouped.agg(*exprs)
         return flow.without(self.input).with_stream(self.output, out)
 
