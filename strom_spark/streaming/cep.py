@@ -1,0 +1,156 @@
+"""Streaming CEP: the reference's parcels problem with real event-time
+timers.
+
+Reference (``test/examples/parcels_test.exs:144-201``): a ``decide``
+transformer keeps ``{to_ship, created_at}`` per order in an Agent and
+emits ``ALL_PARCELS_SHIPPED`` when every parcel arrived, or
+``THRESHOLD_EXCEEDED`` when a parcel arrives past the deadline — plus a
+tick stream so orders whose parcels never arrive still decide
+(``test/examples/window_test.exs``-style processing-time ticks).
+
+Spark-first translation: one keyed stateful operator over the *mixed*
+order+parcel stream (``applyInPandasWithState``), with the tick stream
+replaced by **event-time timers**: an order schedules a timeout at
+``created_at + timeout``; when the watermark passes it the state times
+out and the decision fires.  Late/out-of-order parcels are handled by
+event time natively — parcels arriving before their order simply
+accumulate in state (the reference needs an explicit ``force_order``
+stage for this, ``parcels_test.exs:106-142``).
+
+At scale: state is per-order (bounded by open orders), partitioned
+across executors by the order key; decided orders drop their state
+immediately, so memory tracks the working set, not history.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..component import Component
+from ..flow import Flow
+
+_STATE_SCHEMA = "state binary"
+_OUT_SCHEMA = "order_id bigint, decision string"
+
+ALL_SHIPPED = "ALL_PARCELS_SHIPPED"
+THRESHOLD = "THRESHOLD_EXCEEDED"
+
+
+class StreamingMatchDecide(Component):
+    """Keyed order/parcel matching with an event-time deadline.
+
+    Input stream rows (a mixed order+parcel stream, watermarked on
+    ``ts_col``):
+
+      - order rows: ``type_col == order_type``, carrying
+        ``expected_col`` (how many parcels must arrive) and the order
+        timestamp (deadline = ts + timeout_s);
+      - parcel rows: ``type_col == parcel_type``.
+
+    Decision per order key:
+
+      - ``ALL_PARCELS_SHIPPED``: the expected number of parcels arrived
+        and none after the deadline;
+      - ``THRESHOLD_EXCEEDED``: a parcel arrived past the deadline, or
+        the event-time watermark passed the deadline with parcels still
+        missing (state timeout — no tick stream needed).
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str,
+        *,
+        key: str,
+        type_col: str = "type",
+        order_type: str = "ORDER_CREATED",
+        parcel_type: str = "PARCEL_SHIPPED",
+        expected_col: str = "expected",
+        ts_col: str = "ts",
+        timeout_s: float,
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output
+        self.key = key
+        self.type_col = type_col
+        self.order_type = order_type
+        self.parcel_type = parcel_type
+        self.expected_col = expected_col
+        self.ts_col = ts_col
+        self.timeout_s = timeout_s
+        self.label = label
+
+    def transform_df(self, df: DataFrame) -> DataFrame:
+        type_col, order_type, parcel_type = self.type_col, self.order_type, self.parcel_type
+        expected_col, ts_col, timeout_s = self.expected_col, self.ts_col, self.timeout_s
+
+        def kernel(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+            order_id = key[0]
+            acc = pickle.loads(state.get[0]) if state.exists else {
+                "expected": None, "deadline": None, "arrived": 0, "late": False, "decided": False
+            }
+
+            def decide(decision):
+                acc["decided"] = True
+                if state.exists:
+                    state.remove()
+                return pd.DataFrame([{"order_id": order_id, "decision": decision}])
+
+            if state.hasTimedOut:
+                if not acc["decided"]:
+                    yield decide(THRESHOLD)
+                return
+
+            events = []
+            for pdf in pdfs:
+                events.extend(pdf.to_dict("records"))
+            events.sort(key=lambda e: e[ts_col])
+
+            out = None
+            for e in events:
+                if e[type_col] == order_type:
+                    acc["expected"] = int(e[expected_col])
+                    acc["deadline"] = e[ts_col].timestamp() + timeout_s
+                elif e[type_col] == parcel_type:
+                    acc["arrived"] += 1
+                else:
+                    continue
+                if acc["expected"] is None:
+                    continue  # parcel before its order: accumulate
+                if e[type_col] == parcel_type and e[ts_col].timestamp() > acc["deadline"]:
+                    out = decide(THRESHOLD)
+                    break
+                if acc["arrived"] >= acc["expected"]:
+                    out = decide(ALL_SHIPPED)
+                    break
+
+            if out is not None:
+                yield out
+            else:
+                state.update((pickle.dumps(acc),))
+                if acc["deadline"] is not None:
+                    state.setTimeoutTimestamp(int(acc["deadline"] * 1000))
+
+        return df.groupBy(self.key).applyInPandasWithState(
+            kernel,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+
+    def transform(self, flow: Flow) -> Flow:
+        return flow.without(self.input).with_stream(self.output, self.transform_df(flow[self.input]))
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -1,0 +1,128 @@
+"""Streaming CEP (the reference parcels problem) with event-time
+timers, and state recovery across a checkpoint restart — the two
+Spark-native guarantees that replace the reference's tick stream and
+supervision tree (SURVEY §3.4, §7.2.5)."""
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+from strom_spark import Flow
+from strom_spark.streaming.cep import StreamingMatchDecide, ALL_SHIPPED, THRESHOLD
+from strom_spark.streaming.control import run_available
+from strom_spark.streaming.stateful import StreamingStatefulTransformer, count_window_kernel
+
+T0 = pd.Timestamp("2024-01-01 00:00:00")
+MIN = pd.Timedelta(minutes=1)
+
+
+def _write(path, rows):
+    pd.DataFrame(
+        rows, columns=["order_id", "type", "expected", "ts"]
+    ).astype({"order_id": "int64", "expected": "int64", "ts": "datetime64[us]"}).to_parquet(path)
+
+
+def test_streaming_parcels_decide_with_event_time_timeout(spark):
+    d = tempfile.mkdtemp(prefix="strom_cep_")
+    try:
+        # batch 1: orders 1,2,3,5 + on-time parcels; order 4's parcel
+        # arrives BEFORE its order (out-of-order across batches)
+        _write(
+            f"{d}/f1.parquet",
+            [
+                (1, "ORDER_CREATED", 2, T0),
+                (2, "ORDER_CREATED", 1, T0),
+                (3, "ORDER_CREATED", 2, T0),
+                (5, "ORDER_CREATED", 1, T0),
+                (1, "PARCEL_SHIPPED", 0, T0 + 10 * MIN),
+                (1, "PARCEL_SHIPPED", 0, T0 + 20 * MIN),
+                (3, "PARCEL_SHIPPED", 0, T0 + 10 * MIN),
+                (4, "PARCEL_SHIPPED", 0, T0 + 30 * MIN),
+                (5, "PARCEL_SHIPPED", 0, T0 + 15 * MIN),
+            ],
+        )
+        # batch 2: order 4 arrives (completes), order 2's parcel is late
+        _write(
+            f"{d}/f2.parquet",
+            [
+                (4, "ORDER_CREATED", 1, T0),
+                (2, "PARCEL_SHIPPED", 0, T0 + 120 * MIN),
+            ],
+        )
+        # batch 3: a far-future tick advances the watermark so order 3
+        # (missing a parcel forever) times out via its event-time timer
+        _write(f"{d}/f3.parquet", [(-1, "TICK", 0, T0 + pd.Timedelta(days=10))])
+
+        schema = "order_id bigint, type string, expected bigint, ts timestamp"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withWatermark("ts", "1 second")
+        )
+        flow = StreamingMatchDecide(
+            "events", "decisions", key="order_id", timeout_s=3600
+        )(Flow({"events": stream}))
+        run_available(flow["decisions"], query_name="t_cep", output_mode="append")
+        got = {
+            r.order_id: r.decision for r in spark.sql("SELECT * FROM t_cep").collect()
+        }
+        assert got == {
+            1: ALL_SHIPPED,
+            2: THRESHOLD,  # parcel arrived past the 1h deadline
+            3: THRESHOLD,  # parcel never arrived: event-time timer fired
+            4: ALL_SHIPPED,  # parcel before order: state accumulated
+            5: ALL_SHIPPED,
+        }
+        # the reference's invariant (parcels_test.exs:304)
+        assert len(got) == 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_checkpoint_restart_carries_state(spark):
+    """Stop a stateful query mid-stream, restart from the checkpoint:
+    keyed state (a half-full count window) survives — Spark's upgrade
+    over the reference's crash semantics, which drop the in-flight
+    chunk (crash_test.exs:34-58, SURVEY §7.4.2)."""
+    d = tempfile.mkdtemp(prefix="strom_ckpt_")
+    try:
+        src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+        import os
+
+        os.makedirs(src)
+        pd.DataFrame({"k": ["a"] * 7, "value": range(1, 8)}).to_parquet(f"{src}/p1.parquet")
+
+        def run_once():
+            stream = spark.readStream.schema("k string, value bigint").parquet(src)
+            flow = StreamingStatefulTransformer(
+                "s",
+                count_window_kernel(5),
+                schema="window_index bigint, n bigint, sum_value double, avg_value double",
+                key_by=["k"],
+                order_by=["value"],
+            )(Flow({"s": stream}))
+            q = (
+                flow["s"]
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()  # window 0 = values 1..5; 6,7 buffered in state
+        pd.DataFrame({"k": ["a"] * 5, "value": range(8, 13)}).to_parquet(f"{src}/p2.parquet")
+        run_once()  # restart: state must still hold 6,7 -> window 1 = 6..10
+
+        rows = sorted(spark.read.parquet(out).collect(), key=lambda r: r.window_index)
+        assert [(r.window_index, r.n, r.avg_value) for r in rows] == [
+            (0, 5, 3.0),
+            (1, 5, 8.0),
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
