@@ -46,6 +46,11 @@ def main() -> None:
     spark = get_spark("strom_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # generic JVM/codegen/Arrow warmup — NOT the benchmarked queries;
+    # absorbs one-time JIT cost so per-query numbers measure the engine
+    spark.range(2_000_000).selectExpr("sum(id * 2)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -26,6 +26,38 @@ def test_dsl_and_draw(spark):
     assert "Union" in plans["odd"]
 
 
+def test_plan_shapes_of_headline_queries(spark, sf_dir):
+    """Scale-readiness assertions on the physical plans the engine
+    produces: dimension joins broadcast (never shuffle the fact
+    table), scan-aggs run as partial+final hash aggregate inside
+    whole-stage codegen."""
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry
+
+    def plan_str(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    qs = entry.queries()
+    q3 = plan_str(qs["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in q3 or "BroadcastExchange" in q3
+    assert "SortMergeJoin" not in q3  # no wide shuffle for dims
+
+    q5 = plan_str(qs["q5_region_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in q5 or "BroadcastExchange" in q5
+
+    # partial+final hash aggregate with exactly one exchange of
+    # pre-aggregated rows between them (map-side combine); count nodes
+    # in the plan tree (the block before the per-node details)
+    q1_tree = plan_str(qs["q1_pricing_summary"](spark, sf_dir)).split("\n\n")[0]
+    assert q1_tree.count("HashAggregate") == 2
+    assert q1_tree.count("Exchange") == 1
+
+
 def test_explain_shows_pushdown(spark, sf_dir):
     """The judge-facing check: a filter over parquet must reach the
     scan (PushedFilters) and prune columns (ReadSchema)."""
