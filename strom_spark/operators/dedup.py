@@ -90,13 +90,26 @@ class ExactDedup(Component):
         return (self.output,)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the input has
+    too few partitions for heavy per-row compute (a small parquet file
+    arrives as ONE split, serializing tokenize/hash work on one core).
+    No-op when the scan already has enough splits — at 100 TB this
+    never fires and never adds a shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _shingle_postings(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingle) postings list — distinct k-word shingles.
 
     Tokens are projected to a bound column BEFORE shingling so the
     normalize-regex runs once per document, not once per shingle (HOF
     lambdas re-evaluate derived subtrees per element)."""
-    toks = df.select(F.col(id_col).alias("id"), TXT.tokens(text_col).alias("__toks"))
+    slim = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+    toks = slim.select("id", TXT.tokens("__text").alias("__toks"))
     return toks.select(
         "id", F.explode(TXT.shingles_of_tokens(F.col("__toks"), k)).alias("shingle")
     )
@@ -218,6 +231,18 @@ class MinHashLSHPairs(Component):
         self.rows_per_band = rows_per_band
         self.label = label
 
+    def _doc_shingles(self, df: DataFrame) -> DataFrame:
+        """(id, sh: array<string>) — distinct shingle set per doc, no
+        explode/shuffle; the one subtree both the signature and the
+        verify paths hang off."""
+        slim = _spread(
+            df.select(F.col(self.id_col).alias("id"), F.col(self.text_col).alias("__text"))
+        )
+        toks = slim.select("id", TXT.tokens("__text").alias("__toks"))
+        return toks.select(
+            "id", TXT.shingles_of_tokens(F.col("__toks"), self.k).alias("sh")
+        )
+
     def signatures(self, df: DataFrame) -> DataFrame:
         """(id, h0..h{n-1}) — one shuffle (groupBy id), min-agg per seed.
 
@@ -225,7 +250,7 @@ class MinHashLSHPairs(Component):
         ~3× faster than md5-hex here.  The LSH output needs no
         cross-engine hash parity — candidates are verified with exact
         Jaccard, so the hash only affects recall, not correctness."""
-        postings = _shingle_postings(df, self.id_col, self.text_col, self.k)
+        postings = self._doc_shingles(df).select("id", F.explode("sh").alias("shingle"))
         mins = [
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
             for i in range(self.num_hashes)
@@ -234,36 +259,45 @@ class MinHashLSHPairs(Component):
 
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input]
+        doc_sh = self._doc_shingles(df)
         sig = self.signatures(df)
         n_bands = self.num_hashes // self.rows_per_band
+        # one LONG key per band: xxhash64(band, row hashes...) — integer
+        # shuffle/join keys; a (vanishingly rare) 64-bit collision only
+        # adds a candidate, which exact verification then rejects
         band_keys = F.array(
             *[
-                F.concat_ws(
-                    "#",
-                    F.lit(str(b)),
-                    *[
-                        F.col(f"h{b * self.rows_per_band + r}").cast("string")
-                        for r in range(self.rows_per_band)
-                    ],
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.col(f"h{b * self.rows_per_band + r}") for r in range(self.rows_per_band)],
                 )
                 for b in range(n_bands)
             ]
         )
-        buckets = sig.select(F.col("id"), F.explode(band_keys).alias("bucket"))
+        buckets = sig.select(F.col("id"), F.explode(band_keys).alias("bk"))
         ba, bb = buckets.alias("a"), buckets.alias("b")
         candidates = (
-            ba.join(bb, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+            ba.join(bb, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
             .distinct()
         )
-        # verify candidates with exact jaccard (no false positives)
-        postings = _shingle_postings(df, self.id_col, self.text_col, self.k)
-        cand_ids = candidates.select(F.col("d1").alias("id")).union(
-            candidates.select(F.col("d2").alias("id"))
-        ).distinct()
-        pruned = postings.join(cand_ids, "id", "left_semi")
-        exact = _jaccard_pairs(pruned, self.threshold, None)
-        out = exact.join(candidates, ["d1", "d2"], "left_semi")
+        # verify with exact jaccard on the two shingle SETS — candidates
+        # are few, so per-pair array_intersect beats re-deriving an
+        # inverted-index join (half the plan, no second postings pass)
+        s1 = doc_sh.select(F.col("id").alias("d1"), F.col("sh").alias("__s1"))
+        s2 = doc_sh.select(F.col("id").alias("d2"), F.col("sh").alias("__s2"))
+        out = (
+            candidates.join(s1, "d1")
+            .join(s2, "d2")
+            .withColumn("__c", F.size(F.array_intersect("__s1", "__s2")))
+            # int/int double division — bit-identical to the oracle
+            .withColumn(
+                "jaccard",
+                F.col("__c") / (F.size("__s1") + F.size("__s2") - F.col("__c")),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("d1", "d2", "jaccard")
+        )
         return flow.without(self.input).with_stream(self.output, out)
 
     def input_names(self) -> Sequence[str]:
@@ -284,8 +318,9 @@ def _simhash_sig_int(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     signature is packed into a single bigint (bit j of 32, MSB-first) so
     downstream Hamming distance is one ``bit_count(a ^ b)`` and block
     extraction is shift+mask — all integer codegen, no string ops."""
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(TXT.tokens(text_col)).alias("tok")
+    slim = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+    toks = slim.select(
+        "id", F.explode(TXT.tokens("__text")).alias("tok")
     ).withColumn("__h", F.md5("tok"))
     bit_aggs = [
         (F.sum(F.when(F.substring("__h", j, 1) >= "8", 1).otherwise(0)) * 2 > F.count("*"))
@@ -370,29 +405,42 @@ class SimHashPairs(Component):
         # last block takes the remainder.  Encode (block bits, block
         # index) in ONE long join key: integer shuffle key + codegen'd
         # equi-join, no string concat.
-        def block_key(i: int):
+        def block_bits(sig_col, i: int):
             length = width if i < n_blocks - 1 else 32 - width * (n_blocks - 1)
             shift = 32 - i * width - length
-            bits = F.shiftrightunsigned(F.col("sig"), shift).bitwiseAND(
-                F.lit((1 << length) - 1)
-            )
-            return F.shiftleft(bits, 4) + F.lit(i)
+            return F.shiftrightunsigned(sig_col, shift).bitwiseAND(F.lit((1 << length) - 1))
+
+        def block_key(i: int):
+            return F.shiftleft(block_bits(F.col("sig"), i), 4) + F.lit(i)
 
         bucketed = sig.select(
-            "id", "sig", F.explode(F.array(*[block_key(i) for i in range(n_blocks)])).alias("bk")
+            "id",
+            "sig",
+            F.posexplode(F.array(*[block_key(i) for i in range(n_blocks)])).alias("bi", "bk"),
         )
         a, b = bucketed.alias("a"), bucketed.alias("b")
         # hamming = popcount(xor) rides the join projection (pure
-        # integer codegen), so false candidates die before the distinct.
+        # integer codegen).  A pair matching in several blocks would
+        # duplicate; instead of a (wide) distinct shuffle over all
+        # candidate pairs, keep only the FIRST matching block: for
+        # every earlier block j < bi the two block bit-fields must
+        # differ — an unrolled boolean over the already-loaded sigs,
+        # zero extra shuffle.
+        first_match = F.lit(True)
+        for j in range(n_blocks - 1):
+            first_match = first_match & (
+                (F.lit(j) >= F.col("a.bi"))
+                | (block_bits(F.col("a.sig"), j) != block_bits(F.col("b.sig"), j))
+            )
         out = (
             a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+            .filter(first_match)
             .select(
                 F.col("a.id").alias("d1"),
                 F.col("b.id").alias("d2"),
                 F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
             )
             .filter(F.col("hamming") <= self.max_distance)
-            .distinct()
         )
         return flow.without(self.input).with_stream(self.output, out)
 
