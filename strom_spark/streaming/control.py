@@ -53,17 +53,86 @@ def stop_when(query: StreamingQuery, condition: Callable[[StreamingQuery], bool]
     query.stop()
 
 
-def idle_stop(query: StreamingQuery, idle_batches: int = 2, poll_s: float = 0.3, timeout_s: float = 120.0) -> None:
-    """Stop after ``idle_batches`` consecutive empty micro-batches —
-    the closest analog of the reference Loop's drain-on-timeout
-    (``lib/loop.ex:31-56``)."""
+def feedback_loop(
+    spark,
+    seed_df: DataFrame,
+    body: Callable[[DataFrame], DataFrame],
+    exit_when,
+    workdir: str,
+    *,
+    idle_batches: int = 3,
+    poll_s: float = 0.3,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """The reference's cyclic Loop edge (``lib/loop.ex``: a struct that
+    is both sink and source, draining when empty for ``timeout`` ms) as
+    an acyclic streaming plan: rows cycle through a staging directory.
+
+    Each micro-batch applies ``body``; rows satisfying ``exit_when``
+    land in the results directory, the rest are re-staged and re-read
+    by the same file source — the feedback edge.  The query stops after
+    ``idle_batches`` empty micro-batches (the Loop's drain-on-timeout,
+    ``lib/loop.ex:31-56``).  Returns the accumulated results as a batch
+    DataFrame.
+
+    At scale every hop is a parallel write+scan; for production loops
+    use a transactional table (Delta/Iceberg) as the staging area so
+    concurrent readers see atomic appends.
+    """
+    staging, results = f"{workdir}/staging", f"{workdir}/results"
+    seed_df.write.mode("overwrite").parquet(staging)
+    # seed the results dir so the final read never sees a missing path
+    seed_df.limit(0).write.mode("overwrite").parquet(results)
+    schema = seed_df.schema
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = body(batch_df)
+        out.persist()
+        try:
+            done = out.filter(exit_when)
+            loop = out.filter(~exit_when)
+            done.write.mode("append").parquet(results)
+            if loop.limit(1).count():
+                loop.write.mode("append").parquet(staging)
+        finally:
+            out.unpersist()
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(staging)
+        .writeStream.foreachBatch(process)
+        .start()
+    )
+    idle_stop(q, idle_batches=idle_batches, poll_s=poll_s, timeout_s=timeout_s)
+    return spark.read.parquet(results)
+
+
+def idle_stop(
+    query: StreamingQuery,
+    idle_batches: int = 2,
+    poll_s: float = 0.3,
+    timeout_s: float = 120.0,
+    idle_s: float = 5.0,
+    startup_grace_s: float = 30.0,
+) -> None:
+    """Stop once the query stops making progress: either
+    ``idle_batches`` consecutive EMPTY micro-batches, or no new
+    micro-batch at all for ``idle_s`` seconds (a drained file source
+    schedules no batch, so empty batches alone can't be relied on) —
+    the analog of the reference Loop's drain-on-timeout
+    (``lib/loop.ex:31-56``).  ``startup_grace_s`` covers stream
+    initialization before the first batch."""
     empty = 0
     deadline = time.time() + timeout_s
     last_batch = -1
+    last_change = time.time() + startup_grace_s - idle_s
     while time.time() < deadline and empty < idle_batches:
         p = query.lastProgress
         if p is not None and p["batchId"] != last_batch:
             last_batch = p["batchId"]
+            last_change = time.time()
             empty = empty + 1 if p["numInputRows"] == 0 else 0
+        elif time.time() - last_change > idle_s:
+            break
         time.sleep(poll_s)
     query.stop()

@@ -82,6 +82,28 @@ def test_streaming_parcels_decide_with_event_time_timeout(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_feedback_loop(spark):
+    """The reference Loop example (loop_test.exs:41-57: numbers cycle
+    through +1 until >= 10) as a streaming feedback edge."""
+    from pyspark.sql import functions as F
+
+    from strom_spark.streaming.control import feedback_loop
+
+    d = tempfile.mkdtemp(prefix="strom_loop_")
+    try:
+        seed = spark.createDataFrame([(i,) for i in range(1, 6)], "value long")
+        out = feedback_loop(
+            spark,
+            seed,
+            body=lambda df: df.withColumn("value", F.col("value") + 1),
+            exit_when=F.col("value") >= 10,
+            workdir=d,
+        )
+        assert [r.value for r in out.collect()] == [10] * 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_checkpoint_restart_carries_state(spark):
     """Stop a stateful query mid-stream, restart from the checkpoint:
     keyed state (a half-full count window) survives — Spark's upgrade
