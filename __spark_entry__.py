@@ -60,6 +60,7 @@ from strom_spark import (
     TopKPerGroup,
     Transformer,
     load_table,
+    spread,
     synthetic_assets,
 )
 from strom_spark.functions import text as TXT
@@ -333,7 +334,7 @@ def words_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test/examples/words_count_test.exs) over documents: flatMap ->
     hash agg; Catalyst's partial/final agg replaces the hand-built
     hash-partition + merge + :done sentinel."""
-    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    flow = Flow({"docs": spread(load_table(spark, sf_dir, "documents"))})
     out = Pipeline(
         [
             FlatMap("docs", TXT.tokens("text"), alias="word"),
@@ -812,7 +813,7 @@ FROM scored
 """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    flow = Flow({"docs": spread(load_table(spark, sf_dir, "documents"))})
     out = Transformer(
         "docs",
         select={
@@ -855,7 +856,7 @@ FROM feats
 """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    flow = Flow({"docs": spread(load_table(spark, sf_dir, "documents"))})
     feats = TXT.quality_features("text")
     out = Transformer("docs", select={"doc_id": "doc_id", **feats})(flow)
     return out["docs"]
@@ -882,7 +883,7 @@ FROM scored GROUP BY 1
 """,
 )
 def langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    flow = Flow({"docs": spread(load_table(spark, sf_dir, "documents"))})
     out = Pipeline(
         [
             Transformer("docs", select={"lang": TXT.lang_id("text")}),

@@ -11,7 +11,7 @@ Catalyst/Tungsten/AQE handle optimization and physical execution.
 from .flow import Flow, as_flow
 from .component import Component, Pipeline
 from .session import get_spark
-from .io import load_table, load_flow, TABLES
+from .io import load_table, load_flow, spread, TABLES
 from .sources.source import Source, SourceOrigin, Read, ReadLines, ReadStream
 from .sources.sink import Sink, SinkOrigin, Write, Console, Null, Memory
 from .operators.transformer import (

@@ -39,6 +39,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the input has
+    too few partitions for heavy per-row compute (a small parquet file
+    arrives as ONE split, serializing regex/hash/UDF work on one core).
+    No-op when the scan already has enough splits — at 100 TB scans
+    have thousands of splits and this never adds a shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def load_flow(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):
     from .flow import Flow
 

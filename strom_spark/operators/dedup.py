@@ -41,6 +41,7 @@ from ..component import Component
 from ..flow import Flow
 from ..functions import text as TXT
 from ..functions import vectors as V
+from ..io import spread as _spread
 
 
 class ExactDedup(Component):
@@ -90,16 +91,6 @@ class ExactDedup(Component):
         return (self.output,)
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's parallelism when the input has
-    too few partitions for heavy per-row compute (a small parquet file
-    arrives as ONE split, serializing tokenize/hash work on one core).
-    No-op when the scan already has enough splits — at 100 TB this
-    never fires and never adds a shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
 
 
 def _shingle_postings(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
