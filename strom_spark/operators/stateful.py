@@ -47,12 +47,23 @@ def _run_kernel(
     acc0_factory: Callable[[], Any],
     order_by: Sequence[str],
     flush: Callable[[Any], list] | None,
+    on_error: str = "raise",
 ) -> Iterable[dict]:
     if order_by:
         pdf = pdf.sort_values(list(order_by), kind="mergesort")
     acc = acc0_factory()
     for event in pdf.to_dict("records"):
-        out, acc = fn(event, acc)
+        if on_error == "skip":
+            # the reference's crash semantics, opt-in: a raising UDF
+            # drops the poisoned event and continues with the last good
+            # acc (crash_test.exs:34-58).  Default is Spark semantics —
+            # fail the task, retry, surface the error.
+            try:
+                out, acc = fn(event, acc)
+            except Exception:
+                continue
+        else:
+            out, acc = fn(event, acc)
         for e in out:
             yield e
     if flush is not None:
@@ -74,12 +85,17 @@ class StatefulTransformer(Component):
         key_by: Sequence[str] | None = None,
         order_by: Sequence[str] = (),
         flush: Callable[[Any], list] | None = None,
+        on_error: str = "raise",
         label: str | None = None,
     ):
         """``acc`` may be a value (copied per group via deepcopy) or a
         zero-arg factory.  ``flush(acc) -> [events]`` emits trailing
         events at end-of-group (window remainders, final aggregates).
-        ``schema`` is the output schema (DDL string or StructType)."""
+        ``schema`` is the output schema (DDL string or StructType).
+        ``on_error='skip'`` opts into the reference's drop-poisoned-
+        event-and-continue crash semantics."""
+        if on_error not in ("raise", "skip"):
+            raise ValueError("on_error must be raise|skip")
         self.names = (name_or_names,) if isinstance(name_or_names, str) else tuple(name_or_names)
         self.fn = fn
         self.acc = acc
@@ -87,6 +103,7 @@ class StatefulTransformer(Component):
         self.key_by = tuple(key_by) if key_by else None
         self.order_by = tuple(order_by)
         self.flush = flush
+        self.on_error = on_error
         self.label = label
 
     def _acc_factory(self) -> Callable[[], Any]:
@@ -99,10 +116,11 @@ class StatefulTransformer(Component):
 
     def transform_df(self, df: DataFrame) -> DataFrame:
         fn, order_by, flush = self.fn, self.order_by, self.flush
+        on_error = self.on_error
         acc_factory = self._acc_factory()
 
         def apply(pdf: pd.DataFrame) -> pd.DataFrame:
-            rows = list(_run_kernel(pdf, fn, acc_factory, order_by, flush))
+            rows = list(_run_kernel(pdf, fn, acc_factory, order_by, flush, on_error))
             return pd.DataFrame(rows)
 
         if self.key_by:

@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) — the upgrade over the reference's
+randomized tests (mixer_tree_test.exs:27-46 random stream counts,
+splitter_tree_test.exs:51-94 random arities) plus fault-injection
+parity (crash_test.exs)."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from strom_spark import (
+    Flow,
+    MixerTree,
+    Pipeline,
+    Source,
+    SplitterTree,
+    StatefulTransformer,
+)
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    streams=st.lists(st.lists(st.integers(-1000, 1000), max_size=8), min_size=1, max_size=6),
+    parts=st.integers(2, 4),
+)
+@SET
+def test_mixer_tree_is_concat(spark, streams, parts):
+    """Mixing N random streams (any tree arity) == multiset concat."""
+    flow = {}
+    comps = []
+    for i, vals in enumerate(streams):
+        comps.append(Source(f"s{i}", vals or [0], spark=spark))
+    comps.append(MixerTree([f"s{i}" for i in range(len(streams))], "out", parts=parts))
+    out = Pipeline(comps)()["out"]
+    expected = sorted(v for vals in streams for v in (vals or [0]))
+    assert sorted(r.value for r in out.collect()) == expected
+
+
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=30),
+    n=st.integers(2, 5),
+)
+@SET
+def test_splitter_tree_hash_partitions(spark, vals, n):
+    """Hash fan-out is a disjoint cover for any input/arity."""
+    names = [f"p{i}" for i in range(n)]
+    flow = SplitterTree("s", names, mode="hash", partition_by=["value"])(
+        Flow({"s": spark.createDataFrame([(v,) for v in vals], "value long")})
+    )
+    parts = [sorted(r.value for r in flow[p].collect()) for p in names]
+    assert sorted(v for part in parts for v in part) == sorted(vals)
+
+
+@given(events=st.lists(st.integers(-100, 100), min_size=1, max_size=25))
+@SET
+def test_stateful_transformer_equals_python_fold(spark, events):
+    """The arity-2 kernel contract: engine output == a plain Python
+    fold of the same kernel over the ordered events (running sum,
+    emit-on-even filter)."""
+
+    def fn(event, acc):
+        acc = acc + event["value"]
+        out = [{"i": event["i"], "running": acc}] if acc % 2 == 0 else []
+        return out, acc
+
+    rows = [(i, v) for i, v in enumerate(events)]
+    flow = StatefulTransformer(
+        "s", fn, acc=0, schema="i long, running long", order_by=["i"]
+    )(Flow({"s": spark.createDataFrame(rows, "i long, value long")}))
+    got = sorted((r.i, r.running) for r in flow["s"].collect())
+
+    acc, expected = 0, []
+    for i, v in enumerate(events):
+        acc += v
+        if acc % 2 == 0:
+            expected.append((i, acc))
+    assert got == sorted(expected)
+
+
+def test_on_error_skip_drops_poisoned_event(spark):
+    """crash_test.exs:34-45 parity: a kernel raising on value 3 (chunk
+    size 1) yields the other events' outputs; acc survives."""
+
+    def fn(event, acc):
+        if event["value"] == 3:
+            raise ValueError("boom")
+        acc += 1
+        return [{"value": event["value"] * 2, "seen": acc}], acc
+
+    src = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5]], "value long")
+    flow = StatefulTransformer(
+        "s", fn, acc=0, schema="value long, seen long", order_by=["value"], on_error="skip"
+    )(Flow({"s": src}))
+    rows = sorted((r.value, r.seen) for r in flow["s"].collect())
+    assert rows == [(2, 1), (4, 2), (8, 3), (10, 4)]
+
+    # default semantics: the error surfaces (Spark task failure)
+    flow2 = StatefulTransformer(
+        "s", fn, acc=0, schema="value long, seen long", order_by=["value"]
+    )(Flow({"s": src}))
+    with pytest.raises(Exception):
+        flow2["s"].collect()
