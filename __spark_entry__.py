@@ -47,6 +47,7 @@ from strom_spark import (
     Mixer,
     NgramJaccardPairs,
     Pipeline,
+    SQL as SQLComponent,
     SetOp,
     SimHash,
     SimHashPairs,
@@ -1204,6 +1205,34 @@ def rebatch_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )(flow)
     return out["docs"]
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@_q("q4_order_priority", _Q4_SQL)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape through the SQL component (the full-SQL escape
+    hatch the reference lacks, SURVEY §2.3): the same text runs on
+    Spark and the DuckDB oracle.  Catalyst rewrites the correlated
+    EXISTS to a left-semi join (shuffle on l_orderkey)."""
+    flow = Flow(
+        {
+            "orders": load_table(spark, sf_dir, "orders"),
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+        }
+    )
+    return SQLComponent("q4", _Q4_SQL)(flow)["q4"]
 
 
 @_q("ann_ivf")  # approximate (recall < 1 by design): rows-only driver check;

@@ -82,6 +82,60 @@ def test_streaming_parcels_decide_with_event_time_timeout(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_stream_join_with_watermark(spark):
+    """The reference's order-parcel re-ordering (parcels_test.exs:
+    106-142, an explicit force_order stage) is native in Spark: a
+    watermarked stream-stream equi-join pairs parcels with their order
+    regardless of arrival order."""
+    from pyspark.sql import functions as F
+
+    from strom_spark import Flow, Join
+
+    d = tempfile.mkdtemp(prefix="strom_ssj_")
+    try:
+        import os
+
+        os.makedirs(f"{d}/orders"), os.makedirs(f"{d}/parcels")
+        _write(
+            f"{d}/orders/f.parquet",
+            [(i, "ORDER_CREATED", 1 + i % 3, T0) for i in range(1, 21)],
+        )
+        _write(
+            f"{d}/parcels/f.parquet",
+            [(i, "PARCEL_SHIPPED", 0, T0 + (i % 7) * MIN) for i in range(1, 21) for _ in range(1 + i % 3)],
+        )
+        schema = "order_id bigint, type string, expected bigint, ts timestamp"
+
+        def rs(name):
+            return (
+                spark.readStream.schema(schema)
+                .parquet(f"{d}/{name}")
+                .withWatermark("ts", "1 hour")
+            )
+
+        orders = rs("orders").select(
+            F.col("order_id").alias("o_id"), F.col("expected"), F.col("ts").alias("o_ts")
+        )
+        parcels = rs("parcels").select("order_id", F.col("ts").alias("p_ts"))
+        flow = Join(
+            "parcels",
+            "orders",
+            "matched",
+            on=[
+                F.col("order_id") == F.col("o_id"),
+                F.col("p_ts") >= F.col("o_ts"),
+                F.col("p_ts") <= F.col("o_ts") + F.expr("INTERVAL 1 DAY"),
+            ],
+        )(Flow({"orders": orders, "parcels": parcels}))
+        assert flow["matched"].isStreaming
+        run_available(flow["matched"], query_name="t_ssj")
+        n = spark.sql("SELECT count(*) AS n FROM t_ssj").collect()[0].n
+        expected_parcels = sum(1 + i % 3 for i in range(1, 21))
+        assert n == expected_parcels
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_feedback_loop(spark):
     """The reference Loop example (loop_test.exs:41-57: numbers cycle
     through +1 until >= 10) as a streaming feedback edge."""
