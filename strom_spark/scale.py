@@ -1,0 +1,69 @@
+"""Scale utilities: co-located (bucketed) joins and skew salting.
+
+The two knobs that matter most for 100 TB fact-fact joins beyond what
+AQE does automatically:
+
+  - **Bucketing**: pre-shuffle both tables once at write time
+    (``bucketBy`` on the join key); every later join/aggregation on
+    that key reads co-located buckets and skips its exchange entirely.
+    Amortizes one shuffle across every downstream query — the batch
+    analog of the reference's hash-partitioned topology
+    (``test/examples/words_count_test.exs:43-66``).
+  - **Salting**: when one key dominates (web-scale "null"/"unknown"/
+    boilerplate keys), split it into ``salt`` sub-keys on the big side
+    and replicate the other side ``salt``×.  AQE's skew-join handles
+    sort-merge spills; salting is for when the hot key must also
+    parallelize through the downstream aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: Sequence[str],
+    num_buckets: int,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
+    Joins/aggs between tables bucketed the same way on the same key
+    run exchange-free (verified in tests/test_scale_utils.py)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.format("parquet").saveAsTable(table)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the LEFT side's keys spread over ``salt``
+    sub-keys (deterministic hash of the whole row) and the RIGHT side
+    replicated ``salt``× — each hot key's rows land in ``salt``
+    parallel partitions instead of one straggler.
+
+    Use when ``left`` is large with pathological key skew; ``right``
+    replication costs ``salt × |right|``, so keep the dimension side
+    right.  Result equals ``left.join(right, on, how)`` row-for-row.
+    """
+    on = list(on)
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
+    l = left.withColumn("__salt", lsalt)
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]).cast("array<int>"))
+    )
+    out = l.join(r, on + ["__salt"], how)
+    return out.drop("__salt")

@@ -28,5 +28,9 @@ def get_spark(app_name: str = "strom_spark", shuffle_partitions: int | None = No
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("STROM_SPARK_WAREHOUSE", "/tmp/strom_spark_warehouse"),
+        )
     )
     return builder.getOrCreate()
