@@ -1235,15 +1235,35 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SQLComponent("q4", _Q4_SQL)(flow)["q4"]
 
 
-@_q("ann_ivf")  # approximate (recall < 1 by design): rows-only driver check;
-# tests assert recall >= 0.9 against the exact CosineTopK result.
+@_q(
+    "ann_ivf",
+    """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT qid, nid, round(list_cosine_similarity(qv, cv), 6) AS cosine
+  FROM q CROSS JOIN c WHERE qid != nid
+),
+r AS (
+  SELECT qid AS query_id, nid AS neighbor_id, cosine,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+""",
+)
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors — the sub-linear scale path
-    next to knn_topk's brute force (SURVEY §7.2.7)."""
+    """IVF nearest neighbors — the sub-linear scale path next to
+    knn_topk's brute force (SURVEY §7.2.7).  Run here with
+    n_probe == n_centroids, where IVF degrades to exact search — the
+    full machinery (centroid training, assignment scan, probe join,
+    rerank) runs and the result is oracle-checkable.  The approximate
+    configs (n_probe < n_centroids) are recall-tested in
+    tests/test_superset_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     flow = Flow({"corpus": emb, "queries": emb.filter(F.col("vec_id") < 10)})
     return IVFTopK(
-        "corpus", "queries", "ann", k=5, n_centroids=16, n_probe=4
+        "corpus", "queries", "ann", k=5, n_centroids=16, n_probe=16
     )(flow)["ann"]
 
 
