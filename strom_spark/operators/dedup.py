@@ -16,7 +16,7 @@ Five strategies, all expressed as shuffle-conscious DataFrame plans:
     pairs meet only inside an LSH band bucket (b bands × r rows), then
     are verified with exact Jaccard.  Sub-quadratic candidate
     generation; the verify join touches only candidates.
-  - **SimHashPairs** — 32-bit SimHash; pairs within Hamming distance d
+  - **SimHashPairs** — 32/64-bit SimHash; pairs within Hamming distance d
     found by the block-split trick (split the bit-string into d+1
     blocks; any pair at distance <= d shares a block — pigeonhole, so
     recall is exact), verified by true Hamming distance.
@@ -298,39 +298,58 @@ class MinHashLSHPairs(Component):
         return (self.output,)
 
 
-def _simhash_sig_int(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _simhash_bit_cond(j: int):
+    """Per-token condition for signature bit j (1-based, MSB-first).
+    Bits 1..32 use the high bit of md5 hex digit j (>= '8'); bits
+    33..64 use the second bit (digit in [4-7c-f]) of digit j-32 — two
+    independent bits per digit, 64 total from one md5."""
+    if j <= 32:
+        return F.substring("__h", j, 1) >= "8"
+    return F.substring("__h", j - 32, 1).isin(*"4567cdef")
+
+
+def _simhash_sig_int(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, sig bigint) via explode + single codegen'd hash aggregate.
 
-    The naive per-row expression (32 × aggregate-lambda, each re-hashing
-    every token) is ~50× slower: higher-order functions are interpreted
-    and defeat common-subexpression elimination.  Here md5 runs once per
-    token, then 32 conditional sums ride one hash aggregate — one
-    shuffle on the doc id, whole-stage codegen throughout.  The
-    signature is packed into a single bigint (bit j of 32, MSB-first) so
-    downstream Hamming distance is one ``bit_count(a ^ b)`` and block
-    extraction is shift+mask — all integer codegen, no string ops."""
+    The naive per-row expression (bits × aggregate-lambda, each
+    re-hashing every token) is ~50× slower: higher-order functions are
+    interpreted and defeat common-subexpression elimination.  Here md5
+    runs once per token, then ``bits`` conditional sums ride one hash
+    aggregate — one shuffle on the doc id, whole-stage codegen
+    throughout.  The signature packs into a single bigint (bit j,
+    MSB-first at position bits-j) so downstream Hamming distance is one
+    ``bit_count(a ^ b)`` and block extraction is shift+mask — all
+    integer codegen, no string ops.  ``bits=64`` doubles block width in
+    SimHashPairs (fewer bucket collisions on heavily-colliding
+    corpora, SCALE.md)."""
+    if bits not in (32, 64):
+        raise ValueError("bits must be 32 or 64")
     slim = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
     toks = slim.select(
         "id", F.explode(TXT.tokens("__text")).alias("tok")
     ).withColumn("__h", F.md5("tok"))
     bit_aggs = [
-        (F.sum(F.when(F.substring("__h", j, 1) >= "8", 1).otherwise(0)) * 2 > F.count("*"))
+        (F.sum(F.when(_simhash_bit_cond(j), 1).otherwise(0)) * 2 > F.count("*"))
         .cast("long")
         .alias(f"__b{j}")
-        for j in range(1, 33)
+        for j in range(1, bits + 1)
     ]
     sig = toks.groupBy("id").agg(*bit_aggs)
-    packed = sum(
-        (F.col(f"__b{j}") * F.lit(1 << (32 - j)) for j in range(2, 33)),
-        F.col("__b1") * F.lit(1 << 31),
+    from functools import reduce
+
+    # shiftleft-OR packing: bit 1 lands on the sign bit for bits=64,
+    # which plain arithmetic (×2^63) cannot express in a signed long
+    packed = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [F.shiftleft(F.col(f"__b{j}"), bits - j) for j in range(1, bits + 1)],
     )
     return sig.select("id", packed.alias("sig"))
 
 
-def _simhash_sig(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) — the 32-char bit-string form (oracle-portable)."""
-    return _simhash_sig_int(df, id_col, text_col).select(
-        "id", F.lpad(F.bin("sig"), 32, "0").alias("simhash")
+def _simhash_sig(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash) — the bit-string form (oracle-portable)."""
+    return _simhash_sig_int(df, id_col, text_col, bits).select(
+        "id", F.lpad(F.bin("sig"), bits, "0").alias("simhash")
     )
 
 
@@ -364,11 +383,13 @@ class SimHash(Component):
 
 
 class SimHashPairs(Component):
-    """Pairs within Hamming distance <= ``max_distance`` of 32-bit
-    SimHash.  Block-split candidate generation (exact recall by
-    pigeonhole: distance <= d => some block of d+1 is identical), then
-    exact Hamming verification.  Candidate join shuffles on (block_id,
-    block_bits) — distributed, never all-pairs."""
+    """Pairs within Hamming distance <= ``max_distance`` of
+    ``bits``-bit SimHash.  Block-split candidate generation (exact
+    recall by pigeonhole: distance <= d => some block of d+1 is
+    identical), then exact Hamming verification.  Candidate join
+    shuffles on (block_id, block_bits) — distributed, never all-pairs.
+    ``bits=64`` doubles block width — fewer bucket collisions when many
+    documents share signature prefixes (the scale knob, SCALE.md)."""
 
     def __init__(
         self,
@@ -378,6 +399,7 @@ class SimHashPairs(Component):
         id_col: str = "doc_id",
         text_col: str = "text",
         max_distance: int = 3,
+        bits: int = 32,
         label: str | None = None,
     ):
         self.input = input
@@ -385,20 +407,22 @@ class SimHashPairs(Component):
         self.id_col = id_col
         self.text_col = text_col
         self.max_distance = max_distance
+        self.bits = bits
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input]
-        sig = _simhash_sig_int(df, self.id_col, self.text_col)
+        bits = self.bits
+        sig = _simhash_sig_int(df, self.id_col, self.text_col, bits)
         n_blocks = self.max_distance + 1
-        width = 32 // n_blocks
+        width = bits // n_blocks
         # block i covers bits [i*width, i*width+L) from the MSB; the
         # last block takes the remainder.  Encode (block bits, block
         # index) in ONE long join key: integer shuffle key + codegen'd
         # equi-join, no string concat.
         def block_bits(sig_col, i: int):
-            length = width if i < n_blocks - 1 else 32 - width * (n_blocks - 1)
-            shift = 32 - i * width - length
+            length = width if i < n_blocks - 1 else bits - width * (n_blocks - 1)
+            shift = bits - i * width - length
             return F.shiftrightunsigned(sig_col, shift).bitwiseAND(F.lit((1 << length) - 1))
 
         def block_key(i: int):

@@ -87,6 +87,34 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert {(r["query_id"], r["neighbor_id"]) for r in full.collect()} == truth
 
 
+def test_simhash64_block_split_is_exact(spark, sf_dir):
+    """64-bit SimHash (the wide-block scale config): the block-split
+    candidate machinery must return EXACTLY the pairs a brute-force
+    hamming over the same signatures finds (pigeonhole recall proof
+    holds for any bit width)."""
+    from itertools import combinations
+
+    from strom_spark.operators.dedup import SimHashPairs, _simhash_sig_int
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = {
+        r["id"]: r["sig"] for r in _simhash_sig_int(docs, "doc_id", "text", 64).collect()
+    }
+    d = 4
+    expected = {
+        (a, b, bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= d
+    }
+    got = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in SimHashPairs("docs", "p", max_distance=d, bits=64)(
+            Flow({"docs": docs})
+        )["p"].collect()
+    }
+    assert got == expected
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     exact = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
