@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from strom_spark import (
     Agg,
+    CosineLSHJoin,
     CosineTopK,
     CountWindow,
     Distinct,
@@ -1205,6 +1206,53 @@ def rebatch_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )(flow)
     return out["docs"]
+
+
+@_q(
+    "rolling_7d_revenue",
+    """
+SELECT o_orderkey, o_custkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS rev_7d
+FROM orders
+""",
+)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (rolling 7-day revenue per customer) —
+    the frame-based sliding window the reference can only emulate with
+    an acc (window_test.exs); one shuffle on the partition key, frames
+    evaluated with a sliding aggregate, no self-join."""
+    from pyspark.sql import Window as W
+
+    flow = Flow({"orders": load_table(spark, sf_dir, "orders")})
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 0)
+    )
+    out = Transformer(
+        "orders",
+        select={
+            "o_orderkey": "o_orderkey",
+            "o_custkey": "o_custkey",
+            "rev_7d": F.sum(_dec("o_totalprice")).over(w).cast("double"),
+        },
+    )(flow)
+    return out["orders"]
+
+
+@_q("cosine_lsh_pairs")  # random-hyperplane LSH: approximate recall by
+# design (no oracle); exactness of surviving pairs is tested in
+# tests/test_llm_ops.py against the brute-force join.
+def cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic cosine near-dup pairs via sign-LSH buckets —
+    the embedding-side scale path (SCALE.md)."""
+    flow = Flow({"emb": load_table(spark, sf_dir, "embeddings")})
+    return CosineLSHJoin("emb", "pairs", dim=64, threshold=0.3, n_tables=8, bits_per_table=8)(
+        flow
+    )["pairs"]
 
 
 _Q4_SQL = """
