@@ -83,7 +83,15 @@ class Write(SinkOrigin):
         w.save(self.path)
 
     def write_stream(self, df: DataFrame, sync: bool):
-        w = df.writeStream.format(self.fmt).options(**self.options)
+        # file-sink streams REQUIRE a checkpoint; default it under the
+        # output path.  sync drains currently-available input and
+        # returns (availableNow — the reference's blocking finite
+        # drain, lib/sink.ex:77-81); async runs a continuous query.
+        opts = dict(self.options)
+        opts.setdefault("checkpointLocation", f"{self.path}/_checkpoint")
+        w = df.writeStream.format(self.fmt).options(**opts)
+        if sync:
+            w = w.trigger(availableNow=True)
         q = w.start(self.path)
         if sync:
             q.awaitTermination()
@@ -101,7 +109,10 @@ class Console(SinkOrigin):
         df.show(self.num_rows, truncate=self.truncate)
 
     def write_stream(self, df: DataFrame, sync: bool):
-        q = df.writeStream.format("console").start()
+        w = df.writeStream.format("console")
+        if sync:
+            w = w.trigger(availableNow=True)
+        q = w.start()
         if sync:
             q.awaitTermination()
         return q
@@ -116,7 +127,10 @@ class Null(SinkOrigin):
         return df.count()
 
     def write_stream(self, df: DataFrame, sync: bool):
-        q = df.writeStream.format("noop").start()
+        w = df.writeStream.format("noop")
+        if sync:
+            w = w.trigger(availableNow=True)
+        q = w.start()
         if sync:
             q.awaitTermination()
         return q

@@ -68,6 +68,31 @@ def test_streaming_time_window_watermark(spark, stream_dir):
     assert total is not None and 0 < total <= n_events
 
 
+def test_streaming_sink_write_sync_drains(spark, stream_dir):
+    """Sink(Write, sync=True) on a stream: drains available input to
+    parquet (checkpoint defaulted) and blocks until done — the
+    reference's sync sink semantics (lib/sink.ex:77-81)."""
+    import tempfile
+
+    from strom_spark import Sink, Write
+
+    out_dir = tempfile.mkdtemp(prefix="strom_sink_out_")
+    try:
+        events = _read_stream(spark, stream_dir)
+        flow = Pipeline(
+            [
+                Filter("events", F.col("event_type") == "click"),
+                Sink("events", Write("parquet", out_dir), sync=True),
+            ]
+        )(Flow({"events": events}))
+        assert "events" not in flow  # sink removes the stream
+        got = spark.read.parquet(out_dir).count()
+        expected = spark.read.parquet(stream_dir).filter("event_type = 'click'").count()
+        assert got == expected
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def test_streaming_stateful_count_window(spark):
     """The reference count-window example on a stream: per-key buffers
     persist across micro-batches via applyInPandasWithState."""
