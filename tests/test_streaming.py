@@ -68,6 +68,32 @@ def test_streaming_time_window_watermark(spark, stream_dir):
     assert total is not None and 0 < total <= n_events
 
 
+def test_unbounded_rate_source_with_stop_policy(spark):
+    """An infinite synthetic stream (reference: infinite Stream.cycle in
+    a flow, gen_mix_test.exs:172) through components, halted by a stop
+    policy (the no_wait analog): rows must have flowed."""
+    from strom_spark import ReadStream, Source
+    from strom_spark.streaming.control import stop_when
+
+    flow = Pipeline(
+        [
+            Source("ticks", ReadStream("rate", rowsPerSecond=100), spark=spark),
+            Transformer("ticks", doubled=F.col("value") * 2),
+            Filter("ticks", F.col("value") % 2 == 0),
+        ]
+    )(Flow({}))
+    df = flow["ticks"]
+    assert df.isStreaming
+    q = df.writeStream.format("memory").queryName("t_rate").outputMode("append").start()
+    stop_when(
+        q,
+        lambda q: (q.lastProgress or {}).get("numInputRows", 0) > 0,
+        timeout_s=60,
+    )
+    rows = spark.sql("SELECT value, doubled FROM t_rate").collect()
+    assert all(r.doubled == 2 * r.value and r.value % 2 == 0 for r in rows)
+
+
 def test_streaming_sink_write_sync_drains(spark, stream_dir):
     """Sink(Write, sync=True) on a stream: drains available input to
     parquet (checkpoint defaulted) and blocks until done — the
