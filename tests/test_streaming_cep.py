@@ -158,6 +158,62 @@ def test_streaming_feedback_loop(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_live_pipeline_edit_via_checkpoint_restart(spark):
+    """The reference's live insert-while-running
+    (lib/composite/manipulations.ex, insert_components_test.exs:10-47)
+    maps to: stop query -> Pipeline.insert(new component) -> restart
+    from the same checkpoint.  Keyed state survives the topology edit;
+    only post-edit data sees the new component."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from strom_spark import Filter, Pipeline
+
+    d = tempfile.mkdtemp(prefix="strom_edit_")
+    try:
+        src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+        os.makedirs(src)
+        pd.DataFrame({"k": ["a"] * 7, "value": range(1, 8)}).to_parquet(f"{src}/p1.parquet")
+
+        stateful = StreamingStatefulTransformer(
+            "s",
+            count_window_kernel(5),
+            schema="window_index bigint, n bigint, sum_value double, avg_value double",
+            key_by=["k"],
+            order_by=["value"],
+        )
+        pipeline = Pipeline([stateful])
+
+        def run(p):
+            stream = spark.readStream.schema("k string, value bigint").parquet(src)
+            flow = p(Flow({"s": stream}))
+            q = (
+                flow["s"]
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run(pipeline)  # window 0 emitted; 6,7 buffered in state
+        # LIVE EDIT: drop odd values before the stateful stage
+        edited = pipeline.insert(0, Filter("s", F.col("value") % 2 == 0))
+        pd.DataFrame({"k": ["a"] * 6, "value": range(8, 14)}).to_parquet(f"{src}/p2.parquet")
+        run(edited)  # only evens 8,10,12 reach the kernel: 6,7,8,10,12
+
+        rows = sorted(spark.read.parquet(out).collect(), key=lambda r: r.window_index)
+        assert [(r.window_index, r.n, r.sum_value) for r in rows] == [
+            (0, 5, 15.0),  # pre-edit: 1+2+3+4+5
+            (1, 5, 43.0),  # spans the edit: 6+7 (old state) + 8+10+12
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_checkpoint_restart_carries_state(spark):
     """Stop a stateful query mid-stream, restart from the checkpoint:
     keyed state (a half-full count window) survives — Spark's upgrade
