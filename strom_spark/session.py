@@ -24,6 +24,13 @@ def get_spark(app_name: str = "strom_spark", shuffle_partitions: int | None = No
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the reference's `chunk` knob (events per processing batch,
+        # lib/gen_mix.ex:7): Arrow rows per batch through Python UDFs;
+        # lower it for wide/binary rows (multimodal), raise for narrow
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("STROM_SPARK_ARROW_BATCH", "10000"),
+        )
         .config("spark.driver.memory", os.environ.get("STROM_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
