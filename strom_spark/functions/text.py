@@ -95,41 +95,6 @@ def char_shingles(col: "Column | str", k: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, k)))
 
 
-def simhash32(col: "Column | str") -> Column:
-    """32-bit SimHash as a '0'/'1' bit-string.
-
-    Bit j is the sign of sum over tokens of ±1, where +1 iff hex digit
-    j of md5(token) is >= 8 (i.e. matches [89a-f]).  Uses token
-    multiplicity (standard SimHash weighting).  Bit-string output keeps
-    it engine-portable (no uint64 semantics differences).
-    """
-    sigs = F.transform(tokens(col), lambda t: F.md5(t))
-    bits = [
-        F.when(
-            F.aggregate(
-                sigs,
-                F.lit(0),
-                lambda acc, s: acc
-                + F.when(F.substring(s, j, 1).rlike("[89a-f]"), F.lit(1)).otherwise(F.lit(-1)),
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for j in range(1, 33)
-    ]
-    return F.concat(*bits)
-
-
-def hamming_bits(a: Column, b: Column) -> Column:
-    """Hamming distance between two equal-length bit-strings."""
-    return F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.length(a)),
-            lambda i: F.substring(a, i, 1) != F.substring(b, i, 1),
-        )
-    )
-
-
 def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
