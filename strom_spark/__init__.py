@@ -34,6 +34,7 @@ from .operators.relational import Sort, Limit, Distinct, TopK, TopKPerGroup, Set
 from .operators.loop import Iterate
 from .operators.cep import MatchDecide
 from .operators.dedup import (
+    SimHashDedup,
     ExactDedup,
     NgramJaccardPairs,
     MinHashLSHPairs,
@@ -88,6 +89,7 @@ __all__ = [
     "Iterate",
     "MatchDecide",
     "ExactDedup",
+    "SimHashDedup",
     "NgramJaccardPairs",
     "MinHashLSHPairs",
     "SimHash",

@@ -115,6 +115,48 @@ def test_simhash64_block_split_is_exact(spark, sf_dir):
     assert got == expected
 
 
+def test_simhash_dedup_clusters_match_union_find(spark, sf_dir):
+    """SimHashDedup's distributed min-label propagation must equal a
+    driver-side union-find over the same doc/block-bucket edges —
+    and emit one row per doc (linear output; pair enumeration is
+    O(cluster²) and is exactly what this operator avoids)."""
+    from strom_spark.operators.dedup import SimHashDedup, _simhash_sig_int
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["id"]: r["keep_id"]
+        for r in SimHashDedup("docs", "keep", max_distance=4)(Flow({"docs": docs}))[
+            "keep"
+        ].collect()
+    }
+    sigs = {r["id"]: r["sig"] for r in _simhash_sig_int(docs, "doc_id", "text").collect()}
+    # union-find over shared (block_index, block_bits)
+    parent = {i: i for i in sigs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    widths = [6, 6, 6, 6, 8]
+    buckets = {}
+    for i, sig in sigs.items():
+        pos = 0
+        for b, w in enumerate(widths):
+            pos += w
+            bits = (sig >> (32 - pos)) & ((1 << w) - 1)
+            buckets.setdefault((b, bits), []).append(i)
+    for members in buckets.values():
+        for m in members[1:]:
+            ra, rb = find(members[0]), find(m)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: min(j for j in sigs if find(j) == find(i)) for i in sigs}
+    assert got == expected
+    assert len(got) == docs.count()
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     exact = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
