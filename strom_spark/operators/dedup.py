@@ -525,22 +525,22 @@ class SimHashDedup(Component):
             "id", F.explode(F.array(*[block_key(i) for i in range(n_blocks)])).alias("bk")
         ).localCheckpoint(eager=True)
         labels = edges.select("id").distinct().select("id", F.col("id").alias("lab"))
+        # labels only ever decrease, so sum(lab) is a monotone potential:
+        # unchanged sum == fixpoint.  One tiny agg per round instead of a
+        # join+count change detector.
+        prev_sum = None
         for _ in range(self.max_iterations):
             bmin = edges.join(labels, "id").groupBy("bk").agg(F.min("lab").alias("bmin"))
             doc_min = edges.join(bmin, "bk").groupBy("id").agg(F.min("bmin").alias("nlab"))
-            new_labels = (
+            labels = (
                 labels.join(doc_min, "id", "left")
                 .select("id", F.least("lab", F.coalesce("nlab", "lab")).alias("lab"))
                 .localCheckpoint(eager=True)  # truncate lineage per round
             )
-            changed = (
-                new_labels.join(labels.withColumnRenamed("lab", "old"), "id")
-                .filter(F.col("lab") != F.col("old"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+            cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         out = labels.select(F.col("id"), F.col("lab").alias("keep_id"))
         return flow.without(self.input).with_stream(self.output, out)
 

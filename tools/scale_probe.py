@@ -1,0 +1,70 @@
+"""Scaling probe: run the dedup family on a 10×-duplicated corpus
+(50k docs from sf0.1) to check the would-it-hold-at-1000× question
+empirically — catching quadratic cliffs the sf0.1 bench can't see.
+
+Key finding this probe records (see SCALE.md): with heavy duplication
+the near-dup PAIR set is O(cluster²) — ~98M pairs here — while the
+cluster-dedup operator (SimHashDedup) outputs one row per doc by
+min-label propagation, never materializing pairs.
+
+Usage: python tools/scale_probe.py [copies]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from strom_spark import get_spark
+from strom_spark.flow import Flow
+from strom_spark.operators.dedup import (
+    ExactDedup,
+    MinHashLSHPairs,
+    SimHashDedup,
+    SimHashPairs,
+)
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(2_000_000).selectExpr("sum(id*2)").collect()  # JIT warmup
+
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    parts = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * 100000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" v{i}tag")).alias("text"),
+        )
+        for i in range(copies)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).cache()
+    n_docs = big.count()
+
+    results = {"n_docs": n_docs, "copies": copies, "ops": {}}
+    for name, comp in [
+        ("exact_dedup", ExactDedup("docs", "o")),
+        ("simhash_dedup_clusters", SimHashDedup("docs", "o", max_distance=4)),
+        ("minhash_lsh_pairs", MinHashLSHPairs("docs", "o", threshold=0.8)),
+        ("simhash_pairs", SimHashPairs("docs", "o", max_distance=4)),
+    ]:
+        t0 = time.time()
+        rows = comp(Flow({"docs": big}))["o"].count()
+        results["ops"][name] = {"rows": rows, "sec": round(time.time() - t0, 1)}
+
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
