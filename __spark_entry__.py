@@ -48,6 +48,7 @@ from strom_spark import (
     Mixer,
     NgramJaccardPairs,
     Pipeline,
+    RowNumber,
     SQL as SQLComponent,
     SetOp,
     SimHash,
@@ -1117,21 +1118,20 @@ FROM o JOIN e ON o.rn = e.rn
 def round_robin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's round-robin merge (README.md:117-160,
     simple_numbers_test.exs:50-105): split, number each side in stream
-    order, pair by position.  Global row_number is a total-order op —
-    inherently single-partition (SURVEY §7.4.1); at scale use
-    zipWithIndex-style partition offsets or a keyed variant."""
-    from pyspark.sql import Window as W
-
+    order, pair by position.  The total-order rank uses the
+    distributed range-partition + prefix-offset pattern (RowNumber /
+    global_row_number) — never a single-partition window."""
     flow = Flow({"events": load_table(spark, sf_dir, "events")})
-    rn = F.row_number().over(W.orderBy("event_id"))
     out = Pipeline(
         [
             Splitter(
                 "events",
                 {"odd": F.col("event_id") % 2 == 1, "even": F.col("event_id") % 2 == 0},
             ),
-            Transformer("odd", select={"odd_id": "event_id", "rn": rn}),
-            Transformer("even", select={"even_id": "event_id", "rn": rn}),
+            RowNumber("odd", order_by=["event_id"]),
+            RowNumber("even", order_by=["event_id"]),
+            Transformer("odd", select={"odd_id": "event_id", "rn": "rn"}),
+            Transformer("even", select={"even_id": "event_id", "rn": "rn"}),
             Join("odd", "even", "pairs", on="rn"),
         ]
     )(flow)

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -108,6 +109,93 @@ class TopKPerGroup(Component):
         rn = F.row_number().over(w)
         out = df.withColumn("__rn", rn).filter(F.col("__rn") <= self.k)
         out = out.withColumnRenamed("__rn", self.rank_col) if self.rank_col else out.drop("__rn")
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self):
+        return (self.input,)
+
+    def output_names(self):
+        return (self.output,)
+
+
+def global_row_number(df: DataFrame, order_by: Sequence[Any], rn_col: str = "__rn", num_partitions: int | None = None) -> DataFrame:
+    """Distributed global ``row_number`` over a total order — the
+    scalable replacement for ``row_number() OVER (ORDER BY ...)``
+    (which funnels every row through ONE partition).
+
+    Classic pattern: range-repartition on the sort key (order-preserving
+    across partition ids), pin the partitioning (localCheckpoint — range
+    boundaries are sampled, so the counts job and the rank job must see
+    the SAME split), count rows per partition, broadcast the tiny
+    prefix-offset map, then per-partition local rank + offset.  Work per
+    partition is O(rows/partition log) instead of a single sorted
+    straggler.
+
+    ``order_by`` must define a UNIQUE total order (add a tie-breaker
+    column): ties straddling a range boundary would otherwise get
+    partition-dependent ranks.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("__gpid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["__gpid"], r["cnt"])
+        for r in ranged.groupBy("__gpid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    off = F.element_at(
+        F.create_map(*[F.lit(v) for pid_off in offsets.items() for v in pid_off]),
+        F.col("__gpid"),
+    )
+    w = W.partitionBy("__gpid").orderBy(*cols)
+    return (
+        ranged.withColumn(rn_col, (F.row_number().over(w) + off).cast("bigint"))
+        .drop("__gpid")
+    )
+
+
+class RowNumber(Component):
+    """Row-numbering as a component: per-group ``row_number`` when
+    ``partition_by`` is given (one shuffle on the key), else the
+    distributed global total-order rank via :func:`global_row_number`."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        order_by: Sequence[Any],
+        partition_by: Sequence[str] = (),
+        rn_col: str = "rn",
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.order_by = list(order_by)
+        self.partition_by = tuple(partition_by)
+        self.rn_col = rn_col
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        cols = [F.col(c) if isinstance(c, str) else _resolve_expr(c, df) for c in self.order_by]
+        if self.partition_by:
+            w = W.partitionBy(*self.partition_by).orderBy(*cols)
+            out = df.withColumn(self.rn_col, F.row_number().over(w).cast("bigint"))
+        elif df.rdd.getNumPartitions() > 4:
+            out = global_row_number(df, cols, rn_col=self.rn_col)
+        else:
+            # tiny single-split input: one-core sort beats a range shuffle
+            w = W.orderBy(*cols)
+            out = df.withColumn(self.rn_col, F.row_number().over(w).cast("bigint"))
         return flow.without(self.input).with_stream(self.output, out)
 
     def input_names(self):

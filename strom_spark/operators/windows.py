@@ -36,6 +36,15 @@ from ..flow import Flow
 from .transformer import _resolve_expr
 
 
+def _is_multi_split(df) -> bool:
+    """True when the input scan has enough splits that a
+    single-partition total-order window would be the bottleneck.  At
+    100 TB every scan is multi-split -> the distributed rank always
+    engages; a tiny local file (1-4 splits) sorts faster on one core
+    than it range-shuffles."""
+    return df.rdd.getNumPartitions() > 4
+
+
 class CountWindow(Component):
     """Tumbling count window: consecutive groups of ``size`` events in
     ``order_by`` order (per ``partition_by`` key if given — the scale
@@ -63,6 +72,15 @@ class CountWindow(Component):
         self.label = label
 
     def _with_window_id(self, df: DataFrame) -> DataFrame:
+        if not self.partition_by and not df.isStreaming and _is_multi_split(df):
+            # distributed total-order rank — no single-partition window
+            from .relational import global_row_number
+
+            df = global_row_number(df, list(self.order_by))
+            rn = F.col("__rn")
+            return df.withColumn(
+                "window_id", ((rn - F.lit(1)) / F.lit(self.size)).cast("bigint")
+            ).drop("__rn")
         w = W.partitionBy(*self.partition_by) if self.partition_by else W.partitionBy()
         w = w.orderBy(*[F.col(c) for c in self.order_by])
         rn = F.row_number().over(w)
@@ -125,11 +143,17 @@ class SlidingCountWindow(Component):
 
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input]
-        w = W.partitionBy(*self.partition_by) if self.partition_by else W.partitionBy()
-        w = w.orderBy(*[F.col(c) for c in self.order_by])
         size, step = F.lit(self.size), F.lit(self.step)
         # materialize the rank first: explode() cannot nest a window fn
-        df = df.withColumn("__rn", F.row_number().over(w))  # 1-based
+        if not self.partition_by and not df.isStreaming and _is_multi_split(df):
+            # distributed total-order rank — no single-partition window
+            from .relational import global_row_number
+
+            df = global_row_number(df, list(self.order_by))  # 1-based
+        else:
+            w = W.partitionBy(*self.partition_by) if self.partition_by else W.partitionBy()
+            w = w.orderBy(*[F.col(c) for c in self.order_by])
+            df = df.withColumn("__rn", F.row_number().over(w))  # 1-based
         rn = F.col("__rn")
         # window ids w (0-based, start row = w*step+1): ceil((rn-size)/step) <= w <= floor((rn-1)/step)
         lo = F.greatest(F.lit(0), F.ceil((rn - size) / step))

@@ -115,6 +115,31 @@ def test_simhash64_block_split_is_exact(spark, sf_dir):
     assert got == expected
 
 
+def test_global_row_number_matches_single_partition(spark, sf_dir):
+    """The distributed total-order rank (range partition + prefix
+    offsets) must equal the single-partition row_number, and must not
+    put everything in one partition."""
+    from pyspark.sql import Window as W
+
+    from strom_spark.operators.relational import global_row_number
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = global_row_number(ev, ["event_id"], rn_col="rn")
+    ref = ev.withColumn("rn", F.row_number().over(W.orderBy("event_id")).cast("bigint"))
+    assert sorted((r.event_id, r.rn) for r in got.select("event_id", "rn").collect()) == sorted(
+        (r.event_id, r.rn) for r in ref.select("event_id", "rn").collect()
+    )
+    # the plan must never funnel rows through a single-partition
+    # exchange (AQE may still coalesce tiny TEST outputs post-shuffle)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()
+
+
 def test_simhash_dedup_clusters_match_union_find(spark, sf_dir):
     """SimHashDedup's distributed min-label propagation must equal a
     driver-side union-find over the same doc/block-bucket edges —
