@@ -45,6 +45,8 @@ def spread(df: DataFrame) -> DataFrame:
     arrives as ONE split, serializing regex/hash/UDF work on one core).
     No-op when the scan already has enough splits — at 100 TB scans
     have thousands of splits and this never adds a shuffle."""
+    if df.isStreaming:
+        return df  # partitioning is per-microbatch; no RDD to inspect
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)

@@ -190,7 +190,7 @@ class RowNumber(Component):
         if self.partition_by:
             w = W.partitionBy(*self.partition_by).orderBy(*cols)
             out = df.withColumn(self.rn_col, F.row_number().over(w).cast("bigint"))
-        elif df.rdd.getNumPartitions() > 4:
+        elif not df.isStreaming and df.rdd.getNumPartitions() > 4:
             out = global_row_number(df, cols, rn_col=self.rn_col)
         else:
             # tiny single-split input: one-core sort beats a range shuffle

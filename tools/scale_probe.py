@@ -62,6 +62,37 @@ def main() -> None:
         rows = comp(Flow({"docs": big}))["o"].count()
         results["ops"][name] = {"rows": rows, "sec": round(time.time() - t0, 1)}
 
+    # embedding family at copies× (perturbed by a deterministic shift so
+    # copies are near- but not exact-duplicates)
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    eparts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * 100000)).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, j: x + (j + F.lit(i)) * F.lit(1e-4),
+            ).alias("embedding"),
+        )
+        for i in range(copies)
+    ]
+    bige = eparts[0]
+    for p in eparts[1:]:
+        bige = bige.unionByName(p)
+    bige = bige.repartition(32).cache()
+    n_vecs = bige.count()
+    results["n_vecs"] = n_vecs
+
+    from strom_spark.operators.similarity import CosineTopK, IVFTopK
+
+    queries = bige.filter(F.col("vec_id") < 10)
+    for name, comp in [
+        ("knn_bruteforce", CosineTopK("corpus", "queries", "o", k=5)),
+        ("ann_ivf_probe4", IVFTopK("corpus", "queries", "o", k=5, n_centroids=16, n_probe=4)),
+    ]:
+        t0 = time.time()
+        rows = comp(Flow({"corpus": bige, "queries": queries}))["o"].count()
+        results["ops"][name] = {"rows": rows, "sec": round(time.time() - t0, 1)}
+
     print(json.dumps(results))
     spark.stop()
 
