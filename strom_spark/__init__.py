@@ -42,7 +42,7 @@ from .operators.dedup import (
     SimHashPairs,
     EmbeddingNearDupPairs,
 )
-from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK
+from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, ivf_search
 from .operators.multimodal import MediaFeatures, synthetic_assets
 
 __all__ = [
@@ -100,6 +100,8 @@ __all__ = [
     "CosineTopK",
     "CosineLSHJoin",
     "IVFTopK",
+    "IVFIndex",
+    "ivf_search",
     "MediaFeatures",
     "synthetic_assets",
 ]

@@ -226,6 +226,128 @@ class IVFTopK(Component):
         return (self.output,)
 
 
+class IVFIndex(Component):
+    """Persist the IVF inverted lists: assign every corpus vector to
+    its nearest centroid and write parquet PARTITIONED BY centroid_id.
+
+    This is what makes IVF pay off (see SCALE.md): a one-shot IVFTopK
+    re-scans the corpus for assignment, but against a persisted index
+    the probe is a partition-PRUNED scan — only n_probe/n_centroids of
+    the files are even opened (PartitionFilters in the plan, asserted
+    in tests).  Centroids are stored alongside as
+    ``<path>/_centroids.json``.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        path: str,
+        *,
+        n_centroids: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_size: int = 4096,
+        iters: int = 5,
+        seed: int = 13,
+        label: str | None = None,
+    ):
+        self.input = input
+        self.path = path
+        self.n_centroids = n_centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.sample_size = sample_size
+        self.iters = iters
+        self.seed = seed
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        import json
+
+        import pandas as pd
+
+        corpus = flow[self.input]
+        trainer = IVFTopK(
+            "c",
+            "q",
+            "o",
+            n_centroids=self.n_centroids,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            sample_size=self.sample_size,
+            iters=self.iters,
+            seed=self.seed,
+        )
+        C = trainer._train(corpus)
+        bc = corpus.sparkSession.sparkContext.broadcast(C)
+        slim = corpus.select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).cast("array<double>").alias("v"),
+        )
+
+        def assign(batches):
+            M = bc.value
+            for batch in batches:
+                B = np.stack(batch["v"].to_list()).astype("float64")
+                B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": batch["neighbor_id"],
+                        "centroid_id": np.argmax(B @ M.T, axis=1).astype("int32"),
+                        "nv": list(B),
+                    }
+                )
+
+        assigned = slim.mapInPandas(
+            assign, schema="neighbor_id bigint, centroid_id int, nv array<double>"
+        )
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(self.path)
+        with open(f"{self.path}/_centroids.json", "w") as f:
+            json.dump(C.tolist(), f)
+        return flow  # index write is a side effect; flow unchanged
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return ()
+
+
+def ivf_search(spark, index_path: str, queries: DataFrame, *, k: int = 10, n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Search a persisted :class:`IVFIndex`: per query pick the
+    ``n_probe`` nearest centroids, scan ONLY those partitions
+    (partition pruning on ``centroid_id``), exact-rerank.  Output
+    matches CosineTopK: (query_id, neighbor_id, cosine, rank)."""
+    import json
+
+    with open(f"{index_path}/_centroids.json") as f:
+        C = np.array(json.load(f))
+    qpdf = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).toPandas()
+    Q = np.stack(qpdf["v"].to_list()).astype("float64")
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(qid), int(cid), qv.tolist())
+        for qid, qv, row in zip(qpdf["query_id"], Q, probes)
+        for cid in row
+    ]
+    probe_df = spark.createDataFrame(
+        probe_rows, schema="query_id bigint, centroid_id int, qv array<double>"
+    )
+    needed = sorted({int(c) for row in probes for c in row})
+    index = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(needed))
+    sims = (
+        index.join(F.broadcast(probe_df), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(V.dot("qv", "nv"), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _hyperplanes(dim: int, n: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n, dim)).tolist()

@@ -206,3 +206,30 @@ def test_rebatch_lines_invariants(spark, sf_dir):
     for doc_id, lines in by_doc.items():
         joined = " ".join(l for _, l in sorted(lines))
         assert joined == norm[doc_id]
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, emb, tmp_path):
+    """Persisted IVF index: the probe scan must open only the probed
+    centroid partitions (PartitionFilters in the plan) and agree with
+    the in-memory IVFTopK at the same config."""
+    import contextlib
+    import io
+
+    from strom_spark import IVFIndex, ivf_search
+
+    path = str(tmp_path / "ivf_index")
+    IVFIndex("corpus", path, n_centroids=8)(Flow({"corpus": emb}))
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ivf_search(spark, path, queries, k=5, n_probe=8)  # probe all -> exact
+    exact = CosineTopK("corpus", "queries", "knn", k=5)(
+        Flow({"corpus": emb, "queries": queries})
+    )["knn"]
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+    pruned = ivf_search(spark, path, queries, k=5, n_probe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    assert pruned.count() == 50
