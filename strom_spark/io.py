@@ -30,6 +30,9 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the driver may call queries() with its own session: pin UTC so
+    # date->timestamp conversions match the oracle regardless of host tz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # convert any nanos-as-long column back to timestamp
     for field in df.schema.fields:
