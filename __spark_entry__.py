@@ -1242,6 +1242,173 @@ def rebatch_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-agg — every predicate pushes to the
+    parquet scan, zero joins, one scalar aggregate."""
+    flow = Flow({"lineitem": load_table(spark, sf_dir, "lineitem")})
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    out = Pipeline(
+        [
+            Filter(
+                "lineitem",
+                (F.col("l_shipdate") >= lo)
+                & (F.col("l_shipdate") < hi)
+                & F.col("l_discount").between(0.05, 0.07)
+                & (F.col("l_quantity") < 24),
+            ),
+            Agg(
+                "lineitem",
+                "q6",
+                aggs={"revenue": F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double")},
+            ),
+        ]
+    )(flow)
+    return out["q6"]
+
+
+@_q(
+    "brand_revenue",
+    """
+SELECT p.p_brand,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ part dimension (broadcast) -> brand rollup: the part
+    table's headline join, fact side never shuffles pre-agg."""
+    flow = Flow(
+        {
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+            "part": load_table(spark, sf_dir, "part"),
+        }
+    )
+    out = Pipeline(
+        [
+            Join("lineitem", "part", "lp", on=F.col("l_partkey") == F.col("p_partkey"), broadcast=True),
+            Agg(
+                "lp",
+                "agg",
+                by=["p_brand"],
+                aggs={
+                    "revenue": F.sum(
+                        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+                    ).cast("double"),
+                    "n_lines": F.count("*"),
+                },
+            ),
+        ]
+    )(flow)
+    return out["agg"]
+
+
+@_q(
+    "supplier_balance_by_region",
+    """
+SELECT r.r_name,
+  COUNT(*) AS n_suppliers,
+  CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def supplier_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier dimension rollup through the nation/region snowflake —
+    covers the supplier table; all joins broadcast."""
+    flow = Flow(
+        {
+            "supplier": load_table(spark, sf_dir, "supplier"),
+            "nation": load_table(spark, sf_dir, "nation"),
+            "region": load_table(spark, sf_dir, "region"),
+        }
+    )
+    out = Pipeline(
+        [
+            Join("supplier", "nation", "sn", on=F.col("s_nationkey") == F.col("n_nationkey"), broadcast=True),
+            Join("sn", "region", "snr", on=F.col("n_regionkey") == F.col("r_regionkey"), broadcast=True),
+            Agg(
+                "snr",
+                "agg",
+                by=["r_name"],
+                aggs={
+                    "n_suppliers": F.count("*"),
+                    "total_balance": F.sum(_dec("s_acctbal")).cast("double"),
+                },
+            ),
+        ]
+    )(flow)
+    return out["agg"]
+
+
+@_q(
+    "funnel_click_purchase",
+    """
+WITH seq AS (
+  SELECT user_id, ts, event_type,
+    min(CASE WHEN event_type = 'click' THEN ts END) OVER (PARTITION BY user_id) AS first_click
+  FROM events
+)
+SELECT user_id,
+  CAST(epoch_us(min(ts)) AS BIGINT) AS first_purchase_after_click_us
+FROM seq
+WHERE event_type = 'purchase' AND first_click IS NOT NULL AND ts > first_click
+GROUP BY user_id
+""",
+)
+def funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (click -> later purchase per user): the CEP
+    ordering pattern as one keyed window + filter — a single shuffle on
+    user_id, no self-join."""
+    from pyspark.sql import Window as W
+
+    flow = Flow({"events": load_table(spark, sf_dir, "events")})
+    first_click = F.min(F.when(F.col("event_type") == "click", F.col("ts"))).over(
+        W.partitionBy("user_id")
+    )
+    out = Pipeline(
+        [
+            Transformer(
+                "events",
+                select={
+                    "user_id": "user_id",
+                    "ts": "ts",
+                    "event_type": "event_type",
+                    "first_click": first_click,
+                },
+            ),
+            Filter(
+                "events",
+                (F.col("event_type") == "purchase")
+                & F.col("first_click").isNotNull()
+                & (F.col("ts") > F.col("first_click")),
+            ),
+            Agg(
+                "events",
+                "funnel",
+                by=["user_id"],
+                aggs={"first_purchase_after_click_us": F.unix_micros(F.min("ts"))},
+            ),
+        ]
+    )(flow)
+    return out["funnel"]
+
+
+@_q(
     "rolling_7d_revenue",
     """
 SELECT o_orderkey, o_custkey,
