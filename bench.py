@@ -20,19 +20,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from strom_spark import get_spark
 
-#: headline subset: scan-agg, join-heavy, window, dedup family, ANN, CEP
+#: headline subset: scan-agg, join-heavy, window, routing, stateful,
+#: dedup family, ANN, CEP — one per operator family in SURVEY §2.3
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "brand_revenue",
+    "rollup_revenue",
+    "top3_customers_per_nation",
     "words_count",
     "sessionize_users",
     "time_window_daily",
     "sliding_window_qty",
+    "rolling_7d_revenue",
     "cep_order_fulfillment",
+    "funnel_click_purchase",
+    "rebatch_lines",
+    "iterate_to_ten",
+    "hash_route_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash_pairs",
+    "dedup_simhash_clusters",
     "dedup_embedding",
     "knn_topk",
     "text_quality",
