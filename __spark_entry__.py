@@ -47,6 +47,7 @@ from strom_spark import (
     MinHashLSHPairs,
     Mixer,
     NgramJaccardPairs,
+    PandasMap,
     Pipeline,
     RowNumber,
     SQL as SQLComponent,
@@ -1192,50 +1193,41 @@ def rebatch_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The telegram golden workload (reference
     test/examples/telegram_test.exs:18-31): split text into words,
     greedily re-batch into lines <= 100 chars.  Inherently sequential
-    per document -> StatefulTransformer keyed by doc_id (the scalable
-    keyed-state path; the oracle replays the same greedy fold as a
-    recursive CTE)."""
+    per document; lowered as one mapInPandas pass over (doc_id, token
+    array) rows — thousands of docs per Arrow batch, so the per-doc
+    Python loop amortizes (the per-event StatefulTransformer form is
+    semantically identical and tested in
+    tests/test_stateful_and_examples.py::test_telegram_rebatch, but
+    pays per-group Arrow overhead on 50-word groups).  The oracle
+    replays the same greedy fold as a recursive CTE."""
+    import pandas as pd
 
-    def pack(event, acc):
-        w = event["word"]
-        if acc is None:
-            return [], {"doc_id": event["doc_id"], "line_no": 1, "line": w}
-        if len(acc["line"]) + 1 + len(w) <= 100:
-            acc["line"] = acc["line"] + " " + w
-            return [], acc
-        emitted = dict(acc)
-        return [emitted], {"doc_id": event["doc_id"], "line_no": acc["line_no"] + 1, "line": w}
+    def pack_docs(pdf):
+        out_doc, out_no, out_line = [], [], []
+        for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+            ln, cur = 1, None
+            for w in toks:
+                if cur is None:
+                    cur = w
+                elif len(cur) + 1 + len(w) <= 100:
+                    cur = cur + " " + w
+                else:
+                    out_doc.append(doc_id)
+                    out_no.append(ln)
+                    out_line.append(cur)
+                    ln += 1
+                    cur = w
+            if cur is not None:
+                out_doc.append(doc_id)
+                out_no.append(ln)
+                out_line.append(cur)
+        return pd.DataFrame({"doc_id": out_doc, "line_no": out_no, "line": out_line})
 
-    def flush(acc):
-        return [acc] if acc is not None else []
-
-    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    flow = Flow({"docs": spread(load_table(spark, sf_dir, "documents"))})
     out = Pipeline(
         [
             Transformer("docs", select={"doc_id": "doc_id", "toks": TXT.tokens("text")}),
-            Transformer(
-                "docs",
-                select={
-                    "doc_id": "doc_id",
-                    "ws": F.transform(
-                        F.col("toks"),
-                        lambda x, i: F.struct((i + 1).alias("i"), x.alias("word")),
-                    ),
-                },
-            ),
-            FlatMap("docs", F.col("ws"), alias="w", keep=("doc_id",)),
-            Transformer(
-                "docs", select={"doc_id": "doc_id", "i": F.col("w.i"), "word": F.col("w.word")}
-            ),
-            StatefulTransformer(
-                "docs",
-                pack,
-                acc=lambda: None,
-                schema="doc_id bigint, line_no int, line string",
-                key_by=["doc_id"],
-                order_by=["i"],
-                flush=flush,
-            ),
+            PandasMap("docs", pack_docs, schema="doc_id bigint, line_no int, line string"),
         ]
     )(flow)
     return out["docs"]
