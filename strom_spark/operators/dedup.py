@@ -234,17 +234,36 @@ class MinHashLSHPairs(Component):
             "id", TXT.shingles_of_tokens(F.col("__toks"), self.k).alias("sh")
         )
 
+    #: Mersenne prime 2^31 - 1: (a*h + b) stays under 2^62 — no long
+    #: overflow under ANSI mode
+    _P = (1 << 31) - 1
+
     def signatures(self, df: DataFrame) -> DataFrame:
         """(id, h0..h{n-1}) — one shuffle (groupBy id), min-agg per seed.
 
-        Hashing is xxhash64(seed, shingle): JVM-native and codegen'd,
-        ~3× faster than md5-hex here.  The LSH output needs no
-        cross-engine hash parity — candidates are verified with exact
-        Jaccard, so the hash only affects recall, not correctness."""
-        postings = self._doc_shingles(df).select("id", F.explode("sh").alias("shingle"))
+        Each shingle is string-hashed ONCE (xxhash64); the n min-hash
+        "permutations" are modular linear transforms a_i*h + b_i mod
+        (2^31-1) of that one hash — the standard MinHash family (same
+        as Spark MLlib's MinHashLSH).  Per posting: 1 string hash + n
+        long mul/add/mod in codegen, ~n× cheaper than re-hashing the
+        string per seed.  The LSH output needs no cross-engine hash
+        parity — candidates are verified with exact Jaccard, so the
+        hash only affects recall, not correctness."""
+        import random
+
+        postings = (
+            self._doc_shingles(df)
+            .select("id", F.explode("sh").alias("shingle"))
+            .select("id", F.pmod(F.xxhash64("shingle"), F.lit(self._P)).alias("__h"))
+        )
+        rng = random.Random(97)
+        coeffs = [
+            (rng.randrange(1, self._P), rng.randrange(0, self._P))
+            for _ in range(self.num_hashes)
+        ]
         mins = [
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(self.num_hashes)
+            F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(self._P))).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
         ]
         return postings.groupBy("id").agg(*mins)
 

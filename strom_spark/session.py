@@ -34,6 +34,17 @@ def get_spark(app_name: str = "strom_spark", shuffle_partitions: int | None = No
         .config("spark.driver.memory", os.environ.get("STROM_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate turns explode(f(x)) into a pushed-down
+        # `size(f(x)) > 0` filter; predicate pushdown then drags the WHOLE
+        # expensive expression (tokenize+shingle HOFs) below the
+        # parallelizing exchange onto the narrow scan side, where it is
+        # evaluated twice — once in the filter, once in the projection.
+        # Excluding the rule is semantically safe: explode itself drops
+        # empty arrays.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config(
             "spark.sql.warehouse.dir",
