@@ -1401,6 +1401,91 @@ def funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q10_returned_revenue",
+    """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name, revenue FROM rev
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking over returned items —
+    filter pushed to the lineitem scan, dims broadcast, distributed
+    TakeOrdered top-20."""
+    flow = Flow(
+        {
+            "customer": load_table(spark, sf_dir, "customer"),
+            "orders": load_table(spark, sf_dir, "orders"),
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+            "nation": load_table(spark, sf_dir, "nation"),
+        }
+    )
+    out = Pipeline(
+        [
+            Filter("lineitem", F.col("l_returnflag") == "R"),
+            Join("customer", "nation", "cn", on=F.col("c_nationkey") == F.col("n_nationkey"), broadcast=True),
+            Join("orders", "cn", "ocn", on=F.col("o_custkey") == F.col("c_custkey"), broadcast=True),
+            Join("lineitem", "ocn", "locn", on=F.col("l_orderkey") == F.col("o_orderkey"), broadcast=True),
+            Agg(
+                "locn",
+                "rev",
+                by=["c_custkey", "c_name", "n_name"],
+                aggs={
+                    "revenue": F.sum(
+                        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+                    ).cast("double")
+                },
+            ),
+            TopK("rev", "top", k=20, order_by=[F.col("revenue").desc(), F.col("c_custkey")]),
+        ]
+    )(flow)
+    return out["top"]
+
+
+@_q(
+    "daily_active_users",
+    """
+SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+  COUNT(DISTINCT user_id) AS dau,
+  COUNT(*) AS n_events
+FROM events GROUP BY 1
+""",
+)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users: event-time bucketing + exact distinct — the
+    standard engagement rollup (two-level agg: distinct expands then
+    collapses; at extreme scale swap approx_count_distinct)."""
+    flow = Flow({"events": load_table(spark, sf_dir, "events")})
+    out = Pipeline(
+        [
+            Transformer(
+                "events",
+                select={
+                    "day_us": F.unix_micros(F.date_trunc("day", F.col("ts"))),
+                    "user_id": "user_id",
+                },
+            ),
+            Agg(
+                "events",
+                "dau",
+                by=["day_us"],
+                aggs={"dau": F.countDistinct("user_id"), "n_events": F.count("*")},
+            ),
+        ]
+    )(flow)
+    return out["dau"]
+
+
+@_q(
     "rolling_7d_revenue",
     """
 SELECT o_orderkey, o_custkey,
