@@ -104,3 +104,47 @@ def test_on_error_skip_drops_poisoned_event(spark):
     )(Flow({"s": src}))
     with pytest.raises(Exception):
         flow2["s"].collect()
+
+
+@given(
+    vals=st.lists(st.integers(-100, 100), min_size=1, max_size=40),
+    size=st.integers(1, 7),
+)
+@SET
+def test_count_window_equals_python_chunks(spark, vals, size):
+    """CountWindow == chunking the ordered values in plain Python."""
+    from pyspark.sql import functions as F
+
+    from strom_spark import CountWindow, Flow
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    flow = CountWindow(
+        "s", "w", size=size, order_by=["i"], aggs={"s": F.sum("value"), "n": F.count("*")}
+    )(Flow({"s": spark.createDataFrame(rows, "i long, value long")}))
+    got = sorted((r.window_id, r.n, r.s) for r in flow["w"].collect())
+    expected = sorted(
+        (w, len(chunk), sum(chunk))
+        for w, chunk in enumerate(vals[i : i + size] for i in range(0, len(vals), size))
+    )
+    assert got == expected
+
+
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=30))
+@SET
+def test_splitter_multi_match_duplicates(spark, vals):
+    """Splitter predicates are independent: an event reaches every
+    matching output (reference lib/splitter.ex:73-80) — union of
+    branches == per-predicate filters of the input."""
+    from strom_spark import Flow, Splitter
+
+    df = spark.createDataFrame([(v,) for v in vals], "value long")
+    preds = {
+        "neg": "value < 0",
+        "even": "value % 2 = 0",
+        "all": "value IS NOT NULL",
+    }
+    flow = Splitter("s", preds)(Flow({"s": df}))
+    for name, sql in preds.items():
+        assert sorted(r.value for r in flow[name].collect()) == sorted(
+            r.value for r in df.filter(sql).collect()
+        )
