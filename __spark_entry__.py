@@ -1401,6 +1401,44 @@ def funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "customer_balance_quartiles",
+    """
+WITH q AS (
+  SELECT c_custkey, c_nationkey,
+    ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_nationkey, quartile, COUNT(*) AS n FROM q GROUP BY 1, 2
+""",
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing per nation (ranking-window superset op) — one
+    shuffle on the partition key; tie-broken for determinism."""
+    from pyspark.sql import Window as W
+
+    flow = Flow({"customer": load_table(spark, sf_dir, "customer")})
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    out = Pipeline(
+        [
+            Transformer(
+                "customer",
+                select={
+                    "c_nationkey": "c_nationkey",
+                    "quartile": F.ntile(4).over(w),
+                },
+            ),
+            Agg(
+                "customer",
+                "q",
+                by=["c_nationkey", "quartile"],
+                aggs={"n": F.count("*")},
+            ),
+        ]
+    )(flow)
+    return out["q"]
+
+
+@_q(
     "q10_returned_revenue",
     """
 WITH rev AS (
