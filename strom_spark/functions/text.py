@@ -72,9 +72,15 @@ def shingles_of_tokens(t: Column, k: int) -> Column:
     higher-order-function lambdas re-evaluate their body's whole
     subtree per element, so passing ``tokens(text)`` directly would run
     the normalize-regex once per shingle index (~50× slowdown at
-    corpus scale).  Callers project the token array first."""
+    corpus scale).  Callers project the token array first.
+
+    Docs with fewer than ``k`` tokens yield an EMPTY shingle array (the
+    guard matters: ``sequence(1, 0)`` is a *descending* [1, 0] in Spark
+    and ``slice(t, 0, k)`` then throws INVALID_PARAMETER_VALUE.START)."""
     n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    idx = F.when(
+        n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
     return F.array_distinct(sh)
 
@@ -88,10 +94,17 @@ def word_shingles(col: "Column | str", k: int = 3) -> Column:
 
 
 def char_shingles(col: "Column | str", k: int = 5) -> Column:
-    """Array of distinct k-char shingles of the normalized text."""
+    """Array of distinct k-char shingles of the normalized text.
+
+    Texts shorter than ``k`` chars produce an EMPTY array (without the
+    guard, substring's index clamping silently returned the truncated
+    whole string — two unrelated short docs then shared "shingles",
+    inflating Jaccard similarity)."""
     s = normalize(col)
     n = F.length(s)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    idx = F.when(
+        n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, k)))
 
 

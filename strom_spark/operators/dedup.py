@@ -372,6 +372,22 @@ def _simhash_sig(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> D
     )
 
 
+def _validate_simhash_blocks(max_distance: int, bits: int) -> None:
+    """Block-key encoding packs the block index into 4 low bits
+    (``shiftleft(block_bits, 4) + i``), so at most 16 blocks
+    (max_distance <= 15); and each of the ``max_distance+1`` blocks
+    must be at least 1 bit wide or the pigeonhole recall guarantee
+    silently degrades to all-zero block keys (all-pairs buckets /
+    over-merged clusters)."""
+    if not 0 <= max_distance <= 15:
+        raise ValueError(f"max_distance must be in [0, 15], got {max_distance}")
+    if bits < max_distance + 1:
+        raise ValueError(
+            f"bits ({bits}) must be >= max_distance+1 ({max_distance + 1}): "
+            "every pigeonhole block needs at least one signature bit"
+        )
+
+
 class SimHash(Component):
     """Per-document 32-bit SimHash bit-string: (id, simhash)."""
 
@@ -421,6 +437,7 @@ class SimHashPairs(Component):
         bits: int = 32,
         label: str | None = None,
     ):
+        _validate_simhash_blocks(max_distance, bits)
         self.input = input
         self.output = output or input
         self.id_col = id_col
@@ -518,6 +535,7 @@ class SimHashDedup(Component):
         max_iterations: int = 15,
         label: str | None = None,
     ):
+        _validate_simhash_blocks(max_distance, bits)
         self.input = input
         self.output = output or input
         self.id_col = id_col

@@ -57,8 +57,18 @@ def salted_join(
 
     Use when ``left`` is large with pathological key skew; ``right``
     replication costs ``salt × |right|``, so keep the dimension side
-    right.  Result equals ``left.join(right, on, how)`` row-for-row.
+    right.  Result equals ``left.join(right, on, how)`` row-for-row
+    for ``how`` in {inner, left, left_semi, left_anti, cross}.  Right/
+    full outer are rejected: every unmatched RIGHT row exists once per
+    salt replica, so the salted join would emit it ``salt`` times.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched right rows "
+            f"are replicated {salt}x by salting (use {sorted(allowed)})"
+        )
     on = list(on)
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
     l = left.withColumn("__salt", lsalt)

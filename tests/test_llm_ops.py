@@ -133,3 +133,45 @@ def test_media_features(spark):
     # strict mode surfaces the stub explicitly
     with pytest.raises(NotImplementedError):
         MediaFeatures("assets", "f", strict=True)(flow)
+
+
+def test_short_doc_shingles_are_empty(spark):
+    """Docs shorter than k tokens/chars yield EMPTY shingle arrays and
+    must not crash shingling or the dedup operators built on it (the
+    unguarded form threw INVALID_PARAMETER_VALUE.START on sub-k docs
+    because sequence(1, 0) is a descending [1, 0] in Spark)."""
+    rows = [
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "one"},
+        {"doc_id": 3, "text": "two words"},
+        {"doc_id": 4, "text": "now three tokens"},
+        {"doc_id": 5, "text": "four whole tokens here"},
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.doc_id: (r.ws, r.cs)
+        for r in df.select(
+            "doc_id",
+            F.size(TXT.word_shingles("text", k=3)).alias("ws"),
+            F.size(TXT.char_shingles("text", k=5)).alias("cs"),
+        ).collect()
+    }
+    assert got[1] == (0, 0)  # empty text: no shingles of either kind
+    assert got[2][0] == 0 and got[2][1] == 0  # "one" < 3 tokens, < 5 chars
+    assert got[3][0] == 0 and got[3][1] > 0
+    assert got[4] == (1, len("now three tokens") - 4)
+    assert got[5][0] == 2
+    # dedup operators run end-to-end over the short-doc corpus
+    flow = Flow({"docs": df})
+    NgramJaccardPairs("docs", "p", threshold=0.5)(flow)["p"].collect()
+    MinHashLSHPairs("docs", "p2", threshold=0.5)(flow)["p2"].collect()
+
+
+def test_simhash_block_config_validated():
+    with pytest.raises(ValueError, match="max_distance"):
+        SimHashPairs("d", "p", max_distance=16)
+    with pytest.raises(ValueError, match="bits"):
+        SimHashPairs("d", "p", max_distance=3, bits=3)
+    from strom_spark import SimHashDedup
+    with pytest.raises(ValueError, match="max_distance"):
+        SimHashDedup("d", "p", max_distance=-1)

@@ -58,3 +58,13 @@ def test_salted_join_equals_plain_join(spark):
     )
     n_sub = l.filter("k = 1").select("__salt").distinct().count()
     assert n_sub >= 6
+
+
+def test_salted_join_rejects_right_outer(spark):
+    df = spark.range(4)
+    import pytest as _pytest
+    from strom_spark.scale import salted_join
+    with _pytest.raises(ValueError, match="salted_join does not support"):
+        salted_join(df, df, ["id"], how="right")
+    with _pytest.raises(ValueError, match="salted_join does not support"):
+        salted_join(df, df, ["id"], how="full")
