@@ -211,8 +211,13 @@ LIMIT 10
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: broadcast the filtered customer dim, shuffle
-    only the fact side; distributed TakeOrdered for the top 10."""
+    """TPC-H Q3 shape: NO forced broadcast — customer, orders and
+    lineitem all grow with SF, so a forced hint would hit the 8 GB
+    broadcast hard-limit at cluster scale (hints don't back off; AQE
+    does).  Declarative shuffle joins + AQE: at small SF runtime stats
+    convert them to broadcast automatically, at 100 TB they stay
+    sort-merge/shuffled-hash on the join keys.  Distributed
+    TakeOrdered for the top 10."""
     flow = Flow(
         {
             "customer": load_table(spark, sf_dir, "customer"),
@@ -226,8 +231,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             Filter("customer", F.col("c_mktsegment") == "BUILDING"),
             Filter("orders", F.col("o_orderdate") < cutoff),
             Filter("lineitem", F.col("l_shipdate") > cutoff),
-            Join("orders", "customer", "oc", on=F.expr("o_custkey = c_custkey"), broadcast=True),
-            Join("lineitem", "oc", "ocl", on=F.expr("l_orderkey = o_orderkey"), broadcast=True),
+            Join("orders", "customer", "oc", on=F.expr("o_custkey = c_custkey")),
+            Join("lineitem", "oc", "ocl", on=F.expr("l_orderkey = o_orderkey")),
             Agg(
                 "ocl",
                 "q3",
@@ -264,22 +269,26 @@ GROUP BY n.n_name
 """,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: all dimension joins broadcast; the only wide
-    shuffle is the final tiny group-by."""
+    """TPC-H Q5 shape: forced broadcast ONLY for the bounded dims
+    (region: 5 rows, nation: 25 rows — fixed size at every SF).
+    Customer/orders/lineitem/supplier all grow with SF, so their joins
+    are declarative shuffle joins on the equi-keys; AQE converts them
+    to broadcast at small SF and keeps them exchange-based at 100 TB
+    (a forced hint on an orders/lineitem-derived side would OOM the
+    8 GB broadcast limit with no fallback)."""
     flow = Flow({t: load_table(spark, sf_dir, t) for t in ("region", "nation", "customer", "orders", "lineitem", "supplier")})
     out = Pipeline(
         [
             Filter("region", F.col("r_name") == "ASIA"),
             Join("nation", "region", "nr", on=F.expr("n_regionkey = r_regionkey"), broadcast=True),
             Join("customer", "nr", "cnr", on=F.expr("c_nationkey = n_nationkey"), broadcast=True),
-            Join("orders", "cnr", "ocnr", on=F.expr("o_custkey = c_custkey"), broadcast=True),
-            Join("lineitem", "ocnr", "locnr", on=F.expr("l_orderkey = o_orderkey"), broadcast=True),
+            Join("orders", "cnr", "ocnr", on=F.expr("o_custkey = c_custkey")),
+            Join("lineitem", "ocnr", "locnr", on=F.expr("l_orderkey = o_orderkey")),
             Join(
                 "locnr",
                 "supplier",
                 "all6",
                 on=F.expr("s_suppkey = l_suppkey AND s_nationkey = n_nationkey"),
-                broadcast=True,
             ),
             Agg(
                 "all6",
@@ -1457,8 +1466,11 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 )
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: lost-revenue ranking over returned items —
-    filter pushed to the lineitem scan, dims broadcast, distributed
-    TakeOrdered top-20."""
+    filter pushed to the lineitem scan; only the bounded nation dim
+    (25 rows) carries a forced broadcast hint.  The customer- and
+    orders-derived sides shuffle on their keys (AQE broadcasts them at
+    small SF; at 100 TB a forced hint would blow the broadcast limit).
+    Distributed TakeOrdered top-20."""
     flow = Flow(
         {
             "customer": load_table(spark, sf_dir, "customer"),
@@ -1471,8 +1483,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             Filter("lineitem", F.col("l_returnflag") == "R"),
             Join("customer", "nation", "cn", on=F.col("c_nationkey") == F.col("n_nationkey"), broadcast=True),
-            Join("orders", "cn", "ocn", on=F.col("o_custkey") == F.col("c_custkey"), broadcast=True),
-            Join("lineitem", "ocn", "locn", on=F.col("l_orderkey") == F.col("o_orderkey"), broadcast=True),
+            Join("orders", "cn", "ocn", on=F.col("o_custkey") == F.col("c_custkey")),
+            Join("lineitem", "ocn", "locn", on=F.col("l_orderkey") == F.col("o_orderkey")),
             Agg(
                 "locn",
                 "rev",

@@ -42,13 +42,56 @@ def test_plan_shapes_of_headline_queries(spark, sf_dir):
             df.explain("formatted")
         return buf.getvalue()
 
-    qs = entry.queries()
-    q3 = plan_str(qs["q3_shipping_priority"](spark, sf_dir))
-    assert "BroadcastHashJoin" in q3 or "BroadcastExchange" in q3
-    assert "SortMergeJoin" not in q3  # no wide shuffle for dims
+    def hinted_subtrees(df):
+        """Text of every subtree under a ResolvedHint(broadcast) node
+        in the analyzed logical plan — i.e. exactly what OUR code
+        force-broadcasts (as opposed to what Catalyst/AQE chooses
+        adaptively from statistics)."""
+        plan = df._jdf.queryExecution().analyzed().toString()
+        lines = plan.splitlines()
 
-    q5 = plan_str(qs["q5_region_revenue"](spark, sf_dir))
+        def depth(line):
+            for i, ch in enumerate(line):
+                if ch not in " :+-|":
+                    return i
+            return len(line)
+
+        subtrees = []
+        for i, line in enumerate(lines):
+            if "ResolvedHint" not in line:
+                continue
+            d = depth(line)
+            sub = []
+            for nxt in lines[i + 1:]:
+                if depth(nxt) <= d:
+                    break
+                sub.append(nxt)
+            subtrees.append("\n".join(sub))
+        return subtrees
+
+    def assert_no_fact_broadcast(df):
+        """The scale gate: a forced broadcast of an orders/lineitem/
+        customer/supplier-derived side hits the 8 GB broadcast
+        hard-limit at 100 TB (hints, unlike AQE, never back off)."""
+        for sub in hinted_subtrees(df):
+            for fact in ("orders", "lineitem", "customer.parquet", "supplier"):
+                assert fact not in sub, f"forced broadcast of fact side:\n{sub}"
+
+    qs = entry.queries()
+    q3_df = qs["q3_shipping_priority"](spark, sf_dir)
+    assert_no_fact_broadcast(q3_df)  # q3 carries no forced hints at all
+    assert hinted_subtrees(q3_df) == []
+
+    q5_df = qs["q5_region_revenue"](spark, sf_dir)
+    assert_no_fact_broadcast(q5_df)
+    # the bounded dims (region, nation-join) ARE force-broadcast
+    assert len(hinted_subtrees(q5_df)) == 2
+    q5 = plan_str(q5_df)
     assert "BroadcastHashJoin" in q5 or "BroadcastExchange" in q5
+
+    q10_df = qs["q10_returned_revenue"](spark, sf_dir)
+    assert_no_fact_broadcast(q10_df)
+    assert len(hinted_subtrees(q10_df)) == 1  # nation only
 
     # partial+final hash aggregate with exactly one exchange of
     # pre-aggregated rows between them (map-side combine); count nodes
