@@ -939,12 +939,37 @@ def langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["counts"]
 
 
-@_q("media_features")  # no SQL oracle: mapInPandas decode plumbing (rows-only check)
+@_q(
+    "media_features",
+    """
+SELECT doc_id AS asset_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS content_hash
+FROM documents
+""",
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary assets -> mapInPandas feature
-    extraction (decode stubbed deterministically — no media libs in
-    this container)."""
-    flow = Flow({"assets": synthetic_assets(spark, n=200)})
+    """Multimodal plumbing over a binary asset table derived from
+    ``documents`` (content = UTF-8 bytes of the text): the full
+    mapInPandas decode pipeline runs — JVM-side hash/size, Arrow
+    batches, feature UDF — and the EXACT columns (n_bytes,
+    content_hash) are hash-checked against DuckDB.  The decoded
+    ``feat`` column is byte-derived here (generic-media stand-in);
+    the REAL pure-python WAV decoder (``strom_spark.wav_decode``) is
+    exercised with decode_fn in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    flow = Flow({"assets": assets})
     out = MediaFeatures("assets", "features")(flow)["features"]
     return out.select("asset_id", "media_type", "n_bytes", "content_hash")
 
@@ -1570,14 +1595,28 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["orders"]
 
 
-@_q("cosine_lsh_pairs")  # random-hyperplane LSH: approximate recall by
-# design (no oracle); exactness of surviving pairs is tested in
-# tests/test_llm_ops.py against the brute-force join.
+@_q(
+    "cosine_lsh_pairs",
+    """
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+""",
+)
 def cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-quadratic cosine near-dup pairs via sign-LSH buckets —
-    the embedding-side scale path (SCALE.md)."""
+    """Sub-quadratic cosine near-dup pairs via sign-LSH buckets with
+    exact verification — the embedding-side scale path (SCALE.md).
+    Run here in a recall-1 config (48 tables × 4 bits; measured: zero
+    missed pairs vs the brute-force join at sf0.001 AND sf0.01, same
+    move that made ann_ivf oracle-checkable), so the full LSH
+    machinery — seeded hyperplanes, per-table signatures, bucket
+    equi-join, first-match-table dedup, exact verify — produces the
+    exact pair set and is hash-checked against the DuckDB all-pairs
+    oracle.  Sparser production configs (fewer tables, more bits) are
+    recall-tested in tests/test_llm_ops.py."""
     flow = Flow({"emb": load_table(spark, sf_dir, "embeddings")})
-    return CosineLSHJoin("emb", "pairs", dim=64, threshold=0.3, n_tables=8, bits_per_table=8)(
+    return CosineLSHJoin("emb", "pairs", dim=64, threshold=0.3, n_tables=48, bits_per_table=4)(
         flow
     )["pairs"]
 

@@ -43,7 +43,7 @@ from .operators.dedup import (
     EmbeddingNearDupPairs,
 )
 from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, ivf_search
-from .operators.multimodal import MediaFeatures, synthetic_assets
+from .operators.multimodal import MediaFeatures, synthetic_assets, wav_decode
 
 __all__ = [
     "Flow",
@@ -104,6 +104,7 @@ __all__ = [
     "ivf_search",
     "MediaFeatures",
     "synthetic_assets",
+    "wav_decode",
 ]
 
 __version__ = "0.1.0"

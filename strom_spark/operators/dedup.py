@@ -595,10 +595,18 @@ class EmbeddingNearDupPairs(Component):
     Strategy ``gemm`` (default): one side is collected+broadcast as a
     normalized float64 matrix; ``mapInPandas`` streams corpus blocks and
     computes block × matrixᵀ with numpy GEMM — vectorized, no pair
-    materialization, linear scan of the corpus.  The broadcast side must
-    fit in executor memory (64-dim × 10M vectors ≈ 5 GB — beyond that,
-    tile the broadcast side or use ``similarity.CosineLSHJoin`` as the
-    sub-quadratic scale path).
+    materialization, linear scan of the corpus.
+
+    The broadcast side is GUARDED: a cheap count first, and above
+    ``max_broadcast_rows`` the broadcast side is hash-TILED — each tile
+    is collected/broadcast on its own and scanned against the full
+    corpus, so driver and executor memory are bounded by one tile
+    regardless of corpus size (classic blocked all-pairs GEMM; total
+    work is the same O(n²) dot products, n_tiles corpus scans).  Every
+    (d1 < d2) pair lands in exactly the tile owning d2 — no cross-tile
+    duplicates, no distinct shuffle.  ``on_overflow='error'`` raises
+    instead, for pipelines that should switch to the sub-quadratic
+    ``similarity.CosineLSHJoin`` path above the bound.
 
     Strategy ``join``: pure-plan self-join with JVM fold dot product —
     no driver collection, but interpreted HOFs make it ~10× slower per
@@ -615,31 +623,35 @@ class EmbeddingNearDupPairs(Component):
         vec_col: str = "embedding",
         threshold: float = 0.95,
         strategy: str = "gemm",
+        max_broadcast_rows: int = 2_000_000,
+        on_overflow: str = "tile",
         label: str | None = None,
     ):
         if strategy not in ("gemm", "join"):
             raise ValueError("strategy must be 'gemm' or 'join'")
+        if on_overflow not in ("tile", "error"):
+            raise ValueError("on_overflow must be 'tile' or 'error'")
         self.input = input
         self.output = output or input
         self.id_col = id_col
         self.vec_col = vec_col
         self.threshold = threshold
         self.strategy = strategy
+        self.max_broadcast_rows = max_broadcast_rows
+        self.on_overflow = on_overflow
         self.label = label
 
-    def _gemm(self, df: DataFrame) -> DataFrame:
+    def _gemm_one(self, slim: DataFrame, side: DataFrame) -> DataFrame:
+        """Full-corpus scan (``slim``) against one collected+broadcast
+        side; emits (d1 < d2) pairs where d2 is on the broadcast side."""
         import numpy as np
         import pandas as pd
 
-        slim = df.select(
-            F.col(self.id_col).cast("bigint").alias("id"),
-            F.col(self.vec_col).cast("array<double>").alias("v"),
-        )
-        pdf = slim.toPandas()
+        pdf = side.toPandas()
         ids_all = pdf["id"].to_numpy()
         M = np.stack(pdf["v"].to_list()).astype("float64")
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-        bc = df.sparkSession.sparkContext.broadcast((ids_all, M))
+        bc = slim.sparkSession.sparkContext.broadcast((ids_all, M))
         threshold = self.threshold
 
         def block(batches):
@@ -661,6 +673,38 @@ class EmbeddingNearDupPairs(Component):
                     )
 
         return slim.mapInPandas(block, schema="d1 bigint, d2 bigint, cosine double")
+
+    def _gemm(self, df: DataFrame) -> DataFrame:
+        from functools import reduce
+
+        slim = df.select(
+            F.col(self.id_col).cast("bigint").alias("id"),
+            F.col(self.vec_col).cast("array<double>").alias("v"),
+        )
+        n = slim.count()  # cheap guard: one count agg before any collect
+        if n <= self.max_broadcast_rows:
+            return self._gemm_one(slim, slim)
+        if self.on_overflow == "error":
+            raise ValueError(
+                f"EmbeddingNearDupPairs gemm: corpus has {n} vectors > "
+                f"max_broadcast_rows={self.max_broadcast_rows}; use "
+                "on_overflow='tile' or the sub-quadratic CosineLSHJoin"
+            )
+        n_tiles = -(-n // self.max_broadcast_rows)  # ceil division
+        tiled = slim.withColumn(
+            "__tile", F.pmod(F.xxhash64("id"), F.lit(n_tiles)).cast("int")
+        )
+        # one localCheckpoint so the n_tiles collects + n_tiles corpus
+        # scans reuse a materialized slim instead of re-reading source
+        tiled = tiled.localCheckpoint(eager=True)
+        parts = [
+            self._gemm_one(
+                tiled.drop("__tile"),
+                tiled.filter(F.col("__tile") == t).drop("__tile"),
+            )
+            for t in range(n_tiles)
+        ]
+        return reduce(lambda a, b: a.unionAll(b), parts)
 
     def _join(self, df: DataFrame) -> DataFrame:
         normed = df.select(

@@ -2,11 +2,12 @@
 columns with typed metadata.
 
 The Spark-side design is real and tested — schema, partitioning, Arrow
-batch shape, UDF signatures — while the actual media decode is stubbed
-(this container has no image/audio libraries): ``decode_fn=None`` uses
-a deterministic fake "decoder" that derives features from the raw
-bytes, clearly marked; pass a real decode_fn (PIL/torchaudio/ffmpeg)
-in production.
+batch shape, UDF signatures.  For decoding: :func:`wav_decode` is a
+REAL stdlib-only PCM-WAV decoder (header + frames + audio features);
+for formats that need native codecs (JPEG/MP4/...) this container has
+no libraries, so ``decode_fn=None`` falls back to a deterministic
+byte-statistics stand-in, clearly marked — pass a real decode_fn
+(PIL/torchaudio/ffmpeg) in production, or ``strict=True`` to raise.
 
 At 100 TB the constraints this module encodes:
   - media bytes travel as ``binary`` columns inside parquet — scanned
@@ -63,6 +64,55 @@ def _fake_decode(content: bytes, media_type: str) -> list[float]:
         float(min(sampled)),
         float(s / max(len(sampled), 1)),
         float(len(set(sampled))),
+    ]
+
+
+def wav_decode(content: bytes, media_type: str = "audio") -> list[float]:
+    """REAL decoder for PCM WAV (RIFF) — stdlib-only (``wave`` +
+    ``struct``), no native media libraries needed.  Parses the header
+    and the PCM frames and returns 8 deterministic audio features:
+
+    [n_channels, sample_rate, n_frames, duration_ms,
+     peak_abs, mean, rms, zero_crossings]
+
+    Supports 8-bit unsigned and 16-bit signed PCM (the two classic
+    uncompressed encodings).  Raises on compressed/float WAV — at that
+    point you genuinely need a native codec; pass your own decode_fn.
+    """
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        sr = w.getframerate()
+        nf = w.getnframes()
+        raw = w.readframes(nf)
+    if sw == 2:
+        samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+    elif sw == 1:
+        samples = tuple(b - 128 for b in raw)
+    else:
+        raise ValueError(f"unsupported PCM sample width: {sw} bytes")
+    n = len(samples)
+    if n == 0:
+        return [float(nch), float(sr), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    peak = float(max(abs(s) for s in samples))
+    mean = sum(samples) / n
+    rms = (sum(s * s for s in samples) / n) ** 0.5
+    zc = sum(
+        1 for i in range(1, n) if (samples[i - 1] >= 0) != (samples[i] >= 0)
+    )
+    return [
+        float(nch),
+        float(sr),
+        float(nf),
+        1000.0 * nf / sr,
+        peak,
+        mean,
+        rms,
+        float(zc),
     ]
 
 

@@ -399,21 +399,43 @@ class CosineLSHJoin(Component):
             F.col(self.id_col).alias("id"), V.l2_normalize(self.vec_col).alias("v")
         )
         planes = _hyperplanes(self.dim, self.n_tables * self.bits_per_table, self.seed)
-        keys = []
+        sigs = []
         for t in range(self.n_tables):
             tp = planes[t * self.bits_per_table : (t + 1) * self.bits_per_table]
-            keys.append(F.concat(F.lit(f"{t}#"), _sign_bits(F.col("v"), tp)))
-        bucketed = normed.select("id", "v", F.explode(F.array(*keys)).alias("bucket"))
+            sigs.append(_sign_bits(F.col("v"), tp) if tp else F.lit(""))
+        # carry the full per-table signature array through the join so
+        # a pair colliding in several tables can be kept ONLY in its
+        # first matching table — an unrolled boolean over already-loaded
+        # columns instead of a wide dropDuplicates shuffle over all
+        # candidate pairs (same trick as SimHashPairs' block dedup,
+        # dedup.py).  Join key is (table, signature): integer+string
+        # equi-join, candidates never leave their bucket partition.
+        bucketed = normed.select(
+            "id", "v", F.array(*sigs).alias("sigs")
+        ).select(
+            "id", "v", "sigs", F.posexplode(F.col("sigs")).alias("t", "bucket")
+        )
         a, b = bucketed.alias("a"), bucketed.alias("b")
+        first_match = F.lit(True)
+        for j in range(self.n_tables - 1):
+            first_match = first_match & (
+                (F.lit(j) >= F.col("a.t"))
+                | (F.col("a.sigs")[j] != F.col("b.sigs")[j])
+            )
         cand = (
-            a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+            a.join(
+                b,
+                (F.col("a.t") == F.col("b.t"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .filter(first_match)
             .select(
                 F.col("a.id").alias("d1"),
                 F.col("b.id").alias("d2"),
                 F.col("a.v").alias("v1"),
                 F.col("b.v").alias("v2"),
             )
-            .dropDuplicates(["d1", "d2"])
         )
         out = (
             cand.withColumn("cosine", F.round(V.dot("v1", "v2"), 6))

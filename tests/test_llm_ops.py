@@ -175,3 +175,74 @@ def test_simhash_block_config_validated():
     from strom_spark import SimHashDedup
     with pytest.raises(ValueError, match="max_distance"):
         SimHashDedup("d", "p", max_distance=-1)
+
+
+def test_embedding_gemm_tiling_matches_untiled(spark, emb):
+    """Over max_broadcast_rows the gemm side is hash-tiled (bounded
+    driver/executor memory); pairs must be identical to the untiled
+    broadcast, with no cross-tile duplicates."""
+    flow = Flow({"e": emb})
+    base = EmbeddingNearDupPairs("e", "p", threshold=0.3)(flow)["p"]
+    tiled = EmbeddingNearDupPairs(
+        "e", "p", threshold=0.3, max_broadcast_rows=100
+    )(flow)["p"]
+    b = {(r.d1, r.d2, r.cosine) for r in base.collect()}
+    t_rows = tiled.collect()
+    t = {(r.d1, r.d2, r.cosine) for r in t_rows}
+    assert len(t_rows) == len(t)  # no duplicate pairs across tiles
+    assert t == b and len(b) > 0
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        EmbeddingNearDupPairs(
+            "e", "p", max_broadcast_rows=100, on_overflow="error"
+        )(flow)["p"]
+
+
+def test_wav_decode_real_format(spark):
+    """wav_decode is a REAL decoder: build genuine 16-bit PCM WAV
+    files with the stdlib wave module, decode, and check features
+    against independently computed values; then run the same blobs
+    through MediaFeatures(decode_fn=wav_decode) on Spark."""
+    import io
+    import math
+    import struct
+    import wave
+
+    def make_wav(freq_hz, sr=8000, n=800, amp=10000, nch=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            frames = b"".join(
+                struct.pack("<h", int(amp * math.sin(2 * math.pi * freq_hz * i / sr))) * nch
+                for i in range(n)
+            )
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    from strom_spark import wav_decode
+
+    blob = make_wav(440.0)
+    nch, sr, nf, dur_ms, peak, mean, rms, zc = wav_decode(blob)
+    assert (nch, sr, nf) == (1.0, 8000.0, 800.0)
+    assert dur_ms == 100.0
+    assert 9990 <= peak <= 10000
+    # 440 Hz over 0.1 s -> 44 cycles -> ~88 zero crossings
+    assert 80 <= zc <= 96
+    assert abs(rms - 10000 / math.sqrt(2)) < 150
+    # unsupported width raises instead of faking
+    with pytest.raises(Exception):
+        wav_decode(b"RIFF not a wav")
+
+    rows = [
+        {"asset_id": i, "media_type": "audio", "content": make_wav(100.0 * (i + 1))}
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, schema="asset_id bigint, media_type string, content binary")
+    out = MediaFeatures("a", "f", decode_fn=wav_decode)(Flow({"a": df}))["f"]
+    got = {r.asset_id: r.feat for r in out.collect()}
+    assert len(got) == 6
+    for i in range(6):
+        assert got[i][:4] == [1.0, 8000.0, 800.0, 100.0]
+        expect_zc = 2 * 100.0 * (i + 1) * 0.1  # 2 crossings per cycle
+        assert abs(got[i][7] - expect_zc) <= 8
