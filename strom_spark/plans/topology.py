@@ -16,15 +16,90 @@ from ..component import Component, Pipeline
 from ..flow import Flow
 
 
+#: component marker glyphs (reference component_character/1:
+#: Source ▼, Sink ▲, Mixer Y, Splitter Λ, Transformer ⏺)
+_MARKERS = {
+    "Source": "▼",
+    "Sink": "▲",
+    "Mixer": "Y",
+    "MixerTree": "Y",
+    "Splitter": "Λ",
+    "SplitterTree": "Λ",
+}
+
+
 def draw(pipeline: Pipeline) -> str:
-    """ASCII rendering: one line per component, streams as edges."""
+    """Rail-yard rendering of the stream graph, in the style the
+    reference's ``Topology.draw`` demonstrates
+    (``test/composite/topology/draw_test.exs``): streams are vertical
+    lanes (``|``), each component is a row — its marker glyph sits at
+    the average position of its input lanes, inputs are marked ``❚``
+    on the preceding row, fresh outputs ``.`` — and a lane freed by a
+    consumed stream is re-used for the output closest to that
+    position.  The right-hand column carries the wiring summary
+    ``[ins] -> Component -> [outs]``.
+
+    Nested pipelines flatten before drawing (exactly as the
+    reference's Composite flattens, ``lib/composite.ex:40-52``), so
+    the lanes show the full end-to-end stream graph."""
+    from ..sources.sink import Sink
+    from ..sources.source import Source
+
     lines: list[str] = [f"Pipeline[{pipeline.name}]"]
+    lanes: list[str | None] = []
+
+    def lane_row(marks: dict[int, str]) -> str:
+        cells = []
+        for j, s in enumerate(lanes):
+            cells.append(marks.get(j, "| " if s else "  "))
+        return "".join(cells).rstrip()
+
+    width = 2 * max(
+        (len(set().union(*(list(c.input_names()) + list(c.output_names()) for c in pipeline.components))) if pipeline.components else 0),
+        1,
+    )
     for i, comp in enumerate(pipeline.components):
-        ins = ", ".join(comp.input_names()) or "-"
-        outs = ", ".join(comp.output_names()) or "-"
+        declared_ins = list(comp.input_names())
+        outs = list(comp.output_names())
+        # a Source starts its lane itself; a Sink ends its lanes
+        ins = list(outs) if isinstance(comp, Source) else declared_ins
+        sink_like = isinstance(comp, Sink)
+        for s in ins:
+            if s not in lanes:
+                lanes.append(s)
+        # caption + input-mark rows (live lane names, ❚ at inputs)
+        caption = " ".join(s for s in lanes if s)
+        if caption:
+            lines.append(caption)
+        lines.append(lane_row({j: "❚ " for j, s in enumerate(lanes) if s in ins}))
+        positions = [j for j, s in enumerate(lanes) if s in ins]
+        avg = round(sum(positions) / len(positions)) if positions else 0
+        # consumed streams free their lanes; outputs take the freed
+        # lane closest to the component's position (reference
+        # find_place_for_outputs)
+        ended = set(ins if not sink_like else declared_ins) - (set() if sink_like else set(outs))
+        lanes = [None if s in ended else s for s in lanes]
+        for o in ([] if sink_like else outs):
+            if o in lanes:
+                continue
+            free = [j for j, s in enumerate(lanes) if s is None]
+            if free:
+                lanes[min(free, key=lambda j: abs(j - avg))] = o
+            else:
+                lanes.append(o)
+        marker = _MARKERS.get(type(comp).__name__, "⏺")
+        cells: dict[int, str] = {avg: f"{marker} "}
+        for j, s in enumerate(lanes):
+            if j != avg and s in outs and not sink_like:
+                cells[j] = ". "
         name = type(comp).__name__
         lbl = f" ({comp.label})" if comp.label else ""
-        lines.append(f"  {i:>2}. [{ins}] -> {name}{lbl} -> [{outs}]")
+        desc = f"{i:>2}. [{', '.join(declared_ins) or '-'}] -> {name}{lbl} -> [{', '.join(outs) or '-'}]"
+        lines.append(f"{lane_row(cells).ljust(width)}  {desc}")
+    tail = " ".join(s for s in lanes if s)
+    if tail:
+        lines.append(tail)
+        lines.append(lane_row({}))
     return "\n".join(lines)
 
 

@@ -18,8 +18,10 @@ accumulate in state (the reference needs an explicit ``force_order``
 stage for this, ``parcels_test.exs:106-142``).
 
 At scale: state is per-order (bounded by open orders), partitioned
-across executors by the order key; decided orders drop their state
-immediately, so memory tracks the working set, not history.
+across executors by the order key; decided orders keep a small
+tombstone (so late/duplicate events can't re-open them or leak fresh
+state) that a GC timer removes one timeout past the deadline — memory
+tracks the working set plus one timeout window, not history.
 """
 
 from __future__ import annotations
@@ -97,15 +99,30 @@ class StreamingMatchDecide(Component):
                 "expected": None, "deadline": None, "arrived": 0, "late": False, "decided": False
             }
 
-            def decide(decision):
-                acc["decided"] = True
-                if state.exists:
-                    state.remove()
-                return pd.DataFrame([{"order_id": order_id, "decision": decision}])
-
             if state.hasTimedOut:
+                # timer fired: GC the state (tombstones silently; open
+                # orders decide THRESHOLD — parcels still missing at
+                # the deadline watermark)
+                state.remove()
                 if not acc["decided"]:
-                    yield decide(THRESHOLD)
+                    yield pd.DataFrame([{"order_id": order_id, "decision": THRESHOLD}])
+                return
+
+            def set_timer(ts_ms: int):
+                # event-time timers must sit above the watermark;
+                # clamping keeps a passed deadline firing on the next
+                # watermark advance instead of erroring
+                state.setTimeoutTimestamp(max(ts_ms, state.getCurrentWatermarkMs() + 1))
+
+            gc_ms = int((acc["deadline"] or 0) * 1000 + timeout_s * 1000)
+
+            if acc["decided"]:
+                # tombstone: a late/duplicate event for an
+                # already-decided order must neither re-open it nor
+                # emit a second decision; swallow it and refresh the
+                # GC timer (event-time timers reset on every call)
+                state.update((pickle.dumps(acc),))
+                set_timer(gc_ms)
                 return
 
             events = []
@@ -113,7 +130,7 @@ class StreamingMatchDecide(Component):
                 events.extend(pdf.to_dict("records"))
             events.sort(key=lambda e: e[ts_col])
 
-            out = None
+            decision = None
             for e in events:
                 if e[type_col] == order_type:
                     acc["expected"] = int(e[expected_col])
@@ -125,18 +142,28 @@ class StreamingMatchDecide(Component):
                 if acc["expected"] is None:
                     continue  # parcel before its order: accumulate
                 if e[type_col] == parcel_type and e[ts_col].timestamp() > acc["deadline"]:
-                    out = decide(THRESHOLD)
+                    decision = THRESHOLD
                     break
                 if acc["arrived"] >= acc["expected"]:
-                    out = decide(ALL_SHIPPED)
+                    decision = ALL_SHIPPED
                     break
 
-            if out is not None:
-                yield out
+            if decision is not None:
+                # persist a TOMBSTONE (decided=True) instead of
+                # removing state: removal would let a late parcel
+                # re-create fresh state with expected=None that never
+                # times out (unbounded state growth) and a duplicate
+                # ORDER event re-open the order.  The tombstone is
+                # garbage-collected by its own timer one timeout past
+                # the deadline.
+                acc["decided"] = True
+                state.update((pickle.dumps(acc),))
+                set_timer(int((acc["deadline"] or 0) * 1000 + timeout_s * 1000))
+                yield pd.DataFrame([{"order_id": order_id, "decision": decision}])
             else:
                 state.update((pickle.dumps(acc),))
                 if acc["deadline"] is not None:
-                    state.setTimeoutTimestamp(int(acc["deadline"] * 1000))
+                    set_timer(int(acc["deadline"] * 1000))
 
         return df.groupBy(self.key).applyInPandasWithState(
             kernel,

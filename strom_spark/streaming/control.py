@@ -43,7 +43,7 @@ def run_available(df: DataFrame, *, format: str = "memory", query_name: str = "o
 
 def stop_when(query: StreamingQuery, condition: Callable[[StreamingQuery], bool], poll_s: float = 0.2, timeout_s: float = 60.0) -> None:
     """Poll ``condition(query)`` and stop the query when it holds —
-    the `no_wait`/custom-halt policy hook."""
+    the generic custom-halt policy hook."""
     deadline = time.time() + timeout_s
     while time.time() < deadline:
         if condition(query):
@@ -51,6 +51,61 @@ def stop_when(query: StreamingQuery, condition: Callable[[StreamingQuery], bool]
             return
         time.sleep(poll_s)
     query.stop()
+
+
+def halt_when_input_ends(
+    query: StreamingQuery,
+    source: str,
+    *,
+    idle_batches: int = 2,
+    poll_s: float = 0.1,
+    timeout_s: float = 60.0,
+) -> bool:
+    """TRUE ``no_wait`` semantics (reference ``lib/gen_mix.ex:377-387``,
+    ``test/mixer_test.exs:126-147``): watch ONE NAMED INPUT of a mixed
+    query and halt the whole query when that input ends.
+
+    ``source`` is matched as a substring of the per-source progress
+    description (e.g. the finite side's file path); the input counts as
+    ended once it has produced at least one row and then goes silent —
+    ``idle_batches`` consecutive NEW micro-batches contributing zero
+    rows with an unchanged end offset — while other (infinite) inputs
+    keep the query ticking.  Structured Streaming has no per-input
+    "done" signal (a file source can always receive more files), so
+    caught-up-and-idle is the faithful cluster analog of the
+    reference's finite-Enumerable halt.
+
+    Returns True if the named input was seen to end (query stopped by
+    the policy), False on overall timeout (query stopped anyway).
+    """
+    started = False
+    idle = 0
+    last_batch = -1
+    last_offset: object = object()
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        p = query.lastProgress
+        if p is None or p["batchId"] == last_batch:
+            time.sleep(poll_s)
+            continue
+        last_batch = p["batchId"]
+        matches = [s for s in p["sources"] if source in (s.get("description") or "")]
+        if matches:
+            s = matches[0]
+            rows = s.get("numInputRows") or 0
+            off = s.get("endOffset")
+            if rows > 0:
+                started = True
+                idle = 0
+            elif started and off == last_offset:
+                idle += 1
+                if idle >= idle_batches:
+                    query.stop()
+                    return True
+            last_offset = off
+        time.sleep(poll_s)
+    query.stop()
+    return False
 
 
 def feedback_loop(

@@ -149,3 +149,57 @@ def test_streaming_stateful_count_window(spark):
         ]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_no_wait_halts_mix_when_finite_input_ends(spark):
+    """Port of the reference's no_wait mixer test
+    (test/mixer_test.exs:126-147: finite [1..5] mixed with an infinite
+    cycle; the mixed stream halts when the finite input ends).  Here:
+    a finite file stream mixed with an infinite rate source; the
+    no_wait policy detects the finite input's end from per-source
+    progress and stops the whole query."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from strom_spark import Flow, Mixer
+    from strom_spark.streaming.control import halt_when_input_ends
+
+    d = tempfile.mkdtemp(prefix="strom_nowait_")
+    try:
+        pd.DataFrame({"value": [1, 2, 3, 4, 5]}).astype("int64").to_parquet(
+            f"{d}/finite.parquet"
+        )
+        finite = spark.readStream.schema("value long").parquet(d)
+        infinite = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 50)
+            .load()
+            .select(
+                F.element_at(
+                    F.array(F.lit(9), F.lit(8), F.lit(7)),
+                    (F.col("value") % 3 + 1).cast("int"),
+                ).cast("long").alias("value")
+            )
+        )
+        flow = Mixer(["finite", "infinite"], "mixed")(
+            Flow({"finite": finite, "infinite": infinite})
+        )
+        q = (
+            flow["mixed"]
+            .writeStream.format("memory")
+            .queryName("t_nowait")
+            .outputMode("append")
+            .start()
+        )
+        ended = halt_when_input_ends(q, d, timeout_s=90.0)
+        assert ended, "no_wait policy timed out instead of detecting input end"
+        assert not q.isActive
+        got = [r.value for r in spark.sql("SELECT * FROM t_nowait").collect()]
+        for v in (1, 2, 3, 4, 5):  # every finite element was mixed through
+            assert v in got
+        assert set(got) <= {1, 2, 3, 4, 5, 9, 8, 7}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

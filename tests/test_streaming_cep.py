@@ -258,3 +258,51 @@ def test_checkpoint_restart_carries_state(spark):
         ]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_decided_order_is_tombstoned_not_reopened(spark):
+    """A late/duplicate event for an already-decided order must not
+    re-open it or emit a second (contradictory) decision: the decision
+    leaves a tombstone in state, GC'd by its own event-time timer.
+    (Without the tombstone, a duplicate ORDER + late parcel would emit
+    a second ALL_PARCELS_SHIPPED, and the re-created state would leak
+    forever.)"""
+    d = tempfile.mkdtemp(prefix="strom_cep_tomb_")
+    try:
+        # batch 1: order 1 completes -> ALL_SHIPPED decided
+        _write(
+            f"{d}/f1.parquet",
+            [
+                (1, "ORDER_CREATED", 1, T0),
+                (1, "PARCEL_SHIPPED", 0, T0 + 10 * MIN),
+            ],
+        )
+        # batch 2: duplicate ORDER + another parcel for the decided
+        # order — would re-complete (or exceed the threshold) if state
+        # had been dropped instead of tombstoned
+        _write(
+            f"{d}/f2.parquet",
+            [
+                (1, "ORDER_CREATED", 1, T0),
+                (1, "PARCEL_SHIPPED", 0, T0 + 20 * MIN),
+            ],
+        )
+        # batch 3: far-future tick fires every pending timer — a leaked
+        # undecided state would now emit a spurious THRESHOLD
+        _write(f"{d}/f3.parquet", [(-1, "TICK", 0, T0 + pd.Timedelta(days=10))])
+
+        schema = "order_id bigint, type string, expected bigint, ts timestamp"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withWatermark("ts", "1 second")
+        )
+        flow = StreamingMatchDecide(
+            "events", "decisions", key="order_id", timeout_s=3600
+        )(Flow({"events": stream}))
+        run_available(flow["decisions"], query_name="t_cep_tomb", output_mode="append")
+        rows = spark.sql("SELECT * FROM t_cep_tomb").collect()
+        assert [(r.order_id, r.decision) for r in rows] == [(1, ALL_SHIPPED)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -233,3 +233,29 @@ def test_ivf_index_probe_is_partition_pruned(spark, emb, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "centroid_id" in plan
     assert pruned.count() == 50
+
+
+def test_approx_distinct_within_rsd_bound(spark, sf_dir):
+    """Quantifies the rows-only approx_distinct_users entry: HLL++
+    estimates must sit within the configured relative standard
+    deviation of the exact COUNT(DISTINCT) — checked per event_type at
+    3x rsd (99.7% band; deterministic for fixed data+implementation)."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rsd = 0.05
+    both = (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert len(both) > 0
+    for r in both:
+        assert abs(r.approx - r.exact) <= max(3 * rsd * r.exact, 1), (
+            r.event_type,
+            r.approx,
+            r.exact,
+        )

@@ -118,3 +118,43 @@ def test_explain_shows_pushdown(spark, sf_dir):
     # column pruning: the scan schema must not include unused columns
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "l_extendedprice" not in read_schema
+
+
+def test_draw_rail_yard_rendering(spark):
+    """Topology.draw parity with the reference's rail-yard renderer
+    (lib/composite/topology.ex, test/composite/topology/draw_test.exs):
+    stream lanes, ❚ input marks, marker glyphs (▼ source, Y mixer,
+    Λ splitter, ⏺ transformer), lane re-use for outputs."""
+    from pyspark.sql import functions as F
+
+    from strom_spark import Mixer, Pipeline, Splitter, Transformer
+
+    p = Pipeline(
+        [
+            Transformer("s1", select={"v": "v"}, label="T1"),
+            Splitter("s1", {"a": "v > 0", "b": "v <= 0"}),
+            Mixer(["a", "b"], "mixed"),
+            Transformer("mixed", select={"v": "v"}),
+        ],
+        name="rail",
+    )
+    art = draw(p)
+    assert art == "\n".join(
+        [
+            "Pipeline[rail]",
+            "s1",
+            "❚",
+            "⏺          0. [s1] -> Transformer (T1) -> [s1]",
+            "s1",
+            "❚",
+            "Λ .        1. [s1] -> Splitter -> [a, b]",
+            "a b",
+            "❚ ❚",
+            "Y          2. [a, b] -> Mixer -> [mixed]",
+            "mixed",
+            "❚",
+            "⏺          3. [mixed] -> Transformer -> [mixed]",
+            "mixed",
+            "|",
+        ]
+    )

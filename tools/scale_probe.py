@@ -93,6 +93,40 @@ def main() -> None:
         rows = comp(Flow({"corpus": bige, "queries": queries}))["o"].count()
         results["ops"][name] = {"rows": rows, "sec": round(time.time() - t0, 1)}
 
+    # skew probe: a fact with 90% of rows on ONE key, joined to a dim
+    # too big to broadcast (forced: threshold -1) — the scenario where
+    # AQE alone leaves one straggler partition and salting spreads the
+    # hot key over `salt` parallel partitions.
+    from strom_spark.scale import salted_join
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fact = spark.range(4_000_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .cast("long")
+            .alias("k"),
+            F.col("id").alias("payload"),
+        ).cache()
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("dval")
+        )
+        fact.count()
+        t0 = time.time()
+        plain = fact.join(dim, "k").agg(F.sum("payload"), F.count("*")).collect()
+        t_plain = time.time() - t0
+        t0 = time.time()
+        salted = salted_join(fact, dim, ["k"], salt=16).agg(
+            F.sum("payload"), F.count("*")
+        ).collect()
+        t_salted = time.time() - t0
+        assert [tuple(r) for r in plain] == [tuple(r) for r in salted]
+        results["ops"]["skew_join_plain"] = {"rows": plain[0][1], "sec": round(t_plain, 1)}
+        results["ops"]["skew_join_salted16"] = {"rows": salted[0][1], "sec": round(t_salted, 1)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
     print(json.dumps(results))
     spark.stop()
 
