@@ -13,7 +13,7 @@ from .component import Component, Pipeline
 from .session import get_spark
 from .io import load_table, load_flow, spread, TABLES
 from .scale import salted_join, write_bucketed
-from .sources.source import Source, SourceOrigin, Read, ReadLines, ReadStream
+from .sources.source import IOGets, Source, SourceOrigin, Read, ReadLines, ReadStream
 from .sources.sink import Sink, SinkOrigin, Write, Console, Null, Memory
 from .operators.transformer import (
     Transformer,
@@ -51,6 +51,7 @@ __all__ = [
     "Component",
     "Pipeline",
     "get_spark",
+    "IOGets",
     "Source",
     "SourceOrigin",
     "Read",

@@ -172,3 +172,22 @@ class ReadStream(SourceOrigin):
         if self.schema is not None:
             reader = reader.schema(self.schema)
         return reader.load(self.path) if self.path else reader.load()
+
+
+class IOGets(ReadStream):
+    """Interactive line input as a stream (reference
+    ``lib/source/io_gets.ex:13-16``: ``IO.gets`` -> trimmed line).
+
+    A cluster has no stdin, so the Spark-native equivalent is the
+    socket source: lines typed into ``nc -lk <port>`` arrive as a
+    trimmed ``value`` column, one row per line — the same
+    line-at-a-time interactive contract, network-reachable from every
+    executor."""
+
+    def __init__(self, host: str = "localhost", port: int = 9999):
+        super().__init__("socket", host=host, port=port)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return super().load(spark).select(F.trim(F.col("value")).alias("value"))

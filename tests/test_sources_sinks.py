@@ -72,3 +72,46 @@ def test_read_origin_formats(spark, sf_dir):
     """Read('parquet', path) equals spark.read.parquet."""
     flow = Source("r", Read("parquet", f"{sf_dir}/region.parquet"), spark=spark)()
     assert flow["r"].count() == spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+
+def test_iogets_socket_origin(spark):
+    """IOGets (reference lib/source/io_gets.ex:13-16): interactive
+    line input as a stream.  Cluster-mode stdin is the socket source —
+    lines sent to the port arrive as trimmed `value` rows."""
+    import socket
+    import threading
+    import time
+
+    from strom_spark import Flow, IOGets, Source
+
+    srv = socket.socket()
+    srv.bind(("localhost", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(b"  hello \nworld\n")
+        time.sleep(8)
+        conn.close()
+        srv.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    flow = Source("lines", IOGets("localhost", port), spark=spark)(None)
+    assert flow["lines"].isStreaming
+    q = (
+        flow["lines"]
+        .writeStream.format("memory")
+        .queryName("t_iogets")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        got: set = set()
+        while time.time() < deadline and got != {"hello", "world"}:
+            got = {r.value for r in spark.sql("SELECT * FROM t_iogets").collect()}
+            time.sleep(0.3)
+        assert got == {"hello", "world"}  # trimmed, one row per line
+    finally:
+        q.stop()
