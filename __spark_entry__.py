@@ -1698,6 +1698,541 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D. TPC-H extension pack (shapes over the reduced test schema; no
+# partsupp / shipmode / receiptdate columns exist, so Q2/Q9/Q11/Q12/
+# Q16/Q20/Q21 are out of reach and Q12/Q22 run as adapted variants)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "q7_nation_volume",
+    """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    year(l.l_shipdate) AS l_year,
+    CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the
+    bounded nation dim is filtered to the TWO nations and broadcast
+    onto supplier/customer BEFORE the fact joins, so the fact side the
+    shuffle sees is already 2/25ths of supplier/customer; the
+    fact-fact joins carry no hints (AQE adapts)."""
+    flow = Flow(
+        {
+            "supplier": load_table(spark, sf_dir, "supplier"),
+            "customer": load_table(spark, sf_dir, "customer"),
+            "orders": load_table(spark, sf_dir, "orders"),
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+            "n1": load_table(spark, sf_dir, "nation"),
+            "n2": load_table(spark, sf_dir, "nation"),
+        }
+    )
+    pair = ("NATION_1", "NATION_2")
+    out = Pipeline(
+        [
+            Filter("n1", F.col("n_name").isin(*pair)),
+            Transformer("n1", select={"nk1": "n_nationkey", "supp_nation": "n_name"}),
+            Filter("n2", F.col("n_name").isin(*pair)),
+            Transformer("n2", select={"nk2": "n_nationkey", "cust_nation": "n_name"}),
+            Join("supplier", "n1", "sn", on=F.expr("s_nationkey = nk1"), broadcast=True),
+            Join("customer", "n2", "cn", on=F.expr("c_nationkey = nk2"), broadcast=True),
+            Join("lineitem", "sn", "lsn", on=F.expr("l_suppkey = s_suppkey")),
+            Join("orders", "cn", "ocn", on=F.expr("o_custkey = c_custkey")),
+            Join("lsn", "ocn", "all6", on=F.expr("l_orderkey = o_orderkey")),
+            Filter("all6", F.col("supp_nation") != F.col("cust_nation")),
+            Transformer(
+                "all6",
+                select={
+                    "supp_nation": "supp_nation",
+                    "cust_nation": "cust_nation",
+                    "l_year": F.year("l_shipdate"),
+                    "volume": _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")),
+                },
+            ),
+            Agg(
+                "all6",
+                "q7",
+                by=["supp_nation", "cust_nation", "l_year"],
+                aggs={"revenue": F.sum("volume").cast("double")},
+            ),
+            Sort("q7", "supp_nation", "cust_nation", "l_year"),
+        ]
+    )(flow)
+    return out["q7"]
+
+
+@_q(
+    "q8_market_share",
+    """
+SELECT o_year,
+  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+     / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate) AS o_year,
+    CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+    n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+)
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share of one supplying nation inside one
+    region's customers, PROMO parts): region/nation force-broadcast
+    (bounded); part filtered before its join (AQE broadcasts the
+    filtered slice at small SF); share = exact decimal sums, one IEEE
+    division per year."""
+    flow = Flow(
+        {
+            t: load_table(spark, sf_dir, t)
+            for t in ("part", "supplier", "customer", "orders", "lineitem", "region")
+        }
+        | {"n1": load_table(spark, sf_dir, "nation"), "n2": load_table(spark, sf_dir, "nation")}
+    )
+    out = Pipeline(
+        [
+            Filter("region", F.col("r_name") == "AMERICA"),
+            Filter("part", F.col("p_type") == "PROMO"),
+            Join("n1", "region", "nr", on=F.expr("n_regionkey = r_regionkey"), broadcast=True),
+            Transformer("nr", select={"cust_nk": "n_nationkey"}),
+            Transformer("n2", select={"supp_nk": "n_nationkey", "supp_nation": "n_name"}),
+            Join("customer", "nr", "cn", on=F.expr("c_nationkey = cust_nk"), broadcast=True),
+            Join("supplier", "n2", "sn", on=F.expr("s_nationkey = supp_nk"), broadcast=True),
+            Join("lineitem", "part", "lp", on=F.expr("l_partkey = p_partkey")),
+            Join("lp", "sn", "lps", on=F.expr("l_suppkey = s_suppkey")),
+            Join("orders", "cn", "ocn", on=F.expr("o_custkey = c_custkey")),
+            Join("lps", "ocn", "all8", on=F.expr("l_orderkey = o_orderkey")),
+            Transformer(
+                "all8",
+                select={
+                    "o_year": F.year("o_orderdate"),
+                    "volume": _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")),
+                    "supp_nation": "supp_nation",
+                },
+            ),
+            Agg(
+                "all8",
+                "q8",
+                by=["o_year"],
+                aggs={
+                    "mkt_share": (
+                        F.sum(
+                            F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                            .otherwise(F.lit(0).cast("decimal(18,2)"))
+                        ).cast("double")
+                        / F.sum("volume").cast("double")
+                    ).cast("double")
+                },
+            ),
+            Sort("q8", "o_year"),
+        ]
+    )(flow)
+    return out["q8"]
+
+
+@_q(
+    "q12_late_shipment_priority",
+    """
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(late) AS BIGINT) AS n_late
+FROM (
+  SELECT o.o_orderkey, o.o_orderpriority,
+    MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 spirit on the reduced schema (no shipmode/
+    receiptdate): per priority class, how many orders had ANY line
+    shipped more than 90 days after the order date.  Two-level agg:
+    per-order max flag (shuffle on orderkey), then the tiny priority
+    rollup."""
+    flow = Flow(
+        {
+            "orders": load_table(spark, sf_dir, "orders"),
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+        }
+    )
+    out = Pipeline(
+        [
+            Join("orders", "lineitem", "ol", on=F.expr("o_orderkey = l_orderkey")),
+            Agg(
+                "ol",
+                "per_order",
+                by=["o_orderkey", "o_orderpriority"],
+                aggs={
+                    "late": F.max(
+                        F.when(
+                            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                            1,
+                        ).otherwise(0)
+                    )
+                },
+            ),
+            Agg(
+                "per_order",
+                "q12",
+                by=["o_orderpriority"],
+                aggs={
+                    "n_orders": F.count("*"),
+                    "n_late": F.sum("late").cast("bigint"),
+                },
+            ),
+            Sort("q12", "o_orderpriority"),
+        ]
+    )(flow)
+    return out["q12"]
+
+
+@_q(
+    "q13_customer_distribution",
+    """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT outer
+    join with the filter INSIDE the join condition (customers with
+    only urgent orders count as zero), two-level agg — custkey then
+    the tiny distribution rollup."""
+    flow = Flow(
+        {
+            "customer": load_table(spark, sf_dir, "customer"),
+            "orders": load_table(spark, sf_dir, "orders"),
+        }
+    )
+    out = Pipeline(
+        [
+            Join(
+                "customer",
+                "orders",
+                "co",
+                on=F.expr("c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'"),
+                how="left",
+            ),
+            Agg("co", "per_cust", by=["c_custkey"], aggs={"c_count": F.count("o_orderkey")}),
+            Agg("per_cust", "q13", by=["c_count"], aggs={"custdist": F.count("*")}),
+            Sort("q13", F.col("custdist").desc(), F.col("c_count").desc(), ascending=True),
+        ]
+    )(flow)
+    return out["q13"]
+
+
+@_q(
+    "q14_promo_revenue",
+    """
+SELECT CAST(
+  100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+  AS DOUBLE) AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share in one month): ship-date
+    range pushed to the lineitem scan; part join carries no hint (2k
+    rows at sf0.01 — AQE broadcasts; at 100 TB part grows with SF and
+    the join shuffles on partkey); exact decimal sums, one division."""
+    flow = Flow(
+        {
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+            "part": load_table(spark, sf_dir, "part"),
+        }
+    )
+    lo = F.lit("1998-03-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-04-01 00:00:00").cast("timestamp")
+    disc = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    out = Pipeline(
+        [
+            Filter("lineitem", (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)),
+            Join("lineitem", "part", "lp", on=F.expr("l_partkey = p_partkey")),
+            Agg(
+                "lp",
+                "q14",
+                by=[],
+                aggs={
+                    "promo_revenue": (
+                        F.lit(100.0)
+                        * F.sum(
+                            F.when(F.col("p_type") == "PROMO", disc)
+                            .otherwise(F.lit(0).cast("decimal(18,2)"))
+                        ).cast("double")
+                        / F.sum(disc).cast("double")
+                    ).cast("double")
+                },
+            ),
+        ]
+    )(flow)
+    return out["q14"]
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    """
+WITH brand_lines AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#23'
+),
+thresh AS (
+  SELECT l_partkey AS pk,
+    0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS qty_thresh
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+FROM brand_lines b JOIN thresh t ON b.l_partkey = t.pk
+WHERE b.l_quantity < t.qty_thresh
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (revenue lost to small-quantity orders): the
+    correlated avg-quantity subquery becomes a per-partkey pre-agg
+    JOINED back — computed only over the brand's lineitems (the part
+    filter semi-reduces lineitem first), so the agg and the self-join
+    are candidate-sized at any SF."""
+    flow = Flow(
+        {
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+            "part": load_table(spark, sf_dir, "part"),
+        }
+    )
+    out = Pipeline(
+        [
+            Filter("part", F.col("p_brand") == "Brand#23"),
+            Join("lineitem", "part", "bl", on=F.expr("l_partkey = p_partkey")),
+            Transformer(
+                "bl",
+                select={
+                    "l_partkey": "l_partkey",
+                    "l_quantity": "l_quantity",
+                    "l_extendedprice": "l_extendedprice",
+                },
+            ),
+        ]
+    )(flow)
+    bl = out["bl"].localCheckpoint(eager=False)
+    thresh = (
+        bl.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            (
+                F.lit(0.2)
+                * (_avg(F.sum(_dec("l_quantity"))))
+            ).alias("qty_thresh")
+        )
+    )
+    joined = bl.join(thresh, bl.l_partkey == thresh.pk).filter(
+        F.col("l_quantity") < F.col("qty_thresh")
+    )
+    return joined.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+  CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_totalprice
+HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 300
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): group on the order key
+    with HAVING over the exact decimal quantity sum; distributed
+    TakeOrdered for the top 100.  The orders⋈lineitem join shuffles on
+    the orderkey (no hint)."""
+    flow = Flow(
+        {
+            "customer": load_table(spark, sf_dir, "customer"),
+            "orders": load_table(spark, sf_dir, "orders"),
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+        }
+    )
+    out = Pipeline(
+        [
+            Join("orders", "customer", "oc", on=F.expr("o_custkey = c_custkey")),
+            Join("lineitem", "oc", "ocl", on=F.expr("l_orderkey = o_orderkey")),
+            Agg(
+                "ocl",
+                "per_order",
+                by=[
+                    F.col("c_name"),
+                    F.col("c_custkey"),
+                    F.col("o_orderkey"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                    F.col("o_totalprice").cast("double").alias("totalprice"),
+                ],
+                aggs={"sum_qty_dec": F.sum(_dec("l_quantity"))},
+            ),
+            Filter("per_order", F.col("sum_qty_dec") > 300),
+            TopK(
+                "per_order",
+                "q18",
+                k=100,
+                order_by=[F.col("totalprice").desc(), F.col("o_orderkey")],
+            ),
+        ]
+    )(flow)
+    return out["q18"].select(
+        "c_name", "c_custkey", "o_orderkey", "orderdate", "totalprice",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+    )
+
+
+@_q(
+    "q19_disjunctive_revenue",
+    """
+SELECT CAST(COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 0) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive brand/size/quantity predicates):
+    Catalyst extracts the common l_quantity/p_size bounds as
+    scan-level filters and evaluates the OR post-join; the part side
+    is pre-filtered to the three brands before joining."""
+    flow = Flow(
+        {
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+            "part": load_table(spark, sf_dir, "part"),
+        }
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    out = Pipeline(
+        [
+            Filter("part", F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")),
+            Join("lineitem", "part", "lp", on=F.expr("l_partkey = p_partkey")),
+            Filter("lp", cond),
+            Agg(
+                "lp",
+                "q19",
+                by=[],
+                aggs={
+                    "revenue": F.coalesce(
+                        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))),
+                        F.lit(0).cast("decimal(18,2)"),
+                    ).cast("double")
+                },
+            ),
+        ]
+    )(flow)
+    return out["q19"]
+
+
+@_q(
+    "q22_idle_high_balance",
+    """
+WITH thresh AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, thresh t
+WHERE c.c_acctbal > t.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def q22_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 spirit on the reduced schema (no phone country
+    codes): above-average-balance customers with NO recent orders —
+    scalar-subquery threshold as a broadcast 1-row cross join, recent
+    orders anti-joined (left_anti shuffles on custkey; the date filter
+    is pushed to the orders scan).  Threshold is an exact decimal sum
+    with ONE IEEE division, identical in both engines."""
+    flow = Flow(
+        {
+            "customer": load_table(spark, sf_dir, "customer"),
+            "orders": load_table(spark, sf_dir, "orders"),
+        }
+    )
+    customer = flow["customer"]
+    thresh = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(_avg(F.sum(_dec("c_acctbal"))).alias("avg_bal"))
+    )
+    recent = flow["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    idle = (
+        customer.join(F.broadcast(thresh), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 

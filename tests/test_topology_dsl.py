@@ -93,6 +93,23 @@ def test_plan_shapes_of_headline_queries(spark, sf_dir):
     assert_no_fact_broadcast(q10_df)
     assert len(hinted_subtrees(q10_df)) == 1  # nation only
 
+    # extension pack: hints only on filtered-nation/region dims …
+    for name in ("q7_nation_volume", "q8_market_share"):
+        assert_no_fact_broadcast(qs[name](spark, sf_dir))
+    # … except q22, whose hinted side is a 1-ROW scalar aggregate of
+    # customer (bounded by construction at any SF)
+    q22_hints = hinted_subtrees(qs["q22_idle_high_balance"](spark, sf_dir))
+    assert len(q22_hints) == 1 and "Aggregate" in q22_hints[0]
+    for name in (
+        "q12_late_shipment_priority",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_disjunctive_revenue",
+    ):
+        assert hinted_subtrees(qs[name](spark, sf_dir)) == []  # AQE decides
+
     # partial+final hash aggregate with exactly one exchange of
     # pre-aggregated rows between them (map-side combine); count nodes
     # in the plan tree (the block before the per-node details)
