@@ -64,6 +64,7 @@ from strom_spark import (
     TopK,
     TopKPerGroup,
     Transformer,
+    WinnowFingerprints,
     load_table,
     spread,
     synthetic_assets,
@@ -1695,6 +1696,163 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs={"approx_users": F.approx_count_distinct("user_id")},
     )(flow)
     return out["agg"]
+
+
+#: shared winnowing oracle (k=3-gram word hashes, window 4; mirrors
+#: functions/text.py winnow() — windows fully inside for n>=w, global
+#: min for 1<=n<w, empty otherwise)
+_WINNOW_FPS = r"""
+grams AS (
+  SELECT doc_id, i, array_to_string(w[i:i+2], ' ') AS g
+  FROM toks, unnest(range(1, len(w) - 1)) t(i)
+  WHERE len(w) >= 3
+),
+hs AS (
+  SELECT doc_id, i, ('0x' || substring(md5(g), 1, 8))::UBIGINT AS h FROM grams
+),
+counts AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+wins AS (
+  SELECT hs.doc_id,
+    min(h) OVER (PARTITION BY hs.doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+    i, c.n
+  FROM hs JOIN counts c ON hs.doc_id = c.doc_id
+),
+fps AS (
+  SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+  FROM wins WHERE i <= greatest(n - 3, 1)
+)
+"""
+
+
+@_q(
+    "winnow_fingerprints",
+    rf"""
+WITH {_NORM_DOCS},
+{_WINNOW_FPS}
+SELECT doc_id AS id, fp FROM fps
+""",
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS, SIGMOD'03): ordered
+    3-gram hashes -> distinct window-4 minima — the position-robust
+    contiguous-match fingerprint (operators/dedup.py
+    WinnowFingerprints).  Pure Column expressions; zero Python."""
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    return WinnowFingerprints("docs", "fps", k=3, window=4)(flow)["fps"]
+
+
+@_q(
+    "winnow_overlap_pairs",
+    rf"""
+WITH {_NORM_DOCS},
+{_WINNOW_FPS},
+freq AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+),
+posting AS (SELECT doc_id, f.fp FROM fps f JOIN freq USING (fp))
+SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+FROM posting a JOIN posting b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 5
+""",
+)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-overlap pairs via shared winnowing fingerprints —
+    the plagiarism/boilerplate detector next to the bag-similarity
+    dedup family.  Inverted-index self-join on the fingerprint with a
+    hot-fingerprint guard (drop fps in > 50 docs — the stop-shingle
+    move from NgramJaccardPairs) so bucket sizes stay bounded at any
+    corpus size; pairs sharing >= 5 fingerprints survive."""
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    fps = WinnowFingerprints("docs", "fps", k=3, window=4)(flow)["fps"]
+    freq_ok = fps.groupBy("fp").agg(F.count("*").alias("__n")).filter(F.col("__n") <= 50).select("fp")
+    posting = fps.join(freq_ok, "fp")
+    a, b = posting.alias("a"), posting.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+
+
+@_q(
+    "corpus_curation",
+    rf"""
+WITH {_NORM_DOCS},
+feats AS (
+  SELECT t.doc_id, d.source, md5(n.ntext) AS fp,
+    len(list_filter(w, x -> x != '')) AS n_tok,
+    len(regexp_extract_all(d.text, '[^A-Za-z0-9\s]')) AS n_punct,
+    len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS n_stop,
+    len(list_distinct(w)) AS n_uniq,
+    length(d.text) AS n_chars,
+    len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','a'], x))) AS s_en,
+    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+    len(list_filter(w, x -> list_contains(['le','la','les','et','est','une'], x))) AS s_fr,
+    len(list_filter(w, x -> list_contains(['el','los','las','y','es','una'], x))) AS s_es
+  FROM toks t JOIN norm n ON t.doc_id = n.doc_id JOIN documents d ON t.doc_id = d.doc_id
+),
+scored AS (
+  SELECT doc_id, source, fp,
+    0.3 * least(n_tok / 100.0, 1.0)
+      + 0.25 * least((n_stop / greatest(n_tok, 1)) * 5, 1.0)
+      + 0.25 * (1.0 - least((n_punct / greatest(n_chars, 1)) * 10, 1.0))
+      + 0.2 * (n_uniq / greatest(n_tok, 1)) AS q,
+    CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+         ELSE 'und' END AS lang
+  FROM feats
+),
+filt AS (SELECT * FROM scored WHERE lang = 'en' AND q >= 0.4),
+keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY fp)
+SELECT f.source, COUNT(*) AS n_kept,
+  min(f.q) AS min_quality, max(f.q) AS max_quality
+FROM filt f JOIN keep k ON f.doc_id = k.doc_id
+GROUP BY f.source
+ORDER BY f.source
+""",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pipeline as ONE composed
+    Flow: language-ID -> quality gate -> exact dedup (keep min id per
+    content fingerprint) -> per-source report.  Every stage is a
+    reusable component/expression from the library (langid + quality
+    features + ExactDedup-style keep), the whole thing is one Catalyst
+    plan: scan -> narrow scoring -> one fingerprint shuffle -> one
+    source rollup.  min/max quality (order-independent doubles) keep
+    the report hash-stable across engines."""
+    flow = Flow({"docs": spread(load_table(spark, sf_dir, "documents"))})
+    out = Pipeline(
+        [
+            Transformer(
+                "docs",
+                select={
+                    "doc_id": "doc_id",
+                    "source": "source",
+                    "fp": TXT.fingerprint("text"),
+                    "lang": TXT.lang_id("text"),
+                    "q": TXT.quality_features("text")["quality_score"],
+                },
+            ),
+            Filter("docs", (F.col("lang") == "en") & (F.col("q") >= 0.4)),
+        ]
+    )(flow)
+    filt = out["docs"]
+    keep = filt.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    return (
+        filt.join(keep, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("q").alias("min_quality"),
+            F.max("q").alias("max_quality"),
+        )
+        .orderBy("source")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -36,6 +36,7 @@ from .operators.cep import MatchDecide
 from .operators.dedup import (
     SimHashDedup,
     ExactDedup,
+    WinnowFingerprints,
     NgramJaccardPairs,
     MinHashLSHPairs,
     SimHash,
@@ -92,6 +93,7 @@ __all__ = [
     "Iterate",
     "MatchDecide",
     "ExactDedup",
+    "WinnowFingerprints",
     "SimHashDedup",
     "NgramJaccardPairs",
     "MinHashLSHPairs",

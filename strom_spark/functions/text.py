@@ -108,6 +108,47 @@ def char_shingles(col: "Column | str", k: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, k)))
 
 
+def ordered_shingles(t: Column, k: int) -> Column:
+    """k-shingles of a bound token-array column IN ORDER (not
+    deduplicated) — winnowing needs positional windows, so unlike
+    :func:`shingles_of_tokens` duplicates and order are preserved.
+    Sub-k docs yield an empty array (same guard)."""
+    n = F.size(t)
+    idx = F.when(
+        n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+
+
+def kgram_hash(g: Column) -> Column:
+    """Portable 32-bit rolling-gram hash: first 8 hex digits of md5 as
+    an integer — bit-identical in Spark (``conv(substr(md5),16,10)``)
+    and DuckDB (``('0x'||substring(md5,1,8))::UBIGINT``)."""
+    return F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+
+
+def winnow(hashes: Column, w: int) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03): the distinct minima of every length-``w`` window over
+    the ordered k-gram hash sequence, sorted.  Guarantees every match
+    of length >= w+k-1 tokens shares a fingerprint, while storing only
+    ~2/(w+1) of the hashes.
+
+    ``hashes`` must be a bound column (HOF re-evaluation trap, see
+    :func:`shingles_of_tokens`).  Docs with fewer than ``w`` hashes
+    (but at least one) contribute their global minimum; empty hash
+    sequences yield an empty fingerprint set."""
+    n = F.size(hashes)
+    starts = (
+        F.when(n >= F.lit(w), F.sequence(F.lit(1), n - F.lit(w - 1)))
+        .when(n >= F.lit(1), F.array(F.lit(1)))
+        .otherwise(F.array().cast("array<int>"))
+    )
+    mins = F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, w)))
+    return F.array_sort(F.array_distinct(mins))
+
+
 def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))

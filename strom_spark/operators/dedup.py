@@ -93,6 +93,73 @@ class ExactDedup(Component):
 
 
 
+class WinnowFingerprints(Component):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): ordered k-gram hashes -> distinct
+    minima of every w-window, i.e. a position-robust fingerprint set
+    ~2/(w+1) the size of the gram sequence with a guaranteed-match
+    window of w+k-1 tokens.
+
+    Output ``mode='rows'`` (default): exploded (id, fp) posting rows —
+    the shape downstream overlap joins want; ``mode='set'``: one row
+    per doc with the sorted fingerprint array.
+
+    100 TB design: everything is a narrow Column expression (md5 +
+    integer conv + array HOFs, no Python, no shuffle); the only wide
+    operation downstream is whatever consumes the postings.  Compare
+    :class:`NgramJaccardPairs` (set-overlap semantics) — winnowing is
+    the CONTIGUOUS-match detector (plagiarism/quotation/boilerplate),
+    not a bag-similarity measure.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 3,
+        window: int = 4,
+        mode: str = "rows",
+        label: str | None = None,
+    ):
+        if mode not in ("rows", "set"):
+            raise ValueError("mode must be 'rows' or 'set'")
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.window = window
+        self.mode = mode
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        # each derived array is projected to a BOUND column before the
+        # next HOF consumes it (per-element re-evaluation trap,
+        # functions/text.py)
+        staged = (
+            _spread(df.select(F.col(self.id_col).alias("id"), F.col(self.text_col).alias("__text")))
+            .select("id", TXT.tokens("__text").alias("__toks"))
+            .select("id", TXT.ordered_shingles(F.col("__toks"), self.k).alias("__grams"))
+            .select("id", F.transform("__grams", TXT.kgram_hash).alias("__hashes"))
+            .select("id", TXT.winnow(F.col("__hashes"), self.window).alias("fps"))
+        )
+        if self.mode == "set":
+            out = staged.select("id", "fps")
+        else:
+            out = staged.select("id", F.explode("fps").alias("fp"))
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
 def _shingle_postings(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingle) postings list — distinct k-word shingles.
 

@@ -246,3 +246,31 @@ def test_wav_decode_real_format(spark):
         assert got[i][:4] == [1.0, 8000.0, 800.0, 100.0]
         expect_zc = 2 * 100.0 * (i + 1) * 0.1  # 2 crossings per cycle
         assert abs(got[i][7] - expect_zc) <= 8
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """Winnowing (SIGMOD'03) guarantee: any contiguous shared span of
+    >= w+k-1 tokens leaves at least one shared fingerprint.  Here
+    k=3, w=4 -> spans of 6+ tokens must collide; sub-k docs yield no
+    fingerprints at all."""
+    from strom_spark import WinnowFingerprints
+
+    span = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        {"doc_id": 1, "text": f"left filler words {span} right tail words"},
+        {"doc_id": 2, "text": f"completely different prefix tokens {span}"},
+        {"doc_id": 3, "text": "nothing in common with the others at all"},
+        {"doc_id": 4, "text": "too short"},
+    ]
+    df = spark.createDataFrame(rows)
+    out = WinnowFingerprints("d", "f")(Flow({"d": df}))["f"]
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "6-token shared span must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc  # sub-k doc: no grams, no fingerprints
+    # set mode returns the same fingerprints as sorted arrays
+    st = WinnowFingerprints("d", "f", mode="set")(Flow({"d": df}))["f"]
+    got = {r.id: list(r.fps) for r in st.collect()}
+    assert set(got[1]) == by_doc[1] and got[1] == sorted(got[1])
