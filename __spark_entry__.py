@@ -1778,6 +1778,165 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "median_order_value",
+    """
+WITH ranked AS (
+  SELECT o_orderpriority,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+    count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+mid AS (
+  SELECT o_orderpriority, price FROM ranked
+  WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT) OR rn = CAST(floor((n + 2) / 2) AS BIGINT)
+)
+SELECT o_orderpriority,
+  CAST(SUM(price) AS DOUBLE) / COUNT(*) AS median_price
+FROM mid GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed median per group — not approx_percentile:
+    rank rows inside each group (one shuffle on the group key, fully
+    parallel), pick the middle one or two, average them as exact
+    decimals.  The same rank-then-select algorithm runs as the oracle,
+    so the result is engine-portable where each engine's native
+    median/percentile interpolation is not."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        _dec("o_totalprice").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return (
+        mid.groupBy("o_orderpriority")
+        .agg((F.sum("price").cast("double") / F.count("*")).alias("median_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "events_pivot",
+    """
+SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+  COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+  COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
+  COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+  COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+  COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
+FROM events GROUP BY day_us ORDER BY day_us
+""",
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): day × event-type count matrix via
+    ``groupBy().pivot()`` with the value list EXPLICIT — Spark then
+    skips the extra distinct-values pass and the plan is one
+    partial+final agg, exactly what the conditional-sum oracle runs."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        events.select(F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"), "event_type")
+        .groupBy("day_us")
+        .pivot("event_type", types)
+        .count()
+    )
+    return out.select(
+        "day_us", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    ).orderBy("day_us")
+
+
+@_q(
+    "order_gap_days",
+    """
+SELECT o_custkey, o_orderkey,
+  COALESCE(date_diff('day',
+    lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+    o_orderdate), -1) AS gap_days
+FROM orders
+""",
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window: days since the customer's previous order (first
+    order -> -1 sentinel, keeping the column int64 in both engines).
+    One shuffle on the customer key; ties broken by orderkey on both
+    sides."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
+            F.lit(-1),
+        ).alias("gap_days"),
+    )
+
+
+@_q(
+    "asof_click_attribution",
+    """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+  CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+  COALESCE(c.click_id, -1) AS click_id,
+  CAST(COALESCE(epoch_us(c.ts), -1) AS BIGINT) AS click_ts_us
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward AS-OF join (operators/asof.py): each purchase
+    attributed to the user's latest click at-or-before it — checked
+    against DuckDB's native ASOF LEFT JOIN.  Spark lowering is the
+    union-marker window (one shuffle on user_id), not a range join or
+    Python loop."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    from strom_spark import AsofJoin
+
+    out = AsofJoin(
+        "purchases", "clicks", "attr",
+        key="user_id", value_cols=["click_id"],
+    )(Flow({"purchases": purchases, "clicks": clicks}))["attr"]
+    # -1 sentinels for the no-match rows keep the nullable-bigint
+    # columns int64 in BOTH engines' pandas frames (a NULL would flip
+    # one side to float64/object and break the value-hash compare)
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(F.unix_micros("matched_ts"), F.lit(-1)).alias("click_ts_us"),
+    )
+
+
+@_q(
     "corpus_curation",
     rf"""
 WITH {_NORM_DOCS},

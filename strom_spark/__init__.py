@@ -44,6 +44,7 @@ from .operators.dedup import (
     EmbeddingNearDupPairs,
 )
 from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, ivf_search
+from .operators.asof import AsofJoin
 from .operators.multimodal import MediaFeatures, synthetic_assets, wav_decode
 
 __all__ = [
@@ -105,6 +106,7 @@ __all__ = [
     "IVFTopK",
     "IVFIndex",
     "ivf_search",
+    "AsofJoin",
     "MediaFeatures",
     "synthetic_assets",
     "wav_decode",

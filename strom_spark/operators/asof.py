@@ -1,0 +1,115 @@
+"""As-of (backward temporal) join — the time-series primitive Spark's
+built-in join set lacks (pandas ``merge_asof`` / kdb ``aj`` / DuckDB
+``ASOF JOIN`` semantics): each left row picks the single right row with
+the greatest ``right_ts <= left_ts`` for the same key.
+
+Spark-first lowering — the union-marker trick, ONE shuffle total:
+
+    union(right(side=0), left(side=1))
+      -> window last(right_cols, ignorenulls) over
+           (partition by key order by ts, side rows unbounded..current)
+      -> keep side=1 rows
+
+instead of the naive range join (quadratic per key) or a per-key
+``applyInPandas`` (Python in the hot path).  Sorting ``side`` after
+``ts`` makes a right row at exactly ``left_ts`` visible to that left
+row (allow_exact_matches).  At 100 TB this is a single hash shuffle on
+the key + an in-partition sort — the same cost as any keyed window;
+skewed keys fall to AQE like every other window op.
+
+A ``tolerance`` (seconds) turns matches older than the horizon into
+NULLs — the standard attribution-window semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..component import Component
+from ..flow import Flow
+
+
+class AsofJoin(Component):
+    """Backward as-of join of ``left`` and ``right`` on ``key``.
+
+    Right rows MUST be unique per (key, right_ts) — pre-aggregate if
+    they aren't (the matched row would otherwise be tie-ambiguous in
+    every engine).  Output: all left columns, plus each ``value_col``
+    from the right (NULL when no right row is at-or-before), plus
+    ``matched_ts`` (the matched right timestamp).
+    """
+
+    def __init__(
+        self,
+        left: str,
+        right: str,
+        output: str,
+        *,
+        key: "str | Sequence[str]",
+        left_ts: str = "ts",
+        right_ts: str = "ts",
+        value_cols: Sequence[str],
+        tolerance_s: float | None = None,
+        label: str | None = None,
+    ):
+        self.left = left
+        self.right = right
+        self.output = output
+        self.key = [key] if isinstance(key, str) else list(key)
+        self.left_ts = left_ts
+        self.right_ts = right_ts
+        self.value_cols = list(value_cols)
+        self.tolerance_s = tolerance_s
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        left, right = flow[self.left], flow[self.right]
+        vcols = self.value_cols
+        r = right.select(
+            *self.key,
+            F.col(self.right_ts).alias("__ts"),
+            *[F.col(c) for c in vcols],
+        ).withColumn("__side", F.lit(0))
+        l = left.withColumn("__ts", F.col(self.left_ts)).withColumn(
+            "__side", F.lit(1)
+        )
+        u = l.unionByName(r, allowMissingColumns=True)
+        w = (
+            Window.partitionBy(*self.key)
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [
+            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"__m_{c}")
+            for c in vcols
+        ]
+        matched_ts = (
+            F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+            .over(w)
+            .alias("__m_ts")
+        )
+        out = u.select("*", *carried, matched_ts).filter(F.col("__side") == 1)
+        in_window = F.col("__m_ts").isNotNull()
+        if self.tolerance_s is not None:
+            in_window = in_window & (
+                F.col("__ts").cast("double") - F.col("__m_ts").cast("double")
+                <= F.lit(float(self.tolerance_s))
+            )
+        keep = [F.col(c) for c in left.columns]
+        keep += [
+            F.when(in_window, F.col(f"__m_{c}")).alias(c) for c in vcols
+        ]
+        keep.append(F.when(in_window, F.col("__m_ts")).alias("matched_ts"))
+        out = out.select(*keep)
+        return flow.without(self.left, self.right).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.left, self.right)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

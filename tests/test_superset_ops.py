@@ -259,3 +259,36 @@ def test_approx_distinct_within_rsd_bound(spark, sf_dir):
             r.approx,
             r.exact,
         )
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of join: latest right row at-or-before each left
+    row per key; exact matches included; tolerance nulls out stale
+    matches (pandas merge_asof semantics, one-shuffle lowering)."""
+    import pandas as pd
+
+    from strom_spark import AsofJoin, Flow
+
+    T = pd.Timestamp
+    l = spark.createDataFrame(pd.DataFrame({
+        "pid": [1, 2, 3, 4],
+        "k": ["a", "a", "a", "b"],
+        "ts": [T("2024-01-01 00:05"), T("2024-01-01 00:10"),
+               T("2024-01-01 00:00"), T("2024-01-01 00:07")],
+    }))
+    r = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts": [T("2024-01-01 00:03"), T("2024-01-01 00:10"), T("2024-01-01 00:08")],
+        "cid": [100, 200, 300],
+    }))
+    out = AsofJoin("l", "r", "o", key="k", value_cols=["cid"])(
+        Flow({"l": l, "r": r})
+    )["o"]
+    got = {row.pid: row.cid for row in out.collect()}
+    assert got == {1: 100, 2: 200, 3: None, 4: None}
+    # tolerance 60s: pid 1's match is 120s old -> nulled; exact match survives
+    out2 = AsofJoin("l", "r", "o", key="k", value_cols=["cid"], tolerance_s=60)(
+        Flow({"l": l, "r": r})
+    )["o"]
+    got2 = {row.pid: row.cid for row in out2.collect()}
+    assert got2 == {1: None, 2: 200, 3: None, 4: None}
