@@ -47,6 +47,17 @@ HEADLINE = [
     "dedup_embedding",
     "knn_topk",
     "text_quality",
+    # round-2 additions: new keys extend the set (old keys stay
+    # directly comparable round-over-round; the TOTAL covers 32
+    # queries from here on, vs 24 in round 1)
+    "q7_nation_volume",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "asof_click_attribution",
+    "median_order_value",
+    "corpus_curation",
 ]
 
 

@@ -148,3 +148,109 @@ def test_splitter_multi_match_duplicates(spark, vals):
         assert sorted(r.value for r in flow[name].collect()) == sorted(
             r.value for r in df.filter(sql).collect()
         )
+
+
+@given(
+    n_left=st.integers(1, 30),
+    n_right=st.integers(0, 30),
+    n_keys=st.integers(1, 4),
+    tol=st.one_of(st.none(), st.integers(1, 50)),
+    data=st.data(),
+)
+@SET
+def test_asof_join_matches_pandas_merge_asof(spark, n_left, n_right, n_keys, tol, data):
+    """Differential oracle: AsofJoin (union-marker window lowering)
+    must agree with pandas merge_asof on random keyed time series,
+    with and without a tolerance."""
+    import pandas as pd
+
+    from strom_spark import AsofJoin, Flow
+
+    keys = [f"k{i}" for i in range(n_keys)]
+    lrows = [
+        {
+            "pid": i,
+            "k": data.draw(st.sampled_from(keys)),
+            "t": data.draw(st.integers(0, 1000)),
+        }
+        for i in range(n_left)
+    ]
+    # right times unique per key (the operator's documented contract)
+    rseen = set()
+    rrows = []
+    for j in range(n_right):
+        k = data.draw(st.sampled_from(keys))
+        t = data.draw(st.integers(0, 1000))
+        if (k, t) in rseen:
+            continue
+        rseen.add((k, t))
+        rrows.append({"k": k, "t": t, "cid": 1000 + j})
+    lpdf = pd.DataFrame(lrows)
+    lpdf["ts"] = pd.to_datetime(lpdf["t"], unit="s")
+    rpdf = pd.DataFrame(rrows, columns=["k", "t", "cid"])
+    rpdf["ts"] = pd.to_datetime(rpdf["t"], unit="s")
+
+    expected = pd.merge_asof(
+        lpdf.sort_values(["ts", "pid"]),
+        rpdf.sort_values("ts"),
+        on="ts",
+        by="k",
+        tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
+        direction="backward",
+    )
+    exp = {
+        int(r.pid): (None if pd.isna(r.cid) else int(r.cid))
+        for r in expected.itertuples()
+    }
+
+    l = spark.createDataFrame(lpdf[["pid", "k", "ts"]])
+    r = (
+        spark.createDataFrame(rpdf[["k", "ts", "cid"]])
+        if len(rpdf)
+        else spark.createDataFrame([], "k string, ts timestamp, cid long")
+    )
+    out = AsofJoin(
+        "l", "r", "o", key="k", value_cols=["cid"],
+        tolerance_s=float(tol) if tol is not None else None,
+    )(Flow({"l": l, "r": r}))["o"]
+    got = {row.pid: row.cid for row in out.collect()}
+    assert got == exp
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=40).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    w=st.integers(1, 6),
+)
+@SET
+def test_winnow_matches_pure_python(spark, docs, w):
+    """Differential oracle: the Column-expression winnowing equals a
+    direct python implementation of Schleimer/Wilkerson/Aiken window
+    minima over the same portable k-gram hashes."""
+    import hashlib
+
+    from strom_spark import Flow, WinnowFingerprints
+
+    k = 3
+
+    def py_winnow(text):
+        toks = text.lower().split(" ") if text.strip() else []
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        if not hs:
+            return set()
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    out = WinnowFingerprints("d", "f", k=k, window=w)(Flow({"d": df}))["f"]
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.id, set()).add(r.fp)
+    for i, t in enumerate(docs):
+        assert got.get(i, set()) == py_winnow(t), (i, t)
