@@ -1778,6 +1778,79 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sample_split_counts",
+    """
+WITH b AS (
+  SELECT doc_id, source,
+    ('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT source,
+    CASE WHEN bucket < 8000 THEN 'train'
+         WHEN bucket < 9000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, COUNT(*) AS n, COUNT(DISTINCT source) AS n_sources
+FROM s GROUP BY split ORDER BY split
+""",
+)
+def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py
+    HashSplit): membership is a pure function of md5(salt||doc_id) —
+    reproducible across runs, retries, repartitions AND engines; the
+    oracle replays the identical bucket decision in DuckDB.  Spark's
+    seeded sample() can't do any of that."""
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    from strom_spark import HashSplit
+
+    out = HashSplit(
+        "docs", "split", key_col="doc_id",
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+    )(flow)["split"]
+    return (
+        out.groupBy("split")
+        .agg(F.count("*").alias("n"), F.countDistinct("source").alias("n_sources"))
+        .orderBy("split")
+    )
+
+
+@_q(
+    "balanced_source_cap",
+    """
+WITH b AS (
+  SELECT doc_id, source,
+    ('0x' || substring(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS bucket
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rk
+  FROM b
+)
+SELECT doc_id, source, rk FROM r WHERE rk <= 10
+""",
+)
+def balanced_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced downsampling (operators/sampling.py GroupCap): at most
+    10 documents per source, chosen by a deterministic hash-shuffle of
+    each group — the per-domain cap every web-scale corpus applies,
+    replayable by the oracle.  One window shuffle on the group key."""
+    from strom_spark import GroupCap
+    from strom_spark.operators.sampling import bucket_of
+
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    out = GroupCap("docs", "capped", by="source", key_col="doc_id", n=10)(flow)["capped"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(bucket_of("doc_id", "cap"), F.col("doc_id"))
+    return out.select(
+        "doc_id", "source", F.row_number().over(w).alias("rk")
+    )
+
+
+@_q(
     "median_order_value",
     """
 WITH ranked AS (

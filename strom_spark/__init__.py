@@ -36,6 +36,7 @@ from .operators.cep import MatchDecide
 from .operators.dedup import (
     SimHashDedup,
     ExactDedup,
+    StreamingExactDedup,
     WinnowFingerprints,
     NgramJaccardPairs,
     MinHashLSHPairs,
@@ -45,6 +46,7 @@ from .operators.dedup import (
 )
 from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, ivf_search
 from .operators.asof import AsofJoin
+from .operators.sampling import GroupCap, HashSample, HashSplit
 from .operators.multimodal import MediaFeatures, synthetic_assets, wav_decode
 
 __all__ = [
@@ -94,6 +96,7 @@ __all__ = [
     "Iterate",
     "MatchDecide",
     "ExactDedup",
+    "StreamingExactDedup",
     "WinnowFingerprints",
     "SimHashDedup",
     "NgramJaccardPairs",
@@ -107,6 +110,9 @@ __all__ = [
     "IVFIndex",
     "ivf_search",
     "AsofJoin",
+    "GroupCap",
+    "HashSample",
+    "HashSplit",
     "MediaFeatures",
     "synthetic_assets",
     "wav_decode",

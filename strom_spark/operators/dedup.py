@@ -93,6 +93,45 @@ class ExactDedup(Component):
 
 
 
+class StreamingExactDedup(Component):
+    """Exact dedup over an UNBOUNDED stream: keep the first-arriving
+    row per content fingerprint, with state garbage-collected by the
+    watermark (``dropDuplicatesWithinWatermark``) — the streaming
+    counterpart of :class:`ExactDedup`'s batch keep='rows'.
+
+    Requires the input stream to carry a watermark.  At 100 TB-rate
+    ingest the keyed dedup state is bounded by fingerprints seen
+    within one watermark delay, not history — the standard exactly-
+    once ingest-dedup pattern (duplicates separated by more than the
+    delay are out of contract, exactly like Spark's own semantics).
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        text_col: str = "text",
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.text_col = text_col
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        with_fp = df.withColumn("fingerprint", TXT.fingerprint(self.text_col))
+        out = with_fp.dropDuplicatesWithinWatermark(["fingerprint"])
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
 class WinnowFingerprints(Component):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): ordered k-gram hashes -> distinct

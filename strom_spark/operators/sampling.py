@@ -1,0 +1,169 @@
+"""Deterministic, engine-portable sampling for training-data pipelines.
+
+``df.sample()``/``sampleBy()`` are seeded per-engine (Spark's sampler
+is not reproducible outside Spark, and resamples on retry/recompute
+unless the plan is identical).  At 100 TB a training corpus needs
+sampling that is (a) reproducible run-to-run, (b) stable under
+repartitioning/retries, (c) auditable from ANY engine.  The standard
+trick: hash a stable key to a bucket and threshold the bucket —
+membership is then a pure function of the row key + salt.
+
+The hash is the portable 32-bit md5 prefix (functions/text.kgram_hash
+uses the same construction): ``conv(substr(md5(salt||key),1,8),16,10)``
+in Spark == ``('0x'||substring(md5(salt||key),1,8))::UBIGINT`` in
+DuckDB — so every sample decision can be replayed by the oracle.
+
+All three operators are narrow (no shuffle) except GroupCap's one
+window shuffle on the group key.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..component import Component
+from ..flow import Flow
+
+#: bucket resolution: fractions are exact multiples of 1/10000
+BUCKETS = 10_000
+
+
+def bucket_of(key_col, salt: str):
+    """Portable hash bucket in [0, BUCKETS) of salt||key (md5-prefix
+    integer — identical in Spark and DuckDB)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(BUCKETS))
+
+
+class HashSample(Component):
+    """Keep a deterministic ``fraction`` of rows by key-hash bucket —
+    reproducible, retry-stable, oracle-replayable sampling."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        key_col: str,
+        fraction: float,
+        salt: str = "sample",
+        label: str | None = None,
+    ):
+        if not 0.0 <= fraction <= 1.0:
+            raise ValueError("fraction must be in [0, 1]")
+        self.input = input
+        self.output = output or input
+        self.key_col = key_col
+        self.fraction = fraction
+        self.salt = salt
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        out = df.filter(bucket_of(self.key_col, self.salt) < int(self.fraction * BUCKETS))
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+class HashSplit(Component):
+    """Disjoint deterministic splits (train/val/test) as an added
+    ``split`` column: bucket thresholds over the key hash, so every
+    row lands in exactly one split, stable across runs and engines.
+    ``splits`` maps name -> fraction; fractions must sum to 1."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        key_col: str,
+        splits: Mapping[str, float],
+        salt: str = "split",
+        label: str | None = None,
+    ):
+        total = sum(splits.values())
+        if abs(total - 1.0) > 1e-9:
+            raise ValueError(f"split fractions must sum to 1, got {total}")
+        self.input = input
+        self.output = output or input
+        self.key_col = key_col
+        self.splits = dict(splits)
+        self.salt = salt
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        b = bucket_of(self.key_col, self.salt)
+        expr = None
+        lo = 0
+        names = list(self.splits)
+        for name in names[:-1]:
+            lo += int(self.splits[name] * BUCKETS)
+            cond = b < lo
+            expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+        out = df.withColumn("split", expr)
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+class GroupCap(Component):
+    """Deterministically cap rows per group (balanced downsampling —
+    e.g. at most N documents per source/domain): rank group members by
+    key-hash (a stable shuffle of each group) and keep the first
+    ``n``.  One window shuffle on the group key; ties broken by the
+    key itself so the kept set is unique and engine-replayable."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        by: "str | Sequence[str]",
+        key_col: str,
+        n: int,
+        salt: str = "cap",
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.key_col = key_col
+        self.n = n
+        self.salt = salt
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        w = Window.partitionBy(*self.by).orderBy(
+            bucket_of(self.key_col, self.salt), F.col(self.key_col)
+        )
+        out = (
+            df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= self.n)
+            .drop("__rk")
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

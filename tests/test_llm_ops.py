@@ -274,3 +274,80 @@ def test_winnowing_guarantee_and_edges(spark):
     st = WinnowFingerprints("d", "f", mode="set")(Flow({"d": df}))["f"]
     got = {r.id: list(r.fps) for r in st.collect()}
     assert set(got[1]) == by_doc[1] and got[1] == sorted(got[1])
+
+
+def test_hash_sampling_family(spark, docs):
+    """Deterministic sampling: HashSample hits its fraction within
+    binomial noise and is EXACTLY reproducible; HashSplit partitions
+    disjointly; GroupCap keeps at most n per group, stably."""
+    from strom_spark import GroupCap, HashSample, HashSplit
+
+    flow = Flow({"d": docs})
+    n = docs.count()
+    samp = HashSample("d", "s", key_col="doc_id", fraction=0.3)(flow)["s"]
+    n_s = samp.count()
+    assert abs(n_s - 0.3 * n) < 4 * (0.3 * 0.7 * n) ** 0.5
+    ids1 = sorted(r.doc_id for r in samp.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in HashSample("d", "s", key_col="doc_id", fraction=0.3)(flow)["s"].collect()
+    )
+    assert ids1 == ids2  # reproducible, not a seeded RNG
+    assert ids1 != sorted(
+        r.doc_id
+        for r in HashSample("d", "s", key_col="doc_id", fraction=0.3, salt="other")(flow)["s"].collect()
+    )
+
+    split = HashSplit(
+        "d", "sp", key_col="doc_id", splits={"train": 0.8, "val": 0.1, "test": 0.1}
+    )(flow)["sp"]
+    per = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(per.values()) == n  # disjoint and exhaustive
+    assert per["train"] > per["val"] and per["train"] > per["test"]
+
+    capped = GroupCap("d", "c", by="source", key_col="doc_id", n=7)(flow)["c"]
+    sizes = [r.n for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()]
+    assert all(s <= 7 for s in sizes) and len(sizes) > 0
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        HashSplit("d", "sp", key_col="doc_id", splits={"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="fraction"):
+        HashSample("d", "s", key_col="doc_id", fraction=1.5)
+
+
+def test_streaming_exact_dedup(spark):
+    """StreamingExactDedup: first row per fingerprint survives across
+    micro-batches, duplicate content later in the stream is dropped,
+    state bounded by the watermark."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from strom_spark import StreamingExactDedup
+    from strom_spark.streaming.control import run_available
+
+    d = tempfile.mkdtemp(prefix="strom_sdedup_")
+    try:
+        T0 = pd.Timestamp("2024-01-01 00:00:00")
+        M = pd.Timedelta(minutes=1)
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["aa", "bb", "Aa "], "ts": [T0, T0 + M, T0 + 2 * M]}
+        ).astype({"doc_id": "int64", "ts": "datetime64[us]"}).to_parquet(f"{d}/f1.parquet")
+        pd.DataFrame(
+            {"doc_id": [4, 5], "text": ["bb", "cc"], "ts": [T0 + 3 * M, T0 + 4 * M]}
+        ).astype({"doc_id": "int64", "ts": "datetime64[us]"}).to_parquet(f"{d}/f2.parquet")
+
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withWatermark("ts", "1 hour")
+        )
+        flow = StreamingExactDedup("docs", "kept")(Flow({"docs": stream}))
+        run_available(flow["kept"], query_name="t_sdedup", output_mode="append")
+        kept = sorted(r.doc_id for r in spark.sql("SELECT * FROM t_sdedup").collect())
+        # 3 dups 1 after normalization ("Aa " -> "aa"); 4 dups 2 across batches
+        assert kept == [1, 2, 5]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
