@@ -40,6 +40,10 @@ class AsofJoin(Component):
     every engine).  Output: all left columns, plus each ``value_col``
     from the right (NULL when no right row is at-or-before), plus
     ``matched_ts`` (the matched right timestamp).
+
+    ``direction='forward'`` flips the match to the EARLIEST right row
+    at-or-after each left row (pandas merge_asof direction semantics)
+    — same one-shuffle lowering over the reversed time order.
     """
 
     def __init__(
@@ -53,8 +57,11 @@ class AsofJoin(Component):
         right_ts: str = "ts",
         value_cols: Sequence[str],
         tolerance_s: float | None = None,
+        direction: str = "backward",
         label: str | None = None,
     ):
+        if direction not in ("backward", "forward"):
+            raise ValueError("direction must be 'backward' or 'forward'")
         self.left = left
         self.right = right
         self.output = output
@@ -63,6 +70,7 @@ class AsofJoin(Component):
         self.right_ts = right_ts
         self.value_cols = list(value_cols)
         self.tolerance_s = tolerance_s
+        self.direction = direction
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
@@ -77,9 +85,16 @@ class AsofJoin(Component):
             "__side", F.lit(1)
         )
         u = l.unionByName(r, allowMissingColumns=True)
+        # forward direction = the same walk over time REVERSED: sort
+        # descending and "last right seen so far" becomes the earliest
+        # right row at-or-after each left row.  Side still sorts
+        # ascending so an exactly-equal right row is visible.
+        ts_order = (
+            F.col("__ts").desc() if self.direction == "forward" else F.col("__ts").asc()
+        )
         w = (
             Window.partitionBy(*self.key)
-            .orderBy("__ts", "__side")
+            .orderBy(ts_order, F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = [
@@ -96,10 +111,12 @@ class AsofJoin(Component):
         out = u.select("*", *carried, matched_ts).filter(F.col("__side") == 1)
         in_window = F.col("__m_ts").isNotNull()
         if self.tolerance_s is not None:
-            in_window = in_window & (
-                F.col("__ts").cast("double") - F.col("__m_ts").cast("double")
-                <= F.lit(float(self.tolerance_s))
+            gap = (
+                F.col("__m_ts").cast("double") - F.col("__ts").cast("double")
+                if self.direction == "forward"
+                else F.col("__ts").cast("double") - F.col("__m_ts").cast("double")
             )
+            in_window = in_window & (gap <= F.lit(float(self.tolerance_s)))
         keep = [F.col(c) for c in left.columns]
         keep += [
             F.when(in_window, F.col(f"__m_{c}")).alias(c) for c in vcols

@@ -155,10 +155,11 @@ def test_splitter_multi_match_duplicates(spark, vals):
     n_right=st.integers(0, 30),
     n_keys=st.integers(1, 4),
     tol=st.one_of(st.none(), st.integers(1, 50)),
+    direction=st.sampled_from(["backward", "forward"]),
     data=st.data(),
 )
 @SET
-def test_asof_join_matches_pandas_merge_asof(spark, n_left, n_right, n_keys, tol, data):
+def test_asof_join_matches_pandas_merge_asof(spark, n_left, n_right, n_keys, tol, direction, data):
     """Differential oracle: AsofJoin (union-marker window lowering)
     must agree with pandas merge_asof on random keyed time series,
     with and without a tolerance."""
@@ -196,7 +197,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, n_left, n_right, n_keys, tol
         on="ts",
         by="k",
         tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
-        direction="backward",
+        direction=direction,
     )
     exp = {
         int(r.pid): (None if pd.isna(r.cid) else int(r.cid))
@@ -212,6 +213,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, n_left, n_right, n_keys, tol
     out = AsofJoin(
         "l", "r", "o", key="k", value_cols=["cid"],
         tolerance_s=float(tol) if tol is not None else None,
+        direction=direction,
     )(Flow({"l": l, "r": r}))["o"]
     got = {row.pid: row.cid for row in out.collect()}
     assert got == exp
