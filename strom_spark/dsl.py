@@ -59,3 +59,54 @@ def rename(renames, **kw) -> Renamer:
 
 def pipeline(*components: Component, name: str | None = None) -> Pipeline:
     return Pipeline(components, name)
+
+
+# -- beyond-reference builders (joins, sampling, dedup) --------------------
+
+
+def join(left, right, output, on, **kw):
+    from .operators.transformer import Join
+
+    return Join(left, right, output, on, **kw)
+
+
+def asof(left, right, output, **kw):
+    from .operators.asof import AsofJoin
+
+    return AsofJoin(left, right, output, **kw)
+
+
+def agg(input, output=None, **kw):
+    from .operators.transformer import Agg
+
+    return Agg(input, output, **kw)
+
+
+def sample(input, output=None, **kw):
+    from .operators.sampling import HashSample
+
+    return HashSample(input, output, **kw)
+
+
+def split_hash(input, output=None, **kw):
+    from .operators.sampling import HashSplit
+
+    return HashSplit(input, output, **kw)
+
+
+def cap(input, output=None, **kw):
+    from .operators.sampling import GroupCap
+
+    return GroupCap(input, output, **kw)
+
+
+def dedup(input, output=None, **kw):
+    from .operators.dedup import ExactDedup
+
+    return ExactDedup(input, output, **kw)
+
+
+def winnow(input, output=None, **kw):
+    from .operators.dedup import WinnowFingerprints
+
+    return WinnowFingerprints(input, output, **kw)

@@ -175,3 +175,28 @@ def test_draw_rail_yard_rendering(spark):
             "|",
         ]
     )
+
+
+def test_dsl_beyond_reference_builders(spark, sf_dir):
+    """The dsl covers the beyond-reference operators too — a curation
+    pipeline reads like the reference's macro examples."""
+    from pyspark.sql import functions as F
+
+    from strom_spark import Flow
+    from strom_spark.dsl import cap, dedup, pipeline, sample, split_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = pipeline(
+        split_hash("docs", key_col="doc_id", splits={"train": 0.9, "test": 0.1}),
+        cap("docs", by="source", key_col="doc_id", n=5),
+        name="curation",
+    )
+    out = p(Flow({"docs": docs}))["docs"]
+    rows = out.groupBy("source", "split").agg(F.count("*").alias("n")).collect()
+    assert all(r.n <= 5 for r in rows)
+    assert {r.split for r in rows} <= {"train", "test"}
+
+    s = sample("docs", key_col="doc_id", fraction=0.5)(Flow({"docs": docs}))["docs"]
+    assert 0 < s.count() < docs.count()
+    d = dedup("docs", "kept", keep="rows")(Flow({"docs": docs}))["kept"]
+    assert d.count() <= docs.count()
