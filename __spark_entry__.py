@@ -2622,6 +2622,183 @@ def q22_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q15_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.rev_dec AS DOUBLE) AS total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.rev_dec = (SELECT MAX(rev_dec) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier by quarterly revenue).  The CREATE VIEW
+    of the spec becomes a reused DataFrame; the scalar MAX subquery is
+    a 1-row aggregate broadcast-cross-joined back (no second scan of
+    lineitem, no global sort).  Revenue equality is tested on the
+    EXACT decimal sum — only the output casts to double."""
+    flow = Flow(
+        {
+            "supplier": load_table(spark, sf_dir, "supplier"),
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+        }
+    )
+    q = flow["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = q.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("rev_dec")
+    )
+    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    winners = rev.join(F.broadcast(mx), F.col("rev_dec") == F.col("mx"))
+    return (
+        flow["supplier"]
+        .join(F.broadcast(winners), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
+    "q21_waiting_supplier",
+    """
+WITH lf AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lf l1 ON s.s_suppkey = l1.l_suppkey AND l1.is_late
+WHERE EXISTS (
+    SELECT 1 FROM lf l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lf l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.is_late)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+""",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) on the
+    reduced schema — lateness proxied by l_shipdate > o_orderdate+60d
+    (no commit/receipt dates exist).  The spec's correlated EXISTS /
+    NOT-EXISTS pair (two extra shuffled semi/anti joins of lineitem
+    against itself) is rewritten as ONE per-order aggregate:
+
+      n_supp      = count(DISTINCT supplier)         -- EXISTS other supp
+      n_late_supp = count(DISTINCT supplier, late)   -- NOT EXISTS other late
+
+    A late row waits iff n_supp >= 2 AND n_late_supp == 1 (its own
+    supplier is the only late one).  Both the aggregate and the join
+    back hash on l_orderkey, so AQE plans one exchange of lf instead
+    of three."""
+    flow = Flow(
+        {
+            "supplier": load_table(spark, sf_dir, "supplier"),
+            "orders": load_table(spark, sf_dir, "orders"),
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+        }
+    )
+    f_orders = flow["orders"].filter(F.col("o_orderstatus") == "F")
+    lf = (
+        flow["lineitem"]
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+                "is_late"
+            ),
+        )
+    )
+    ord_stats = lf.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    waiting = (
+        lf.filter(F.col("is_late"))
+        .join(ord_stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(flow["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@_q(
+    "q9_product_profit",
+    """
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+    CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%widget%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation x year) minus the
+    partsupp.ps_supplycost term (no partsupp table exists) — profit
+    reduces to discounted revenue over name-matched parts.  nation is
+    force-broadcast (bounded 25 rows); the p_name LIKE filter prunes
+    part BEFORE its fact join so AQE can broadcast the filtered
+    slice; fact-fact joins carry no hints."""
+    flow = Flow(
+        {
+            t: load_table(spark, sf_dir, t)
+            for t in ("part", "supplier", "orders", "lineitem", "nation")
+        }
+    )
+    out = Pipeline(
+        [
+            Filter("part", F.col("p_name").like("%widget%")),
+            Transformer("nation", select={"supp_nk": "n_nationkey", "nation": "n_name"}),
+            Join("supplier", "nation", "sn", on=F.expr("s_nationkey = supp_nk"), broadcast=True),
+            Join("lineitem", "part", "lp", on=F.expr("l_partkey = p_partkey")),
+            Join("lp", "sn", "lps", on=F.expr("l_suppkey = s_suppkey")),
+            Join("lps", "orders", "all9", on=F.expr("l_orderkey = o_orderkey")),
+            Transformer(
+                "all9",
+                select={
+                    "nation": "nation",
+                    "o_year": F.year("o_orderdate"),
+                    "amount": _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")),
+                },
+            ),
+            Agg(
+                "all9",
+                "q9",
+                by=["nation", "o_year"],
+                aggs={"sum_profit": F.sum("amount").cast("double")},
+            ),
+        ]
+    )(flow)
+    return out["q9"].orderBy("nation", F.desc("o_year"))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
