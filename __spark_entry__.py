@@ -2799,6 +2799,119 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["q9"].orderBy("nation", F.desc("o_year"))
 
 
+@_q(
+    "range_join_windows",
+    """
+WITH w AS (
+  SELECT event_id AS win_id, user_id, ts AS ws,
+         ts + INTERVAL 30 MINUTE AS we
+  FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type IN ('click', 'view')
+)
+SELECT w.win_id, w.user_id,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM w JOIN p
+  ON p.user_id = w.user_id AND p.ts >= w.ws AND p.ts < w.we
+GROUP BY w.win_id, w.user_id
+""",
+)
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/rangejoin.py): each
+    error event opens a 30-minute incident window for its user; count
+    and sum the user's click/view activity inside the window.  The
+    lowering is bucketized (bucket = the window length): intervals
+    explode to the <=2 buckets they touch, points land in exactly one,
+    and the join is a plain equi-join on (bucket, user_id) — never a
+    BroadcastNestedLoopJoin, so the plan survives 100 TB.  Beyond the
+    reference surface (it joins only on key equality)."""
+    from strom_spark import RangeJoin
+
+    events = load_table(spark, sf_dir, "events")
+    wins = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("ws"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("we"),
+    )
+    pts = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    joined = RangeJoin(
+        "pts", "wins", "hits",
+        point="pts", right_start="ws", right_end="we",
+        bucket=30 * 60 * 1_000_000, extra_on=["user_id"],
+    )(Flow({"pts": pts, "wins": wins}))["hits"]
+    return joined.groupBy("win_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+@_q(
+    "range_join_overlap",
+    """
+WITH s AS (
+  SELECT event_id AS sid, user_id, ts AS ss, ts + INTERVAL 2 HOUR AS se
+  FROM events WHERE event_type = 'purchase'
+),
+i AS (
+  SELECT event_id AS iid, user_id, ts AS "is", ts + INTERVAL 1 HOUR AS ie
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.sid, i.iid, s.user_id,
+  CAST(epoch_us(least(s.se, i.ie)) - epoch_us(greatest(s.ss, i."is")) AS BIGINT)
+    AS overlap_us
+FROM s JOIN i
+  ON s.user_id = i.user_id
+ AND greatest(s.ss, i."is") < least(s.se, i.ie)
+""",
+)
+def range_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap range join: 2-hour purchase sessions x 1-hour
+    error incidents for the same user, one row per overlapping pair
+    with the exact overlap length in microseconds.  Exactly-once pair
+    emission comes from the canonical-shared-bucket trick (a pair is
+    kept only in bucket max(floor(ls/w), floor(rs/w))) — zero dedup
+    shuffle, unlike a dropDuplicates pass."""
+    from strom_spark import RangeJoin
+
+    events = load_table(spark, sf_dir, "events")
+    sess = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("sid"),
+        "user_id",
+        F.col("ts").alias("ss"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("se"),
+    )
+    inc = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("is"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ie"),
+        "user_id",
+    )
+    out = RangeJoin(
+        "sess", "inc", "pairs",
+        left_start="ss", left_end="se",
+        right_start="is", right_end="ie",
+        bucket=2 * 3600 * 1_000_000, extra_on=["user_id"],
+    )(Flow({"sess": sess, "inc": inc}))["pairs"]
+    return out.select(
+        "sid",
+        "iid",
+        "user_id",
+        (
+            F.least(F.unix_micros("se"), F.unix_micros("ie"))
+            - F.greatest(F.unix_micros("ss"), F.unix_micros("is"))
+        ).alias("overlap_us"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

@@ -46,6 +46,7 @@ from .operators.dedup import (
 )
 from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, ivf_search
 from .operators.asof import AsofJoin
+from .operators.rangejoin import RangeJoin
 from .operators.sampling import GroupCap, HashSample, HashSplit
 from .operators.multimodal import MediaFeatures, synthetic_assets, wav_decode
 
@@ -110,6 +111,7 @@ __all__ = [
     "IVFIndex",
     "ivf_search",
     "AsofJoin",
+    "RangeJoin",
     "GroupCap",
     "HashSample",
     "HashSplit",

@@ -292,3 +292,96 @@ def test_asof_join_semantics(spark):
     )["o"]
     got2 = {row.pid: row.cid for row in out2.collect()}
     assert got2 == {1: None, 2: 200, 3: None, 4: None}
+
+
+def test_range_join_point_differential(spark):
+    """RangeJoin point mode vs a naive cross-join filter on random
+    data: identical pair sets for every bucket width, including widths
+    much smaller / larger than the interval lengths."""
+    import random
+
+    from strom_spark import Flow, RangeJoin
+
+    rng = random.Random(7)
+    pts = [{"pid": i, "p": rng.randint(0, 1000), "g": rng.choice(["a", "b"])}
+           for i in range(80)]
+    ivs = []
+    for i in range(40):
+        s = rng.randint(0, 950)
+        ivs.append({"iid": i, "s": s, "e": s + rng.randint(0, 120),
+                    "g": rng.choice(["a", "b"])})
+    want = {(p["pid"], v["iid"])
+            for p in pts for v in ivs
+            if p["g"] == v["g"] and v["s"] <= p["p"] < v["e"]}
+    want_incl = {(p["pid"], v["iid"])
+                 for p in pts for v in ivs
+                 if p["g"] == v["g"] and v["s"] <= p["p"] <= v["e"]}
+    L = spark.createDataFrame(pts)
+    R = spark.createDataFrame(ivs)
+    for w in (7, 64, 5000):
+        out = RangeJoin("L", "R", "o", point="p", right_start="s",
+                        right_end="e", bucket=w, extra_on=["g"])(
+            Flow({"L": L, "R": R}))["o"]
+        assert {(r.pid, r.iid) for r in out.collect()} == want
+    out = RangeJoin("L", "R", "o", point="p", right_start="s", right_end="e",
+                    bucket=64, extra_on=["g"], end_inclusive=True)(
+        Flow({"L": L, "R": R}))["o"]
+    assert {(r.pid, r.iid) for r in out.collect()} == want_incl
+
+
+def test_range_join_overlap_differential(spark):
+    """Overlap mode: half-open interval overlap, each pair exactly once
+    (canonical-bucket dedup, no dropDuplicates), inverted intervals
+    dropped, name collisions rejected."""
+    import random
+
+    from strom_spark import Flow, RangeJoin
+
+    rng = random.Random(11)
+    ls, rs = [], []
+    for i in range(60):
+        a = rng.randint(0, 800)
+        ls.append({"lid": i, "ls": a, "le": a + rng.randint(0, 150)})
+        b = rng.randint(0, 800)
+        rs.append({"rid": i, "rs_": b, "re_": b + rng.randint(0, 150)})
+    # one inverted interval on each side: must silently drop, not crash
+    ls.append({"lid": 900, "ls": 500, "le": 400})
+    rs.append({"rid": 901, "rs_": 500, "re_": 400})
+    want = sorted((l["lid"], r["rid"]) for l in ls for r in rs
+                  if l["ls"] < l["le"] and r["rs_"] < r["re_"]
+                  and l["ls"] < r["re_"] and r["rs_"] < l["le"])
+    L = spark.createDataFrame(ls)
+    R = spark.createDataFrame(rs)
+    for w in (13, 100, 4000):
+        out = RangeJoin("L", "R", "o", left_start="ls", left_end="le",
+                        right_start="rs_", right_end="re_", bucket=w)(
+            Flow({"L": L, "R": R}))["o"]
+        got = sorted((r.lid, r.rid) for r in out.collect())
+        assert got == want  # exactly-once: sorted lists, not sets
+
+    with pytest.raises(ValueError, match="disjoint"):
+        RangeJoin("L", "R", "o", left_start="ls", left_end="le",
+                  right_start="rs_", right_end="re_", bucket=10)(
+            Flow({"L": L, "R": L.withColumnRenamed("lid", "rid")}))
+
+
+def test_range_join_timestamp_points(spark):
+    """Timestamp columns lower to epoch-micros longs transparently."""
+    import pandas as pd
+
+    from strom_spark import Flow, RangeJoin
+
+    T = pd.Timestamp
+    ev = spark.createDataFrame(pd.DataFrame({
+        "eid": [1, 2, 3],
+        "ets": [T("2024-01-01 00:05"), T("2024-01-01 01:00"), T("2024-01-02 00:00")],
+    }))
+    win = spark.createDataFrame(pd.DataFrame({
+        "wid": [10, 20],
+        "ws": [T("2024-01-01 00:00"), T("2024-01-01 00:30")],
+        "we": [T("2024-01-01 00:10"), T("2024-01-01 02:00")],
+    }))
+    out = RangeJoin("e", "w", "o", point="ets", right_start="ws",
+                    right_end="we", bucket=3600 * 1_000_000)(
+        Flow({"e": ev, "w": win}))["o"]
+    assert {(r.eid, r.wid) for r in out.collect()} == {(1, 10), (2, 20)}
