@@ -2912,6 +2912,89 @@ def range_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "bm25_search",
+    rf"""
+WITH {_NORM_DOCS},
+tw AS (SELECT doc_id, list_filter(w, x -> x != '') AS w FROM toks),
+stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM tw),
+tf AS (
+  SELECT doc_id, dl, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM tw)
+  WHERE t IN ('spark', 'window', 'merge')
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+    round(
+      ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)),
+      6) AS c
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+FROM contrib GROUP BY doc_id
+""",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms (operators/textrank.py:BM25Score).  One explode pass carries
+    the doc length as a grouping column (no second full-corpus join);
+    corpus stats and per-term df are broadcast; per-(doc,term)
+    contributions are rounded and summed as DECIMAL so the score is
+    independent of shuffle order.  Beyond-reference: corpus-level term
+    statistics for relevance filtering of training data."""
+    from strom_spark import BM25Score
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return BM25Score(
+        "docs", "scored",
+        id_col="doc_id", text_col="text",
+        terms=["spark", "window", "merge"],
+    )(Flow({"docs": docs}))["scored"]
+
+
+@_q(
+    "tfidf_top_terms",
+    rf"""
+WITH {_NORM_DOCS},
+tw AS (SELECT doc_id, list_filter(w, x -> length(x) >= 2) AS w FROM toks),
+n AS (SELECT count(*) AS n FROM tw),
+tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS t FROM tw)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    round(tf.tf * ln(n.n / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF
+    (operators/textrank.py:TfIdfTopTerms) — the standard topic /
+    boilerplate fingerprint.  Ranks on the ROUNDED score so cross-
+    engine ulp differences in ln() cannot flip near-ties; term text
+    breaks exact ties deterministically.  df join is a shuffle (vocab
+    can be large — never broadcast), rank is one window shuffle on
+    doc_id."""
+    from strom_spark import TfIdfTopTerms
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TfIdfTopTerms(
+        "docs", "top",
+        id_col="doc_id", text_col="text", k=3, min_token_len=2,
+    )(Flow({"docs": docs}))["top"]
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

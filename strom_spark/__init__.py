@@ -47,6 +47,7 @@ from .operators.dedup import (
 from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, ivf_search
 from .operators.asof import AsofJoin
 from .operators.rangejoin import RangeJoin
+from .operators.textrank import BM25Score, TfIdfTopTerms
 from .operators.sampling import GroupCap, HashSample, HashSplit
 from .operators.multimodal import MediaFeatures, synthetic_assets, wav_decode
 
@@ -112,6 +113,8 @@ __all__ = [
     "ivf_search",
     "AsofJoin",
     "RangeJoin",
+    "BM25Score",
+    "TfIdfTopTerms",
     "GroupCap",
     "HashSample",
     "HashSplit",

@@ -1,0 +1,192 @@
+"""Corpus relevance scoring: TF-IDF vectors and BM25 ranking.
+
+The reference's text handling stops at per-event string transforms
+(``lib/transformer.ex`` composition; the telegram/word-count examples
+in ``test/examples_test.exs``); corpus-level term statistics are a
+beyond-reference capability a training-data pipeline needs for query
+mining, boilerplate detection, and relevance filtering.
+
+Plan shape (the part that must survive 100 TB):
+
+  * ONE pass computes per-doc term frequencies AND doc length — the
+    doc length rides the explode as a grouping column, so there is no
+    second full-corpus join just to attach ``dl``;
+  * corpus stats (N, avgdl) are a single-row aggregate, attached by
+    broadcast; per-term document frequencies are ``|vocab∩terms|``
+    rows, also broadcast — the only wide shuffles key on
+    ``(doc, term)`` and then ``doc``, both well distributed;
+  * per-(doc,term) contributions are rounded and summed as
+    DECIMAL so the final score is order-independent (floating-point
+    addition is not associative; a shuffle must not change the hash).
+
+BM25 uses the "+1" idf variant ``ln(1 + (N - df + .5)/(df + .5))``,
+which is non-negative even for terms in most documents.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..component import Component
+from ..flow import Flow
+from ..functions import text as TXT
+
+
+class BM25Score(Component):
+    """Score each document of ``input`` against a bag of query
+    ``terms`` with Okapi BM25; emits one row per matching document:
+    ``(id_col, score_col)``.  Documents containing none of the terms
+    are omitted (their score is exactly 0).
+
+    ``k1`` (term-frequency saturation) and ``b`` (length
+    normalization) are the standard Robertson parameters.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str,
+        *,
+        id_col: str,
+        text_col: str,
+        terms: Sequence[str],
+        k1: float = 1.2,
+        b: float = 0.75,
+        score_col: str = "bm25",
+        label: str | None = None,
+    ):
+        if not terms:
+            raise ValueError("terms must be non-empty")
+        self.input, self.output = input, output
+        self.id_col, self.text_col = id_col, text_col
+        self.terms = [t.lower() for t in terms]
+        self.k1, self.b = float(k1), float(b)
+        self.score_col = score_col
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        toks = df.select(
+            F.col(self.id_col).alias("__id"),
+            F.filter(TXT.tokens(self.text_col), lambda x: x != F.lit("")).alias("__w"),
+        )
+        # single-row corpus stats; broadcast to every contribution row
+        stats = toks.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg(F.size("__w")).alias("__avgdl"),
+        )
+        # one explode pass: doc length rides along as a grouping column
+        # (functionally dependent on __id — no extra key cardinality,
+        # no second join against a full-corpus length table)
+        tf = (
+            toks.select("__id", F.size("__w").alias("__dl"), F.explode("__w").alias("__t"))
+            .filter(F.col("__t").isin(self.terms))
+            .groupBy("__id", "__dl", "__t")
+            .agg(F.count(F.lit(1)).alias("__tf"))
+        )
+        dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+        scored = tf.join(F.broadcast(dfreq), "__t").crossJoin(F.broadcast(stats))
+        idf = F.log(
+            (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        norm = F.lit(1.0 - self.b) + F.lit(self.b) * F.col("__dl") / F.col("__avgdl")
+        contrib = idf * (F.col("__tf") * F.lit(self.k1 + 1.0)) / (
+            F.col("__tf") + F.lit(self.k1) * norm
+        )
+        out = (
+            scored.select(
+                "__id", F.round(contrib, 6).cast("decimal(18,6)").alias("__c")
+            )
+            .groupBy("__id")
+            .agg(F.sum("__c").cast("double").alias(self.score_col))
+            .withColumnRenamed("__id", self.id_col)
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+class TfIdfTopTerms(Component):
+    """Per-document top-``k`` characteristic terms by TF-IDF, the
+    standard boilerplate/topic fingerprint.  Emits
+    ``(id_col, term, tfidf, rank)`` with rank 1..k per document,
+    deterministic ties broken by term text.
+
+    tf is raw count, idf is ``ln(N / df)`` (no smoothing — every term
+    seen has df >= 1).  Stopword-ish terms (df == N) get idf 0 and
+    never outrank content terms.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str,
+        *,
+        id_col: str,
+        text_col: str,
+        k: int = 3,
+        min_token_len: int = 2,
+        label: str | None = None,
+    ):
+        self.input, self.output = input, output
+        self.id_col, self.text_col = id_col, text_col
+        self.k, self.min_token_len = int(k), int(min_token_len)
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        from pyspark.sql import Window
+
+        df = flow[self.input]
+        toks = df.select(
+            F.col(self.id_col).alias("__id"),
+            F.filter(
+                TXT.tokens(self.text_col),
+                lambda x: F.length(x) >= F.lit(self.min_token_len),
+            ).alias("__w"),
+        )
+        n_docs = toks.agg(F.count(F.lit(1)).alias("__n"))
+        tf = (
+            toks.select("__id", F.explode("__w").alias("__t"))
+            .groupBy("__id", "__t")
+            .agg(F.count(F.lit(1)).alias("__tf"))
+        )
+        dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+        # rank on the ROUNDED score: raw doubles from ln() can differ
+        # in the last ulp across engines, which would flip the order of
+        # near-equal terms; rounding first makes near-ties exact ties,
+        # which the term text then breaks deterministically
+        scored = tf.join(dfreq, "__t").crossJoin(F.broadcast(n_docs)).select(
+            "__id",
+            "__t",
+            F.round(
+                F.col("__tf").cast("double")
+                * F.log(F.col("__n").cast("double") / F.col("__df")),
+                6,
+            ).alias("__s"),
+        )
+        w = Window.partitionBy("__id").orderBy(F.desc("__s"), F.asc("__t"))
+        out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.k)
+            .select(
+                F.col("__id").alias(self.id_col),
+                F.col("__t").alias("term"),
+                F.col("__s").alias("tfidf"),
+                "rank",
+            )
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -351,3 +351,68 @@ def test_streaming_exact_dedup(spark):
         assert kept == [1, 2, 5]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bm25_differential(spark):
+    """BM25Score vs a pure-python reference implementation on a tiny
+    corpus (exact same tokenizer semantics)."""
+    import math
+
+    from strom_spark import BM25Score, Flow
+
+    corpus = {
+        1: "spark merge join window spark",
+        2: "the quick brown fox",
+        3: "window window window merge",
+        4: "spark",
+        5: "",
+    }
+    terms, k1, b = ["spark", "window"], 1.2, 0.75
+    docs = [{"doc_id": i, "text": t} for i, t in corpus.items()]
+    toks = {i: [w for w in t.lower().split() if w] for i, t in corpus.items()}
+    N = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / N
+    dfreq = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    want = {}
+    for i, w in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((N - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += round(idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(w) / avgdl)), 6)
+        if s:
+            want[i] = round(s, 6)
+    out = BM25Score("d", "o", id_col="doc_id", text_col="text", terms=terms)(
+        Flow({"d": spark.createDataFrame(docs)})
+    )["o"]
+    got = {r.doc_id: round(r.bm25, 6) for r in out.collect()}
+    assert got == want
+    # higher tf of a rarer term must outrank a common one
+    assert got[1] > got[4]
+
+
+def test_tfidf_top_terms_ranking(spark):
+    """TfIdfTopTerms: corpus-wide terms get idf 0; rank ties break by
+    term text; k truncates per document."""
+    from strom_spark import Flow, TfIdfTopTerms
+
+    docs = [
+        {"doc_id": 1, "text": "common apple apple banana"},
+        {"doc_id": 2, "text": "common banana"},
+        {"doc_id": 3, "text": "common cherry"},
+    ]
+    out = TfIdfTopTerms("d", "o", id_col="doc_id", text_col="text", k=2)(
+        Flow({"d": spark.createDataFrame(docs)})
+    )["o"]
+    rows = {(r.doc_id, r.rank): (r.term, r.tfidf) for r in out.collect()}
+    # doc 1: apple (tf=2, df=1) beats banana (tf=1, df=2); 'common' (df=N) has tfidf 0
+    assert rows[(1, 1)][0] == "apple"
+    assert rows[(1, 2)][0] == "banana"
+    # every doc emits exactly k=2 rows here (>=2 distinct terms each)
+    assert len(rows) == 6
+    # idf 0 for corpus-wide term: 'common' can only appear with tfidf 0.0
+    for (_, _), (term, s) in rows.items():
+        if term == "common":
+            assert s == 0.0
