@@ -2995,6 +2995,41 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )(Flow({"docs": docs}))["top"]
 
 
+@_q(
+    "embedding_clusters",
+    """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+),
+e AS (SELECT d1 AS s, d2 AS t FROM pairs UNION SELECT d2, d1 FROM pairs),
+walk(node, lab) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.s, walk.lab FROM e JOIN walk ON walk.node = e.t
+)
+SELECT node, min(lab) AS component FROM walk GROUP BY node
+""",
+)
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS over the embedding cosine graph: the
+    generic ConnectedComponents operator (operators/graph.py — min-
+    label propagation + pointer jumping, O(log n) rounds, linear
+    state) applied to EmbeddingNearDupPairs edges.  The oracle walks
+    the same graph with a recursive CTE.  This is the composition a
+    dedup pipeline actually runs: pair generator -> components ->
+    keep min id per component."""
+    from strom_spark import ConnectedComponents
+
+    flow = Flow({"emb": load_table(spark, sf_dir, "embeddings")})
+    pairs = EmbeddingNearDupPairs("emb", "pairs", threshold=0.3)(flow)["pairs"]
+    out = ConnectedComponents("e", "cc", src="d1", dst="d2")(
+        Flow({"e": pairs.select("d1", "d2")})
+    )["cc"]
+    return out
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

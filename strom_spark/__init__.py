@@ -48,6 +48,7 @@ from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, 
 from .operators.asof import AsofJoin
 from .operators.rangejoin import RangeJoin
 from .operators.textrank import BM25Score, TfIdfTopTerms
+from .operators.graph import ConnectedComponents
 from .operators.sampling import GroupCap, HashSample, HashSplit
 from .operators.multimodal import MediaFeatures, synthetic_assets, wav_decode
 
@@ -115,6 +116,7 @@ __all__ = [
     "RangeJoin",
     "BM25Score",
     "TfIdfTopTerms",
+    "ConnectedComponents",
     "GroupCap",
     "HashSample",
     "HashSplit",

@@ -416,3 +416,42 @@ def test_tfidf_top_terms_ranking(spark):
     for (_, _), (term, s) in rows.items():
         if term == "common":
             assert s == 0.0
+
+
+def test_connected_components_differential(spark):
+    """ConnectedComponents vs python union-find on a random graph plus
+    a 64-node path (exercises pointer jumping: converges well under the
+    30-round cap where pure neighbor-min would need 64)."""
+    import random
+
+    from strom_spark import ConnectedComponents, Flow
+
+    rng = random.Random(3)
+    edges = [(rng.randint(0, 200), rng.randint(0, 200)) for _ in range(120)]
+    edges += [(1000 + i, 1000 + i + 1) for i in range(64)]  # long path
+    edges += [(5000, 5000)]  # self loop
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame([{"src": a, "dst": b} for a, b in edges])
+    out = ConnectedComponents("e", "cc")(Flow({"e": df}))["cc"]
+    got = {r.node: r.component for r in out.collect()}
+    assert got == want
+
+    with pytest.raises(ValueError, match="integral"):
+        ConnectedComponents("e", "cc")(
+            Flow({"e": df.withColumn("src", F.col("src").cast("string"))})
+        )
