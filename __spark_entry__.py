@@ -3030,6 +3030,53 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_q(
+    "value_quantiles",
+    """
+WITH ranked AS (
+  SELECT event_type, value AS v,
+    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+q AS (
+  SELECT event_type, n,
+    MAX(CASE WHEN rn = CAST(floor(1.0 + 0.5 * (n - 1)) AS BIGINT) THEN v END) AS v50lo,
+    MAX(CASE WHEN rn = CAST(floor(1.0 + 0.5 * (n - 1)) AS BIGINT) + 1 THEN v END) AS v50hi,
+    MAX(CASE WHEN rn = CAST(floor(1.0 + 0.95 * (n - 1)) AS BIGINT) THEN v END) AS v95lo,
+    MAX(CASE WHEN rn = CAST(floor(1.0 + 0.95 * (n - 1)) AS BIGINT) + 1 THEN v END) AS v95hi
+  FROM ranked
+  GROUP BY event_type, n
+)
+SELECT event_type,
+  v50lo + ((1.0 + 0.5 * (n - 1)) - floor(1.0 + 0.5 * (n - 1)))
+    * (COALESCE(v50hi, v50lo) - v50lo) AS p50,
+  v95lo + ((1.0 + 0.95 * (n - 1)) - floor(1.0 + 0.95 * (n - 1)))
+    * (COALESCE(v95hi, v95lo) - v95lo) AS p95,
+  n
+FROM q
+""",
+)
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped quantiles (operators/relational.py:Quantiles):
+    rank per group + explicit quantile_cont interpolation, so Spark
+    and the oracle evaluate the identical IEEE expression — native
+    percentile/quantile_cont internals differ between engines and are
+    not hash-portable.  One window shuffle on the group key; for hot
+    single groups at 100 TB the documented alternative is
+    approx_percentile."""
+    from strom_spark import Quantiles
+
+    events = load_table(spark, sf_dir, "events")
+    return Quantiles(
+        "e", "q",
+        value_col="value",
+        quantiles={"p50": 0.5, "p95": 0.95},
+        by=["event_type"],
+        tie_breaker="event_id",
+    )(Flow({"e": events}))["q"]
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

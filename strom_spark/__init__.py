@@ -30,7 +30,7 @@ from .operators.splitter import Splitter, SplitterTree, Repartition
 from .operators.renamer import Renamer
 from .operators.stateful import StatefulTransformer
 from .operators.windows import CountWindow, SlidingCountWindow, TimeWindow
-from .operators.relational import Sort, Limit, Distinct, TopK, TopKPerGroup, RowNumber, SetOp, global_row_number
+from .operators.relational import Sort, Limit, Distinct, TopK, TopKPerGroup, RowNumber, SetOp, Quantiles, global_row_number
 from .operators.loop import Iterate
 from .operators.cep import MatchDecide
 from .operators.dedup import (
@@ -117,6 +117,7 @@ __all__ = [
     "BM25Score",
     "TfIdfTopTerms",
     "ConnectedComponents",
+    "Quantiles",
     "GroupCap",
     "HashSample",
     "HashSplit",

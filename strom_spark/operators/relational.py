@@ -232,3 +232,87 @@ class SetOp(Component):
 
     def output_names(self):
         return (self.output,)
+
+
+class Quantiles(Component):
+    """EXACT grouped quantiles (quantile_cont semantics) without the
+    engine's native percentile: rank rows per group (one shuffle on
+    the group key), keep the <=2 bracketing rows per requested
+    quantile, linearly interpolate with the EXPLICIT formula
+
+        pos  = 1 + p * (n - 1)
+        v    = v[floor(pos)] + (pos - floor(pos)) * (v[floor(pos)+1] - v[floor(pos)])
+
+    Both the Spark plan and a SQL oracle can evaluate this exact IEEE
+    expression, which makes results engine-portable where native
+    ``percentile``/``quantile_cont`` internals are not.  Per-group
+    state is O(1) after the rank; the sort is the per-group window,
+    fully parallel across groups.  For very hot single groups at 100 TB
+    prefer ``approx_percentile`` (documented tradeoff) — exact global
+    quantiles need a total sort.
+
+    Emits one row per group: ``by`` columns + one column per entry of
+    ``quantiles`` (name -> p in [0, 1]) + ``n``.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        value_col: str,
+        quantiles: "dict[str, float]",
+        by: Sequence[str] = (),
+        tie_breaker: str | None = None,
+        label: str | None = None,
+    ):
+        for name, p in quantiles.items():
+            if not 0.0 <= p <= 1.0:
+                raise ValueError(f"quantile {name}={p} outside [0, 1]")
+        self.input = input
+        self.output = output or input
+        self.value_col = value_col
+        self.quantiles = dict(quantiles)
+        self.by = list(by)
+        self.tie_breaker = tie_breaker
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        order = [F.col(self.value_col)]
+        if self.tie_breaker:
+            order.append(F.col(self.tie_breaker))
+        w = W.partitionBy(*self.by).orderBy(*order)
+        wc = W.partitionBy(*self.by)
+        ranked = df.select(
+            *self.by,
+            F.col(self.value_col).alias("__v"),
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(wc).alias("__n"),
+        )
+        lo = {
+            name: F.floor(F.lit(1.0) + F.lit(p) * (F.col("__n") - F.lit(1)))
+            for name, p in self.quantiles.items()
+        }
+        keep = None
+        for name in self.quantiles:
+            c = (F.col("__rn") == lo[name]) | (F.col("__rn") == lo[name] + 1)
+            keep = c if keep is None else (keep | c)
+        aggs = []
+        for name, p in self.quantiles.items():
+            pos = F.lit(1.0) + F.lit(p) * (F.col("__n") - F.lit(1))
+            vlo = F.max(F.when(F.col("__rn") == lo[name], F.col("__v")))
+            vhi = F.max(F.when(F.col("__rn") == lo[name] + 1, F.col("__v")))
+            frac = F.max(F.when(F.col("__rn") == lo[name], pos - F.floor(pos)))
+            aggs.append(
+                (vlo + frac * (F.coalesce(vhi, vlo) - vlo)).alias(name)
+            )
+        aggs.append(F.max("__n").alias("n"))
+        out = ranked.filter(keep).groupBy(*self.by).agg(*aggs)
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -385,3 +385,32 @@ def test_range_join_timestamp_points(spark):
                     right_end="we", bucket=3600 * 1_000_000)(
         Flow({"e": ev, "w": win}))["o"]
     assert {(r.eid, r.wid) for r in out.collect()} == {(1, 10), (2, 20)}
+
+
+def test_quantiles_differential(spark):
+    """Quantiles vs numpy's linear-interpolation quantile on random
+    groups, including a singleton group and an exact-index hit."""
+    import random
+
+    import numpy as np
+
+    from strom_spark import Flow, Quantiles
+
+    rng = random.Random(5)
+    rows = []
+    for g, n in (("a", 101), ("b", 17), ("c", 1)):
+        for i in range(n):
+            rows.append({"g": g, "id": i, "v": round(rng.uniform(0, 100), 3)})
+    out = Quantiles(
+        "s", "q", value_col="v",
+        quantiles={"p25": 0.25, "p50": 0.5, "p99": 0.99},
+        by=["g"], tie_breaker="id",
+    )(Flow({"s": spark.createDataFrame(rows)}))["q"]
+    got = {r.g: r for r in out.collect()}
+    for g in ("a", "b", "c"):
+        vals = np.array([r["v"] for r in rows if r["g"] == g])
+        for name, p in (("p25", 0.25), ("p50", 0.5), ("p99", 0.99)):
+            assert got[g][name] == pytest.approx(np.quantile(vals, p), abs=1e-9), (g, name)
+        assert got[g]["n"] == len(vals)
+    with pytest.raises(ValueError, match="outside"):
+        Quantiles("s", value_col="v", quantiles={"bad": 1.5})
