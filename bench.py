@@ -58,6 +58,12 @@ HEADLINE = [
     "asof_click_attribution",
     "median_order_value",
     "corpus_curation",
+    # round-2 late additions (same session): range joins, corpus
+    # relevance, exact grouped quantiles — TOTAL covers 36 from here
+    "range_join_windows",
+    "range_join_overlap",
+    "bm25_search",
+    "value_quantiles",
 ]
 
 

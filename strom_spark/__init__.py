@@ -50,7 +50,7 @@ from .operators.rangejoin import RangeJoin
 from .operators.textrank import BM25Score, TfIdfTopTerms
 from .operators.graph import ConnectedComponents
 from .operators.sampling import GroupCap, HashSample, HashSplit
-from .operators.multimodal import MediaFeatures, synthetic_assets, wav_decode
+from .operators.multimodal import MediaFeatures, synthetic_assets, wav_decode, ppm_decode
 
 __all__ = [
     "Flow",
@@ -124,6 +124,7 @@ __all__ = [
     "MediaFeatures",
     "synthetic_assets",
     "wav_decode",
+    "ppm_decode",
 ]
 
 __version__ = "0.1.0"

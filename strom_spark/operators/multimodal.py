@@ -116,6 +116,70 @@ def wav_decode(content: bytes, media_type: str = "audio") -> list[float]:
     ]
 
 
+def ppm_decode(content: bytes, media_type: str = "image") -> list[float]:
+    """REAL decoder for PPM images (portable pixmap: P6 binary and P3
+    ASCII) — stdlib-only, no native codecs.  Parses the header
+    (including ``#`` comments) and the 8-bit RGB raster and returns 8
+    deterministic image features:
+
+    [width, height, maxval, n_pixels, mean_r, mean_g, mean_b,
+     mean_luma]  (luma = 0.299 R + 0.587 G + 0.114 B)
+
+    Raises on 16-bit rasters (maxval > 255) and other netpbm variants
+    — pass a real decode_fn (PIL) for those in production.
+    """
+    if not content or content[:1] != b"P" or content[1:2] not in (b"3", b"6"):
+        raise ValueError("not a PPM (P3/P6) payload")
+    binary = content[1:2] == b"6"
+
+    # header tokens: magic, width, height, maxval; '#' starts a comment
+    # running to end-of-line; any whitespace separates tokens.
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(content):
+            raise ValueError("truncated PPM header")
+        c = content[pos : pos + 1]
+        if c == b"#":
+            nl = content.find(b"\n", pos)
+            pos = len(content) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(content) and not content[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(content[pos:end]))
+            pos = end
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError(f"16-bit PPM (maxval={maxval}) not supported")
+    n_px = width * height
+    if binary:
+        pos += 1  # exactly one whitespace byte after maxval
+        raster = content[pos : pos + 3 * n_px]
+        if len(raster) < 3 * n_px:
+            raise ValueError("truncated PPM raster")
+        vals = raster
+    else:
+        vals = [int(t) for t in content[pos:].split()]
+        if len(vals) < 3 * n_px:
+            raise ValueError("truncated PPM raster")
+    sr = sum(vals[0 : 3 * n_px : 3])
+    sg = sum(vals[1 : 3 * n_px : 3])
+    sb = sum(vals[2 : 3 * n_px : 3])
+    mr, mg, mb = sr / n_px, sg / n_px, sb / n_px
+    return [
+        float(width),
+        float(height),
+        float(maxval),
+        float(n_px),
+        mr,
+        mg,
+        mb,
+        0.299 * mr + 0.587 * mg + 0.114 * mb,
+    ]
+
+
 class MediaFeatures(Component):
     """Decode + feature-extract binary media via mapInPandas.
 

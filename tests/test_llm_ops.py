@@ -455,3 +455,37 @@ def test_connected_components_differential(spark):
         ConnectedComponents("e", "cc")(
             Flow({"e": df.withColumn("src", F.col("src").cast("string"))})
         )
+
+
+def test_ppm_decode_real_format(spark):
+    """ppm_decode is a REAL decoder: build genuine P6 (binary, with a
+    header comment) and P3 (ASCII) PPM images, decode, check exact
+    means; then run through MediaFeatures(decode_fn=ppm_decode)."""
+    from strom_spark import Flow, MediaFeatures, ppm_decode
+
+    # 2x2 P6: red, green, blue, white — mean_r = (255+0+0+255)/4
+    raster = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    p6 = b"P6\n# a comment\n2 2\n255\n" + raster
+    w, h, mx, npx, mr, mg, mb, luma = ppm_decode(p6)
+    assert (w, h, mx, npx) == (2.0, 2.0, 255.0, 4.0)
+    assert (mr, mg, mb) == (127.5, 127.5, 127.5)
+    assert luma == pytest.approx(127.5)
+
+    p3 = b"P3\n2 1\n255\n255 0 0  0 0 255\n"
+    w, h, mx, npx, mr, mg, mb, _ = ppm_decode(p3)
+    assert (w, h, npx) == (2.0, 1.0, 2.0)
+    assert (mr, mg, mb) == (127.5, 0.0, 127.5)
+
+    for bad in (b"", b"P5\n1 1\n255\n\x00", b"P6\n2 2\n65535\n" + raster, p6[:-4]):
+        with pytest.raises(ValueError):
+            ppm_decode(bad)
+
+    assets = spark.createDataFrame(
+        [{"asset_id": 1, "media_type": "image", "content": p6},
+         {"asset_id": 2, "media_type": "image", "content": p3}],
+        schema="asset_id bigint, media_type string, content binary",
+    )
+    out = MediaFeatures("a", "f", decode_fn=ppm_decode)(Flow({"a": assets}))["f"]
+    feats = {r.asset_id: r.feat for r in out.collect()}
+    assert feats[1][:4] == [2.0, 2.0, 255.0, 4.0]
+    assert feats[2][4:7] == [127.5, 0.0, 127.5]
