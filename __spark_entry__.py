@@ -3077,6 +3077,48 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )(Flow({"e": events}))["q"]
 
 
+@_q(
+    "lm_quality_scores",
+    rf"""
+WITH {_NORM_DOCS},
+tw AS (SELECT doc_id, list_filter(w, x -> x != '') AS w FROM toks),
+tok AS (SELECT doc_id, unnest(w) AS t FROM tw),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+ct AS (SELECT t, count(*) AS ct FROM tok GROUP BY t),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS total,
+         CAST(count(DISTINCT t) AS DOUBLE) AS vocab
+  FROM tok
+),
+ntok AS (SELECT doc_id, len(w) AS n_tok FROM tw WHERE len(w) > 0),
+contrib AS (
+  SELECT tf.doc_id,
+    round(tf.tf * -ln((ct.ct + 1.0) / (stats.total + 1.0 * stats.vocab)), 6) AS c
+  FROM tf JOIN ct USING (t) CROSS JOIN stats
+)
+SELECT n.doc_id, n.n_tok,
+  CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / n.n_tok AS nll
+FROM contrib JOIN ntok n USING (doc_id)
+GROUP BY n.doc_id, n.n_tok
+""",
+)
+def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring
+    (operators/textrank.py:UnigramLMScore): mean negative
+    log-likelihood per document under an add-one unigram LM trained on
+    the corpus itself — the cheap outlier/boilerplate filter every
+    curation pipeline runs before an expensive model-based one.  Same
+    determinism discipline as BM25: contributions rounded and summed
+    as DECIMAL, one explode pass carrying n_tok, term-count join
+    shuffles on the term (vocab is corpus-sized — never broadcast)."""
+    from strom_spark import UnigramLMScore
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return UnigramLMScore(
+        "docs", "scored", id_col="doc_id", text_col="text", alpha=1.0
+    )(Flow({"docs": docs}))["scored"]
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

@@ -47,7 +47,7 @@ from .operators.dedup import (
 from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, ivf_search
 from .operators.asof import AsofJoin
 from .operators.rangejoin import RangeJoin
-from .operators.textrank import BM25Score, TfIdfTopTerms
+from .operators.textrank import BM25Score, TfIdfTopTerms, UnigramLMScore
 from .operators.graph import ConnectedComponents
 from .operators.sampling import GroupCap, HashSample, HashSplit
 from .operators.multimodal import MediaFeatures, synthetic_assets, wav_decode, ppm_decode
@@ -116,6 +116,7 @@ __all__ = [
     "RangeJoin",
     "BM25Score",
     "TfIdfTopTerms",
+    "UnigramLMScore",
     "ConnectedComponents",
     "Quantiles",
     "GroupCap",

@@ -190,3 +190,79 @@ class TfIdfTopTerms(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class UnigramLMScore(Component):
+    """Per-document mean negative log-likelihood under an add-alpha
+    unigram language model trained on the corpus itself — the classic
+    cheap "perplexity" proxy for quality/outlier filtering of training
+    data (docs full of rare tokens score high; boilerplate scores
+    low).
+
+    Emits ``(id_col, n_tok, score_col)`` for documents with at least
+    one token; ``score_col`` = sum(tf * -ln p(t)) / n_tok with
+    ``p(t) = (ct + alpha) / (T + alpha * V)``.
+
+    Plan shape: same skeleton as :class:`BM25Score` — one explode pass
+    carries ``n_tok`` as a grouping column; corpus totals are a
+    broadcast single row; the term-count join SHUFFLES on the term
+    (vocab can be huge — never broadcast); per-(doc,term)
+    contributions are rounded and summed as DECIMAL so the score is
+    independent of shuffle order.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str,
+        text_col: str,
+        alpha: float = 1.0,
+        score_col: str = "nll",
+        label: str | None = None,
+    ):
+        if alpha <= 0:
+            raise ValueError("alpha must be positive (add-alpha smoothing)")
+        self.input, self.output = input, output or input
+        self.id_col, self.text_col = id_col, text_col
+        self.alpha = float(alpha)
+        self.score_col = score_col
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        toks = df.select(
+            F.col(self.id_col).alias("__id"),
+            F.filter(TXT.tokens(self.text_col), lambda x: x != F.lit("")).alias("__w"),
+        )
+        tok = toks.select("__id", F.size("__w").alias("__n"), F.explode("__w").alias("__t"))
+        tf = tok.groupBy("__id", "__n", "__t").agg(F.count(F.lit(1)).alias("__tf"))
+        ct = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__ct"))
+        stats = tok.agg(
+            F.count(F.lit(1)).cast("double").alias("__total"),
+            F.countDistinct("__t").cast("double").alias("__vocab"),
+        )
+        p = (F.col("__ct") + F.lit(self.alpha)) / (
+            F.col("__total") + F.lit(self.alpha) * F.col("__vocab")
+        )
+        contrib = F.col("__tf") * (-F.log(p))
+        out = (
+            tf.join(ct, "__t")
+            .crossJoin(F.broadcast(stats))
+            .select("__id", "__n", F.round(contrib, 6).cast("decimal(18,6)").alias("__c"))
+            .groupBy("__id", "__n")
+            .agg((F.sum("__c").cast("double") / F.col("__n")).alias(self.score_col))
+            .select(
+                F.col("__id").alias(self.id_col),
+                F.col("__n").alias("n_tok"),
+                self.score_col,
+            )
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

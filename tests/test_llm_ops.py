@@ -489,3 +489,37 @@ def test_ppm_decode_real_format(spark):
     feats = {r.asset_id: r.feat for r in out.collect()}
     assert feats[1][:4] == [2.0, 2.0, 255.0, 4.0]
     assert feats[2][4:7] == [127.5, 0.0, 127.5]
+
+
+def test_unigram_lm_differential(spark):
+    """UnigramLMScore vs pure python on a tiny corpus: rare-token docs
+    must score higher than boilerplate; exact values match."""
+    import math
+
+    from strom_spark import Flow, UnigramLMScore
+
+    corpus = {
+        1: "the the the the",
+        2: "the quick zephyr",
+        3: "xylophone quux",
+    }
+    toks = {i: t.split() for i, t in corpus.items()}
+    all_toks = [t for w in toks.values() for t in w]
+    T, V = len(all_toks), len(set(all_toks))
+    ct = {t: all_toks.count(t) for t in set(all_toks)}
+    want = {}
+    for i, w in toks.items():
+        s = sum(
+            round(w.count(t) * -math.log((ct[t] + 1.0) / (T + 1.0 * V)), 6)
+            for t in set(w)
+        )
+        want[i] = round(s / len(w), 9)
+    out = UnigramLMScore("d", "o", id_col="doc_id", text_col="text")(
+        Flow({"d": spark.createDataFrame(
+            [{"doc_id": i, "text": t} for i, t in corpus.items()])})
+    )["o"]
+    got = {r.doc_id: round(r.nll, 9) for r in out.collect()}
+    assert got == want
+    assert got[3] > got[2] > got[1]  # rarer tokens -> higher surprise
+    with pytest.raises(ValueError, match="alpha"):
+        UnigramLMScore("d", "o", id_col="doc_id", text_col="text", alpha=0)
