@@ -238,10 +238,21 @@ class UnigramLMScore(Component):
         )
         tok = toks.select("__id", F.size("__w").alias("__n"), F.explode("__w").alias("__t"))
         tf = tok.groupBy("__id", "__n", "__t").agg(F.count(F.lit(1)).alias("__tf"))
-        ct = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__ct"))
-        stats = tok.agg(
-            F.count(F.lit(1)).cast("double").alias("__total"),
-            F.countDistinct("__t").cast("double").alias("__vocab"),
+        # "train" phase: corpus term counts, materialized eagerly.
+        # Without this the ct / stats / join branches each re-run the
+        # corpus explode (column pruning makes the three subtrees
+        # differ, so Catalyst cannot ReusedExchange them — verified on
+        # the physical plan: 3 scans).  Checkpointing only the
+        # VOCAB-sized table keeps the operator at exactly two corpus
+        # passes with nothing corpus-sized ever cached.
+        ct = (
+            tok.groupBy("__t")
+            .agg(F.count(F.lit(1)).alias("__ct"))
+            .localCheckpoint(eager=True)
+        )
+        stats = ct.agg(
+            F.sum("__ct").cast("double").alias("__total"),
+            F.count(F.lit(1)).cast("double").alias("__vocab"),
         )
         p = (F.col("__ct") + F.lit(self.alpha)) / (
             F.col("__total") + F.lit(self.alpha) * F.col("__vocab")
