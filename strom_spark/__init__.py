@@ -29,7 +29,7 @@ from .operators.mixer import Mixer, MixerTree
 from .operators.splitter import Splitter, SplitterTree, Repartition
 from .operators.renamer import Renamer
 from .operators.stateful import StatefulTransformer
-from .operators.windows import CountWindow, SlidingCountWindow, TimeWindow
+from .operators.windows import CountWindow, SlidingCountWindow, TimeWindow, SessionWindow
 from .operators.relational import Sort, Limit, Distinct, TopK, TopKPerGroup, RowNumber, SetOp, Quantiles, global_row_number
 from .operators.loop import Iterate
 from .operators.cep import MatchDecide
@@ -88,6 +88,7 @@ __all__ = [
     "CountWindow",
     "SlidingCountWindow",
     "TimeWindow",
+    "SessionWindow",
     "Sort",
     "Limit",
     "Distinct",

@@ -110,3 +110,39 @@ def winnow(input, output=None, **kw):
     from .operators.dedup import WinnowFingerprints
 
     return WinnowFingerprints(input, output, **kw)
+
+
+def range_join(left, right, output, **kw):
+    from .operators.rangejoin import RangeJoin
+
+    return RangeJoin(left, right, output, **kw)
+
+
+def bm25(input, output, **kw):
+    from .operators.textrank import BM25Score
+
+    return BM25Score(input, output, **kw)
+
+
+def tfidf(input, output, **kw):
+    from .operators.textrank import TfIdfTopTerms
+
+    return TfIdfTopTerms(input, output, **kw)
+
+
+def lm_score(input, output=None, **kw):
+    from .operators.textrank import UnigramLMScore
+
+    return UnigramLMScore(input, output, **kw)
+
+
+def components(input, output=None, **kw):
+    from .operators.graph import ConnectedComponents
+
+    return ConnectedComponents(input, output, **kw)
+
+
+def quantiles(input, output=None, **kw):
+    from .operators.relational import Quantiles
+
+    return Quantiles(input, output, **kw)

@@ -228,3 +228,64 @@ class TimeWindow(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class SessionWindow(Component):
+    """Gap-based session window via native ``F.session_window`` —
+    works on batch AND streaming inputs with the same code.  A session
+    extends while consecutive events per partition key arrive within
+    ``gap`` (boundary INCLUSIVE: an event exactly ``gap`` after the
+    previous one extends the session — verified empirically, the
+    session closes only when the gap is strictly exceeded); it closes
+    ``gap`` after the last event.  Emits flattened
+    ``session_start``/``session_end`` plus the aggregates.
+
+    On streams pass ``watermark=``: sessions are keyed state that can
+    MERGE when a late event bridges two open sessions — Spark handles
+    that natively; the watermark bounds how long sessions stay open
+    (state is dropped once the watermark passes session_end + gap).
+    The batch ``sessionize_users`` query is the window-function
+    lowering of the same semantics (lag + cumulative sum) — this
+    operator is the streaming-capable form.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        ts: str,
+        gap: str,
+        partition_by: Sequence[str] = (),
+        aggs: Mapping[str, Any],
+        watermark: tuple[str, str] | None = None,
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.ts = ts
+        self.gap = gap
+        self.partition_by = tuple(partition_by)
+        self.aggs = dict(aggs)
+        self.watermark = watermark
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        if self.watermark:
+            df = df.withWatermark(*self.watermark)
+        exprs = [_resolve_expr(e, df).alias(n) for n, e in self.aggs.items()]
+        out = (
+            df.groupBy(F.session_window(self.ts, self.gap).alias("session"), *self.partition_by)
+            .agg(*exprs)
+            .withColumn("session_start", F.col("session.start"))
+            .withColumn("session_end", F.col("session.end"))
+            .drop("session")
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

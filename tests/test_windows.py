@@ -76,3 +76,36 @@ def test_time_window(spark, sf_dir):
     assert set(df.columns) == {"event_type", "n", "sum_value", "window_start", "window_end"}
     total = df.agg(F.sum("n")).collect()[0][0]
     assert total == events.count()
+
+
+def test_session_window_batch_semantics(spark):
+    """SessionWindow (native F.session_window) on batch: gap-based
+    grouping, exact-boundary event starts a NEW session (window end is
+    exclusive), session_end = last event + gap."""
+    import pandas as pd
+
+    from strom_spark import Flow, SessionWindow
+
+    T = pd.Timestamp
+    # user 1: two events 10 min apart (one session), then a 31-min gap
+    # (new session); user 2: event EXACTLY gap (30 min) after the
+    # previous -> MERGED (Spark closes a session only when the gap is
+    # strictly exceeded), session extends to 01:00
+    pdf = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2],
+        "ts": [T("2024-01-01 00:00:00"), T("2024-01-01 00:10:00"),
+               T("2024-01-01 00:41:00"), T("2024-01-01 00:00:00"),
+               T("2024-01-01 00:30:00")],
+    })
+    out = SessionWindow(
+        "e", "s", ts="ts", gap="30 minutes", partition_by=["u"],
+        aggs={"n": F.count("*")},
+    )(Flow({"e": spark.createDataFrame(pdf)}))["s"]
+    got = sorted(
+        (r.u, str(r.session_start), str(r.session_end), r.n) for r in out.collect()
+    )
+    assert got == [
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:40:00", 2),
+        (1, "2024-01-01 00:41:00", "2024-01-01 01:11:00", 1),
+        (2, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 2),
+    ]
