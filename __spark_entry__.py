@@ -1030,9 +1030,13 @@ GROUP BY ROLLUP (r.r_name, n.n_name)
 """,
 )
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ROLLUP subtotals (superset op).  All dimension joins
-    broadcast; the rollup is one hash-agg pass with grouping-set
-    expansion — no extra shuffle vs the plain groupBy."""
+    """GROUP BY ROLLUP subtotals (superset op).  Only the bounded
+    nation/region dims carry broadcast hints; the customer-derived
+    side (SF-growing) is left to AQE, which converts it to broadcast
+    at small SF from runtime stats and keeps it exchange-based at
+    100 TB (a forced hint never backs off and would hit the 8 GB
+    broadcast hard limit).  The rollup is one hash-agg pass with
+    grouping-set expansion — no extra shuffle vs the plain groupBy."""
     flow = Flow(
         {
             "orders": load_table(spark, sf_dir, "orders"),
@@ -1045,7 +1049,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             Join("customer", "nation", "cn", on=F.col("c_nationkey") == F.col("n_nationkey"), broadcast=True),
             Join("cn", "region", "cnr", on=F.col("n_regionkey") == F.col("r_regionkey"), broadcast=True),
-            Join("orders", "cnr", "ocnr", on=F.col("o_custkey") == F.col("c_custkey"), broadcast=True),
+            Join("orders", "cnr", "ocnr", on=F.col("o_custkey") == F.col("c_custkey")),
             Agg(
                 "ocnr",
                 "agg",
@@ -1081,7 +1085,9 @@ SELECT n_name, c_custkey, spend, rnk FROM (
 )
 def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window (superset op) via TopKPerGroup: one shuffle on
-    the group key, per-group heap — never a global sort."""
+    the group key, per-group heap — never a global sort.  Only the
+    25-row nation dim is hinted; the customer side shuffles on its
+    key (AQE broadcasts it at small SF, exchange at 100 TB)."""
     flow = Flow(
         {
             "orders": load_table(spark, sf_dir, "orders"),
@@ -1092,7 +1098,7 @@ def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = Pipeline(
         [
             Join("customer", "nation", "cn", on=F.col("c_nationkey") == F.col("n_nationkey"), broadcast=True),
-            Join("orders", "cn", "ocn", on=F.col("o_custkey") == F.col("c_custkey"), broadcast=True),
+            Join("orders", "cn", "ocn", on=F.col("o_custkey") == F.col("c_custkey")),
             Agg(
                 "ocn",
                 "spend",
@@ -1315,8 +1321,11 @@ GROUP BY p.p_brand
 """,
 )
 def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact ⋈ part dimension (broadcast) -> brand rollup: the part
-    table's headline join, fact side never shuffles pre-agg."""
+    """Fact ⋈ part -> brand rollup.  part grows linearly with SF
+    (20k rows at sf0.1 → billions at 100 TB), so it carries NO forced
+    broadcast hint: AQE converts the join to broadcast at small SF
+    from runtime stats and falls back to a shuffled hash join at
+    scale, where a forced hint would abort at the 8 GB limit."""
     flow = Flow(
         {
             "lineitem": load_table(spark, sf_dir, "lineitem"),
@@ -1325,7 +1334,7 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = Pipeline(
         [
-            Join("lineitem", "part", "lp", on=F.col("l_partkey") == F.col("p_partkey"), broadcast=True),
+            Join("lineitem", "part", "lp", on=F.col("l_partkey") == F.col("p_partkey")),
             Agg(
                 "lp",
                 "agg",
@@ -2662,7 +2671,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners = rev.join(F.broadcast(mx), F.col("rev_dec") == F.col("mx"))
     return (
         flow["supplier"]
-        .join(F.broadcast(winners), F.col("s_suppkey") == F.col("supplier_no"))
+        # winners is ~1 row at runtime but supplier-derived (not
+        # provably bounded at plan time) — AQE broadcasts it from
+        # runtime stats; only the scalar `mx` aggregate keeps a hint
+        .join(winners, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")
     )
@@ -2734,7 +2746,9 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     return (
-        waiting.join(F.broadcast(flow["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier grows with SF — no forced hint; AQE broadcasts it at
+        # small SF and keeps the join exchange-based at 100 TB
+        waiting.join(flow["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -69,13 +69,15 @@ def test_plan_shapes_of_headline_queries(spark, sf_dir):
             subtrees.append("\n".join(sub))
         return subtrees
 
+    from strom_spark.plans.audit import fact_broadcast_violations
+
     def assert_no_fact_broadcast(df):
-        """The scale gate: a forced broadcast of an orders/lineitem/
-        customer/supplier-derived side hits the 8 GB broadcast
-        hard-limit at 100 TB (hints, unlike AQE, never back off)."""
-        for sub in hinted_subtrees(df):
-            for fact in ("orders", "lineitem", "customer.parquet", "supplier"):
-                assert fact not in sub, f"forced broadcast of fact side:\n{sub}"
+        """The scale gate: a forced broadcast of an SF-growing side
+        hits the 8 GB broadcast hard-limit at 100 TB (hints, unlike
+        AQE, never back off).  Walks the plan tree via py4j — the
+        text rendering omits scan paths, so text matching can't see
+        which table a Relation reads."""
+        assert fact_broadcast_violations(df) == []
 
     qs = entry.queries()
     q3_df = qs["q3_shipping_priority"](spark, sf_dir)
@@ -116,6 +118,48 @@ def test_plan_shapes_of_headline_queries(spark, sf_dir):
     q1_tree = plan_str(qs["q1_pricing_summary"](spark, sf_dir)).split("\n\n")[0]
     assert q1_tree.count("HashAggregate") == 2
     assert q1_tree.count("Exchange") == 1
+
+
+def test_no_fact_broadcast_sweep(spark, sf_dir):
+    """The generalized 100 TB broadcast gate: EVERY registered query's
+    analyzed plan must be free of forced-broadcast hints over
+    SF-growing subtrees (customer/orders/lineitem/supplier/part/
+    events/documents/embeddings and derivations), unless the subtree
+    is bounded on the way (global aggregate / limit — detected by the
+    audit walker) or sits on the adjudicated allowlist below with a
+    structurally-asserted bound the walker cannot see.
+
+    This sweep exists so the anti-pattern that rounds 1 and 2 fixed
+    query-by-query (q3/q5/q10, then rollup_revenue/
+    top3_customers_per_nation/brand_revenue) can never reappear."""
+    import __spark_entry__ as entry
+    from strom_spark.plans.audit import fact_broadcast_violations
+
+    # Bounded in ways the plan walker cannot prove:
+    #   knn_topk     — query side is `Filter (vec_id < 10)` over a
+    #                  unique key: ≤ 10 rows at ANY scale factor.
+    #   bm25_search  — broadcast side is per-term document frequency
+    #                  filtered to the literal query terms: ≤ |terms|
+    #                  rows at ANY corpus size.
+    # Each entry asserts the *specific* bounding structure, so a
+    # refactor that loses the bound fails the sweep.
+    ALLOW = {
+        "knn_topk": ("Filter (vec_id",),
+        "bm25_search": ("Filter __t#", " IN ("),
+    }
+
+    failures = {}
+    for name, fn in entry.queries().items():
+        violations = fact_broadcast_violations(fn(spark, sf_dir))
+        if not violations:
+            continue
+        markers = ALLOW.get(name)
+        if markers is not None and all(all(m in v for m in markers) for v in violations):
+            continue  # adjudicated: bound is present in the subtree
+        failures[name] = violations
+    assert not failures, "unbounded fact-side forced broadcasts:\n" + "\n\n".join(
+        f"--- {n} ---\n" + "\n".join(v) for n, v in failures.items()
+    )
 
 
 def test_explain_shows_pushdown(spark, sf_dir):
