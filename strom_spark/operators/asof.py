@@ -76,6 +76,30 @@ class AsofJoin(Component):
     def transform(self, flow: Flow) -> Flow:
         left, right = flow[self.left], flow[self.right]
         vcols = self.value_cols
+        # Name-collision guard (mirrors RangeJoin): the union-marker
+        # lowering would otherwise silently merge a left column that
+        # shares a name with a carried right column or an internal
+        # marker, and the final select would emit duplicate names.
+        reserved = set(vcols) | {"matched_ts", "__ts", "__side"}
+        reserved |= {f"__m_{c}" for c in vcols} | {"__m_ts"}
+        clashes = sorted(reserved & set(left.columns))
+        if clashes:
+            raise ValueError(
+                f"AsofJoin: left columns {clashes} clash with value_cols/"
+                "matched_ts/internal names — rename them before the join"
+            )
+        if self.tolerance_s is not None:
+            ts_types = {
+                df.schema[c].dataType.typeName()
+                for df, c in ((left, self.left_ts), (right, self.right_ts))
+            }
+            if not ts_types <= {"timestamp", "timestamp_ntz", "date"}:
+                raise ValueError(
+                    "AsofJoin: tolerance_s requires timestamp-typed ts "
+                    f"columns (got {sorted(ts_types)}); on numeric ts the "
+                    "tolerance would be silently interpreted in column "
+                    "units — cast to timestamp first"
+                )
         r = right.select(
             *self.key,
             F.col(self.right_ts).alias("__ts"),

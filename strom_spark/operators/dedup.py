@@ -754,6 +754,12 @@ class EmbeddingNearDupPairs(Component):
         import pandas as pd
 
         pdf = side.toPandas()
+        if pdf.empty:
+            # a hash tile can come up empty (small overflow counts /
+            # skewed ids); np.stack on an empty list would raise
+            return slim.sparkSession.createDataFrame(
+                [], "d1 bigint, d2 bigint, cosine double"
+            )
         ids_all = pdf["id"].to_numpy()
         M = np.stack(pdf["v"].to_list()).astype("float64")
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)

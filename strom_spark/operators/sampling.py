@@ -67,7 +67,9 @@ class HashSample(Component):
 
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input]
-        out = df.filter(bucket_of(self.key_col, self.salt) < int(self.fraction * BUCKETS))
+        # round, not int(): 0.29 * 10000 == 2899.999..., truncation
+        # would keep one bucket short of the intended exact multiple
+        out = df.filter(bucket_of(self.key_col, self.salt) < round(self.fraction * BUCKETS))
         return flow.without(self.input).with_stream(self.output, out)
 
     def input_names(self) -> Sequence[str]:
@@ -110,7 +112,7 @@ class HashSplit(Component):
         lo = 0
         names = list(self.splits)
         for name in names[:-1]:
-            lo += int(self.splits[name] * BUCKETS)
+            lo += round(self.splits[name] * BUCKETS)
             cond = b < lo
             expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))

@@ -50,28 +50,65 @@ class CosineTopK(Component):
         k: int = 10,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        max_broadcast_rows: int = 1_000_000,
+        on_overflow: str = "tile",
         label: str | None = None,
     ):
+        if on_overflow not in ("tile", "error"):
+            raise ValueError("on_overflow must be 'tile' or 'error'")
         self.input = input
         self.queries = queries
         self.output = output
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
+        self.max_broadcast_rows = max_broadcast_rows
+        self.on_overflow = on_overflow
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
+        from functools import reduce
+
         corpus = flow[self.input].select(
             F.col(self.id_col).alias("neighbor_id"), V.l2_normalize(self.vec_col).alias("__cv")
         )
         queries = flow[self.queries].select(
             F.col(self.id_col).alias("query_id"), V.l2_normalize(self.vec_col).alias("__qv")
         )
-        sims = (
-            corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("cosine", F.round(V.dot("__qv", "__cv"), 6))
-            .select("query_id", "neighbor_id", "cosine")
-        )
+
+        def scan(qtile):
+            return (
+                corpus.join(F.broadcast(qtile), F.col("query_id") != F.col("neighbor_id"))
+                .withColumn("cosine", F.round(V.dot("__qv", "__cv"), 6))
+                .select("query_id", "neighbor_id", "cosine")
+            )
+
+        # GUARD (same pattern as dedup.EmbeddingNearDupPairs): the
+        # small-query assumption is enforced, not just documented.  A
+        # forced broadcast never backs off — above the bound, hash-TILE
+        # the query side so each broadcast is one bounded tile (each
+        # query lives in exactly one tile; no cross-tile duplicates).
+        n_q = queries.count()
+        if n_q <= self.max_broadcast_rows:
+            sims = scan(queries)
+        elif self.on_overflow == "error":
+            raise ValueError(
+                f"CosineTopK: query set has {n_q} rows > max_broadcast_rows="
+                f"{self.max_broadcast_rows}; use on_overflow='tile' or the "
+                "IVF/LSH paths for bulk query loads"
+            )
+        else:
+            n_tiles = -(-n_q // self.max_broadcast_rows)  # ceil
+            tiled = queries.withColumn(
+                "__tile", F.pmod(F.xxhash64("query_id"), F.lit(n_tiles)).cast("int")
+            ).localCheckpoint(eager=True)
+            sims = reduce(
+                lambda a, b: a.unionAll(b),
+                [
+                    scan(tiled.filter(F.col("__tile") == t).drop("__tile"))
+                    for t in range(n_tiles)
+                ],
+            )
         w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
         out = (
             sims.withColumn("rank", F.row_number().over(w))
