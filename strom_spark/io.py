@@ -1,12 +1,22 @@
 """Testdata table loading.
 
-The driver's synthetic tables are TPC-H-ish parquet; ``events.ts`` is
-written as parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-rejects ([PARQUET_TYPE_ILLEGAL]).  With
-``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as
-bigint nanoseconds; ``load_table`` converts it back to a proper
-timestamp (microsecond precision — sub-microsecond truncation, same as
-any engine normalizing to SQL timestamps).
+The driver's synthetic tables are TPC-H-ish parquet; ``events.ts`` has
+shipped in two encodings across testdata refreshes:
+
+* parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+  ([PARQUET_TYPE_ILLEGAL]) — with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as bigint
+  nanoseconds and ``load_table`` rebuilds the timestamp;
+* parquet ``timestamp[us]`` without a timezone, which Spark 4 reads as
+  TIMESTAMP_NTZ.  Most event-time machinery (``unix_micros``,
+  ``withWatermark``, window functions over event time) requires the
+  zoned TIMESTAMP type, so ``load_table`` casts NTZ → TIMESTAMP.  The
+  session timezone is pinned to UTC first, so the cast reinterprets the
+  naive value as the same UTC instant DuckDB sees — values are
+  bit-identical to the oracle's.
+
+Normalizing at the single ingest chokepoint keeps every downstream
+operator free of per-encoding branches.
 """
 
 from __future__ import annotations
@@ -34,11 +44,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # date->timestamp conversions match the oracle regardless of host tz
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # convert any nanos-as-long column back to timestamp
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            # integer division — double division loses ulps on large ns values
+        kind = field.dataType.simpleString()
+        if field.name == "ts" and kind == "bigint":
+            # nanos-as-long era: integer division — double division
+            # loses ulps on large ns values
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif kind == "timestamp_ntz":
+            # naive micros era: same UTC instant (session tz pinned above)
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -100,12 +100,23 @@ class AsofJoin(Component):
                     "tolerance would be silently interpreted in column "
                     "units — cast to timestamp first"
                 )
+        # Normalize DATE / TIMESTAMP_NTZ event-time to zoned TIMESTAMP up
+        # front: the tolerance gap below does cast('double'), which Spark
+        # forbids from DATE and NTZ, and mixed-type unions would widen
+        # unpredictably.  In a UTC-pinned session the cast preserves the
+        # instant (see io.load_table).
+        def _ts(df: DataFrame, col: str):
+            c = F.col(col)
+            if df.schema[col].dataType.typeName() in ("date", "timestamp_ntz"):
+                c = c.cast("timestamp")
+            return c
+
         r = right.select(
             *self.key,
-            F.col(self.right_ts).alias("__ts"),
+            _ts(right, self.right_ts).alias("__ts"),
             *[F.col(c) for c in vcols],
         ).withColumn("__side", F.lit(0))
-        l = left.withColumn("__ts", F.col(self.left_ts)).withColumn(
+        l = left.withColumn("__ts", _ts(left, self.left_ts)).withColumn(
             "__side", F.lit(1)
         )
         u = l.unionByName(r, allowMissingColumns=True)

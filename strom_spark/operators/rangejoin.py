@@ -50,8 +50,12 @@ def _as_long(df: DataFrame, col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     if isinstance(col, str):
         dtype = dict(df.dtypes).get(col)
-        if dtype in ("timestamp", "timestamp_ntz"):
+        if dtype == "timestamp":
             return F.unix_micros(c)
+        if dtype == "timestamp_ntz":
+            # unix_micros rejects NTZ; reinterpret as a zoned instant
+            # first (exact in a UTC-pinned session, see io.load_table)
+            return F.unix_micros(c.cast("timestamp"))
     return c
 
 
@@ -67,8 +71,16 @@ class RangeJoin(Component):
     left_end``.
 
     ``bucket`` is the bucket width in the columns' numeric units
-    (micros for timestamps).  ``extra_on`` adds equality keys to the
-    bucket join (e.g. a tenant id), tightening the shuffle key.
+    (micros for timestamps).  When omitted it is AUTO-SIZED at plan
+    time from the median interval span (``approx_percentile(end -
+    start, 0.5)`` — one distributed aggregate, a one-row collect): the
+    width that bounds the per-interval explode factor at ~2-3 exploded
+    rows for typical span distributions.  A wildly-wrong manual width
+    is the operator's one silent scale trap (tiny bucket x long
+    intervals = quadratic fan-out), so prefer the default unless the
+    span distribution is known and extreme.  ``extra_on`` adds equality
+    keys to the bucket join (e.g. a tenant id), tightening the shuffle
+    key.
     """
 
     def __init__(
@@ -82,7 +94,7 @@ class RangeJoin(Component):
         point: str | Column | None = None,
         left_start: str | Column | None = None,
         left_end: str | Column | None = None,
-        bucket: int,
+        bucket: int | None = None,
         extra_on: Sequence[str] = (),
         end_inclusive: bool = False,
         label: str | None = None,
@@ -91,19 +103,50 @@ class RangeJoin(Component):
             raise ValueError("exactly one of point= or left_start=/left_end= required")
         if left_start is not None and left_end is None:
             raise ValueError("left_end= required in overlap mode")
-        if bucket <= 0:
+        if bucket is not None and bucket <= 0:
             raise ValueError("bucket width must be positive")
         self.left, self.right, self.output = left, right, output
         self.point, self.left_start, self.left_end = point, left_start, left_end
         self.right_start, self.right_end = right_start, right_end
-        self.bucket = int(bucket)
+        self.bucket = None if bucket is None else int(bucket)
         self.extra_on = list(extra_on)
         self.end_inclusive = end_inclusive
         self.label = label
 
-    def _explode_buckets(self, df: DataFrame, start, end) -> DataFrame:
-        s = F.floor(_as_long(df, start) / self.bucket)
-        e = F.floor(_as_long(df, end) / self.bucket)
+    def _auto_bucket(self, left: DataFrame, right: DataFrame) -> int:
+        """Median interval span across the interval-bearing side(s) —
+        one distributed approx-percentile aggregate, one scalar back to
+        the driver.  Overlap mode pools both sides so the width suits
+        the wider distribution (fewer exploded rows)."""
+        spans = right.select(
+            (_as_long(right, self.right_end) - _as_long(right, self.right_start)).alias(
+                "__span"
+            )
+        )
+        if self.left_start is not None:
+            spans = spans.unionAll(
+                left.select(
+                    (_as_long(left, self.left_end) - _as_long(left, self.left_start)).alias(
+                        "__span"
+                    )
+                )
+            )
+        med = (
+            spans.filter(F.col("__span") > 0)
+            .agg(F.percentile_approx("__span", F.lit(0.5)).alias("m"))
+            .collect()[0]
+            .m
+        )
+        if med is None:
+            raise ValueError(
+                "RangeJoin: cannot auto-size bucket — no positive-width "
+                "intervals found; pass bucket= explicitly"
+            )
+        return max(1, int(med))
+
+    def _explode_buckets(self, df: DataFrame, start, end, width: int) -> DataFrame:
+        s = F.floor(_as_long(df, start) / width)
+        e = F.floor(_as_long(df, end) / width)
         # sequence(s, e) with s > e is a DESCENDING array in Spark, not
         # an error — an inverted interval would silently join against
         # wrong buckets.  Guard to an empty array so such rows drop out
@@ -119,18 +162,19 @@ class RangeJoin(Component):
                 "range join requires disjoint column names outside extra_on; "
                 f"rename these on one side first: {sorted(clash)}"
             )
+        width = self.bucket if self.bucket is not None else self._auto_bucket(left, right)
         rs, re = _as_long(right, self.right_start), _as_long(right, self.right_end)
-        rb = self._explode_buckets(right, self.right_start, self.right_end)
+        rb = self._explode_buckets(right, self.right_start, self.right_end, width)
 
         if self.point is not None:
             p = _as_long(left, self.point)
-            lb = left.withColumn(_B, F.floor(p / self.bucket))
+            lb = left.withColumn(_B, F.floor(p / width))
             upper = (p <= re) if self.end_inclusive else (p < re)
             cond = (rs <= p) & upper
         else:
             ls = _as_long(left, self.left_start)
             le = _as_long(left, self.left_end)
-            lb = self._explode_buckets(left, self.left_start, self.left_end)
+            lb = self._explode_buckets(left, self.left_start, self.left_end, width)
             # max(starts) < min(ends) is the half-open overlap predicate
             # that is also correct for empty intervals ([x,x) overlaps
             # nothing); the textbook ls<re AND rs<le form wrongly
@@ -138,7 +182,7 @@ class RangeJoin(Component):
             # Canonical shared bucket: emit each overlapping pair once.
             cond = (
                 (F.greatest(ls, rs) < F.least(le, re))
-                & (F.col(_B) == F.greatest(F.floor(ls / self.bucket), F.floor(rs / self.bucket)))
+                & (F.col(_B) == F.greatest(F.floor(ls / width), F.floor(rs / width)))
             )
 
         out = lb.join(rb, on=[_B, *self.extra_on], how="inner").filter(cond).drop(_B)

@@ -109,10 +109,14 @@ class HashSplit(Component):
         df = flow[self.input]
         b = bucket_of(self.key_col, self.salt)
         expr = None
-        lo = 0
+        cum = 0.0
         names = list(self.splits)
         for name in names[:-1]:
-            lo += round(self.splits[name] * BUCKETS)
+            # round the CUMULATIVE fraction, not each increment — per-
+            # increment rounding error compounds and shifts interior
+            # boundaries for fractions that aren't multiples of 1/BUCKETS
+            cum += self.splits[name]
+            lo = round(cum * BUCKETS)
             cond = b < lo
             expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))

@@ -72,9 +72,12 @@ class CosineTopK(Component):
         corpus = flow[self.input].select(
             F.col(self.id_col).alias("neighbor_id"), V.l2_normalize(self.vec_col).alias("__cv")
         )
+        # Materialize the slim query projection ONCE: the guard's count
+        # and the broadcast scan (and every tile filter) then reuse the
+        # checkpointed rows instead of recomputing upstream lineage.
         queries = flow[self.queries].select(
             F.col(self.id_col).alias("query_id"), V.l2_normalize(self.vec_col).alias("__qv")
-        )
+        ).localCheckpoint(eager=True)
 
         def scan(qtile):
             return (
@@ -98,10 +101,14 @@ class CosineTopK(Component):
                 "IVF/LSH paths for bulk query loads"
             )
         else:
+            # NOTE: hash tiling bounds each tile only in EXPECTATION —
+            # xxhash64 skew or duplicate query_id values can push one
+            # tile past max_broadcast_rows (acceptable heuristic, same
+            # as dedup's; use a row_number range if a hard cap matters).
             n_tiles = -(-n_q // self.max_broadcast_rows)  # ceil
             tiled = queries.withColumn(
                 "__tile", F.pmod(F.xxhash64("query_id"), F.lit(n_tiles)).cast("int")
-            ).localCheckpoint(eager=True)
+            )
             sims = reduce(
                 lambda a, b: a.unionAll(b),
                 [
@@ -159,6 +166,7 @@ class IVFTopK(Component):
         sample_size: int = 4096,
         iters: int = 5,
         seed: int = 13,
+        max_broadcast_rows: int = 1_000_000,
         label: str | None = None,
     ):
         self.input = input
@@ -172,6 +180,7 @@ class IVFTopK(Component):
         self.sample_size = sample_size
         self.iters = iters
         self.seed = seed
+        self.max_broadcast_rows = max_broadcast_rows
         self.label = label
 
     def _train(self, corpus: DataFrame) -> np.ndarray:
@@ -211,6 +220,8 @@ class IVFTopK(Component):
         def assign(batches):
             M = bc.value
             for batch in batches:
+                if not len(batch):
+                    continue
                 B = np.stack(batch["v"].to_list()).astype("float64")
                 B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
                 cid = np.argmax(B @ M.T, axis=1)
@@ -226,28 +237,11 @@ class IVFTopK(Component):
             assign, schema="neighbor_id bigint, centroid_id int, nv array<double>"
         )
 
-        qpdf = (
-            flow[self.queries]
-            .select(
-                F.col(self.id_col).alias("query_id"),
-                F.col(self.vec_col).cast("array<double>").alias("v"),
-            )
-            .toPandas()
+        probe_df = _probe_assign(
+            flow[self.queries], C, self.n_probe, self.id_col, self.vec_col
         )
-        Q = np.stack(qpdf["v"].to_list()).astype("float64")
-        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
-        probes = np.argsort(-(Q @ C.T), axis=1)[:, : self.n_probe]
-        probe_rows = [
-            (int(qid), int(cid), qv.tolist())
-            for qid, qv, row in zip(qpdf["query_id"], Q, probes)
-            for cid in row
-        ]
-        probe_df = spark.createDataFrame(
-            probe_rows, schema="query_id bigint, centroid_id int, qv array<double>"
-        )
-
         sims = (
-            assigned.join(F.broadcast(probe_df), "centroid_id")
+            _probe_join(assigned, probe_df, self.max_broadcast_rows)
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("cosine", F.round(V.dot("qv", "nv"), 6))
             .select("query_id", "neighbor_id", "cosine")
@@ -350,33 +344,91 @@ class IVFIndex(Component):
         return ()
 
 
-def ivf_search(spark, index_path: str, queries: DataFrame, *, k: int = 10, n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def _probe_assign(
+    queries: DataFrame, C: np.ndarray, n_probe: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-query probe list as a DISTRIBUTED frame: one exploded row
+    (query_id, centroid_id, normalized qv) per probed centroid, built
+    with a mapInPandas GEMM against the broadcast centroid matrix.  No
+    driver-side collect of the query set — a billion-row query load
+    assigns probes with the same embarrassingly-parallel scan the
+    corpus side uses.  Materialized via localCheckpoint so the
+    broadcast-size count below doesn't recompute upstream lineage."""
+    import pandas as pd
+
+    bc = queries.sparkSession.sparkContext.broadcast(C)
+    n_probe = min(n_probe, len(C))
+    slim = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def probe(batches):
+        M = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            Q = np.stack(batch["v"].to_list()).astype("float64")
+            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+            idx = np.argsort(-(Q @ M.T), axis=1)[:, :n_probe]
+            qids, cids, qvs = [], [], []
+            for qid, qv, row in zip(batch["query_id"], Q, idx):
+                for cid in row:
+                    qids.append(qid)
+                    cids.append(int(cid))
+                    qvs.append(qv.tolist())
+            yield pd.DataFrame({"query_id": qids, "centroid_id": cids, "qv": qvs})
+
+    out = slim.mapInPandas(
+        probe, schema="query_id bigint, centroid_id int, qv array<double>"
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def _probe_join(
+    corpus_side: DataFrame, probe_df: DataFrame, max_broadcast_rows: int
+) -> DataFrame:
+    """Equi-join corpus assignments to probe rows on centroid_id:
+    broadcast the probe side only while it fits the bound, else fall
+    back to a plain shuffled hash join (AQE-planned) — the guard that
+    keeps a huge query load from OOMing every executor.  probe_df must
+    be materialized (localCheckpoint) so count + join share one pass."""
+    if probe_df.count() <= max_broadcast_rows:
+        return corpus_side.join(F.broadcast(probe_df), "centroid_id")
+    return corpus_side.join(probe_df, "centroid_id")
+
+
+def ivf_search(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_rows: int = 1_000_000,
+) -> DataFrame:
     """Search a persisted :class:`IVFIndex`: per query pick the
     ``n_probe`` nearest centroids, scan ONLY those partitions
     (partition pruning on ``centroid_id``), exact-rerank.  Output
-    matches CosineTopK: (query_id, neighbor_id, cosine, rank)."""
+    matches CosineTopK: (query_id, neighbor_id, cosine, rank).
+
+    Probe assignment is distributed (``_probe_assign``); the only
+    driver-side materialization is the DISTINCT probed centroid ids —
+    bounded by n_centroids, never by query count — which drive the
+    partition-pruning filter on the index scan."""
     import json
 
     with open(f"{index_path}/_centroids.json") as f:
         C = np.array(json.load(f))
-    qpdf = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).toPandas()
-    Q = np.stack(qpdf["v"].to_list()).astype("float64")
-    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
-    probes = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
-    probe_rows = [
-        (int(qid), int(cid), qv.tolist())
-        for qid, qv, row in zip(qpdf["query_id"], Q, probes)
-        for cid in row
-    ]
-    probe_df = spark.createDataFrame(
-        probe_rows, schema="query_id bigint, centroid_id int, qv array<double>"
+    probe_df = _probe_assign(queries, C, n_probe, id_col, vec_col)
+    needed = sorted(
+        r.centroid_id for r in probe_df.select("centroid_id").distinct().collect()
     )
-    needed = sorted({int(c) for row in probes for c in row})
     index = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(needed))
     sims = (
-        index.join(F.broadcast(probe_df), "centroid_id")
+        _probe_join(index, probe_df, max_broadcast_rows)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(V.dot("qv", "nv"), 6))
         .select("query_id", "neighbor_id", "cosine")

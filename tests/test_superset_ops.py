@@ -365,6 +365,50 @@ def test_range_join_overlap_differential(spark):
             Flow({"L": L, "R": L.withColumnRenamed("lid", "rid")}))
 
 
+def test_range_join_auto_bucket(spark):
+    """bucket omitted ⇒ auto-sized from the median interval span; the
+    result must be row-identical to any manual width (the width only
+    affects the plan, never the semantics)."""
+    import random
+
+    from strom_spark import Flow, RangeJoin
+
+    rng = random.Random(23)
+    pts = [{"pid": i, "p": rng.randint(0, 1000)} for i in range(70)]
+    ivs = []
+    for i in range(35):
+        s = rng.randint(0, 950)
+        ivs.append({"iid": i, "s": s, "e": s + rng.randint(1, 90)})
+    L, R = spark.createDataFrame(pts), spark.createDataFrame(ivs)
+    auto = RangeJoin("L", "R", "o", point="p", right_start="s", right_end="e")(
+        Flow({"L": L, "R": R}))["o"]
+    manual = RangeJoin("L", "R", "o", point="p", right_start="s", right_end="e",
+                       bucket=50)(Flow({"L": L, "R": R}))["o"]
+    assert sorted((r.pid, r.iid) for r in auto.collect()) == \
+           sorted((r.pid, r.iid) for r in manual.collect())
+
+    # overlap mode auto-sizing, exactly-once emission preserved
+    lvs = [{"lid": i, "ls": rng.randint(0, 800), "le": 0} for i in range(30)]
+    for d in lvs:
+        d["le"] = d["ls"] + rng.randint(1, 120)
+    Lo = spark.createDataFrame(lvs)
+    Ro = spark.createDataFrame(
+        [{"rid": d["lid"] + 500, "rs_": d["ls"] - 3, "re_": d["le"] + 3} for d in lvs]
+    )
+    auto_o = RangeJoin("L", "R", "o", left_start="ls", left_end="le",
+                       right_start="rs_", right_end="re_")(
+        Flow({"L": Lo, "R": Ro}))["o"]
+    manual_o = RangeJoin("L", "R", "o", left_start="ls", left_end="le",
+                         right_start="rs_", right_end="re_", bucket=64)(
+        Flow({"L": Lo, "R": Ro}))["o"]
+    assert sorted((r.lid, r.rid) for r in auto_o.collect()) == \
+           sorted((r.lid, r.rid) for r in manual_o.collect())
+
+    with pytest.raises(ValueError, match="auto-size"):
+        RangeJoin("L", "R", "o", point="p", right_start="s", right_end="e")(
+            Flow({"L": L, "R": R.filter("s > e")}))
+
+
 def test_range_join_timestamp_points(spark):
     """Timestamp columns lower to epoch-micros longs transparently."""
     import pandas as pd
