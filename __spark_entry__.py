@@ -3133,6 +3133,58 @@ def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )(Flow({"docs": docs}))["scored"]
 
 
+@_q(
+    "salted_skew_join",
+    """
+WITH stats AS (
+  -- decimal sum is exact and order-independent; double division of
+  -- identical inputs is IEEE-identical across engines (a bare avg()
+  -- over doubles is summation-order-dependent and can flip boundary
+  -- rows between Spark and DuckDB)
+  SELECT event_type,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n_above,
+  CAST(SUM(CAST(e.value - s.avg_value AS DECIMAL(18,6))) AS DOUBLE) AS excess
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE e.value > s.avg_value
+GROUP BY e.event_type
+""",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact join (scale.salted_join): events carry a
+    handful of event_type values, so a plain equi-join on event_type
+    funnels EVERY row of a hot type through one reducer — the classic
+    100 TB straggler.  salted_join spreads each hot key over ``salt``
+    sub-keys on the fact side and replicates the (tiny) per-type stats
+    side salt times; the plan shows the salt explode + an equi-join on
+    (event_type, __salt), and the downstream aggregation re-parallelizes
+    because each sub-key is its own partition.  Row-identical to the
+    unsalted join (differential-tested in tests/test_scale_utils.py)."""
+    from strom_spark import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value")
+    )
+    fact = events.select("event_type", "value")
+    joined = salted_join(fact, stats, ["event_type"], salt=8)
+    return (
+        joined.filter(F.col("value") > F.col("avg_value"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.sum((F.col("value") - F.col("avg_value")).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("excess"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
