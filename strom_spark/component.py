@@ -24,6 +24,24 @@ from pyspark.sql import DataFrame
 from .flow import Flow, as_flow
 
 
+def require_batch(df: DataFrame, component: str, why: str) -> None:
+    """Raise a TYPED, actionable error when a batch-only lowering
+    receives a streaming DataFrame — instead of the opaque
+    AnalysisException Spark would throw deep inside the plan (multiple
+    flat aggregations / rank windows are unsupported on streams).
+
+    The escape hatch is always the same: drive the stream with
+    ``foreachBatch`` (or an availableNow trigger) and apply the
+    component to each materialized micro-batch, where full-corpus
+    statistics are well-defined."""
+    if df.isStreaming:
+        raise TypeError(
+            f"{component} is batch-only: {why}. Drive the stream with "
+            "foreachBatch/availableNow and apply it per micro-batch "
+            "(see streaming.control.run_available)"
+        )
+
+
 class Component:
     """Base class: a named, pure ``Flow -> Flow`` transformation."""
 

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..component import Component
+from ..component import Component, require_batch
 from ..flow import Flow
 from .transformer import _PerStream, _resolve_expr
 
@@ -253,6 +253,13 @@ class Quantiles(Component):
 
     Emits one row per group: ``by`` columns + one column per entry of
     ``quantiles`` (name -> p in [0, 1]) + ``n``.
+
+    ``mode='approx'`` swaps the rank window for ``percentile_approx``
+    (Greenwald-Khanna sketch): one partial+final aggregation, no
+    per-group sort, bounded state — the right plan for a very hot
+    single group at 100 TB.  The sketch guarantees a RANK error of at
+    most ``n / accuracy`` per group (value error follows the local data
+    density; bound-tested in tests/test_superset_ops.py).
     """
 
     def __init__(
@@ -264,21 +271,42 @@ class Quantiles(Component):
         quantiles: "dict[str, float]",
         by: Sequence[str] = (),
         tie_breaker: str | None = None,
+        mode: str = "exact",
+        accuracy: int = 10000,
         label: str | None = None,
     ):
         for name, p in quantiles.items():
             if not 0.0 <= p <= 1.0:
                 raise ValueError(f"quantile {name}={p} outside [0, 1]")
+        if mode not in ("exact", "approx"):
+            raise ValueError("mode must be 'exact' or 'approx'")
+        if accuracy <= 0:
+            raise ValueError("accuracy must be positive")
         self.input = input
         self.output = output or input
         self.value_col = value_col
         self.quantiles = dict(quantiles)
         self.by = list(by)
         self.tie_breaker = tie_breaker
+        self.mode = mode
+        self.accuracy = int(accuracy)
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input]
+        if self.mode == "approx":
+            aggs = [
+                F.percentile_approx(
+                    self.value_col, F.lit(p), F.lit(self.accuracy)
+                ).alias(name)
+                for name, p in self.quantiles.items()
+            ]
+            aggs.append(F.count(F.lit(1)).alias("n"))
+            out = df.groupBy(*self.by).agg(*aggs)
+            return flow.without(self.input).with_stream(self.output, out)
+        require_batch(
+            df, "Quantiles", "exact quantiles need a full per-group rank"
+        )
         order = [F.col(self.value_col)]
         if self.tie_breaker:
             order.append(F.col(self.tie_breaker))

@@ -30,7 +30,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..component import Component
+from ..component import Component, require_batch
 from ..flow import Flow
 from ..functions import text as TXT
 
@@ -69,6 +69,7 @@ class BM25Score(Component):
 
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input]
+        require_batch(df, "BM25Score", "corpus-wide N/avgdl/df statistics need the whole corpus")
         toks = df.select(
             F.col(self.id_col).alias("__id"),
             F.filter(TXT.tokens(self.text_col), lambda x: x != F.lit("")).alias("__w"),
@@ -145,6 +146,7 @@ class TfIdfTopTerms(Component):
         from pyspark.sql import Window
 
         df = flow[self.input]
+        require_batch(df, "TfIdfTopTerms", "document-frequency statistics and per-doc rank windows need the whole corpus")
         toks = df.select(
             F.col(self.id_col).alias("__id"),
             F.filter(
@@ -232,6 +234,7 @@ class UnigramLMScore(Component):
 
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input]
+        require_batch(df, "UnigramLMScore", "the unigram LM is trained on full-corpus term counts")
         toks = df.select(
             F.col(self.id_col).alias("__id"),
             F.filter(TXT.tokens(self.text_col), lambda x: x != F.lit("")).alias("__w"),

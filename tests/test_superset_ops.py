@@ -458,3 +458,68 @@ def test_quantiles_differential(spark):
         assert got[g]["n"] == len(vals)
     with pytest.raises(ValueError, match="outside"):
         Quantiles("s", value_col="v", quantiles={"bad": 1.5})
+
+
+def test_quantiles_approx_rank_error_bound(spark):
+    """mode='approx' (Greenwald-Khanna sketch) guarantees rank error
+    <= n/accuracy: locate each approx value in the sorted data and
+    check its rank distance from the target (mirrors the HLL
+    error-bound test)."""
+    import random
+
+    from strom_spark import Flow, Quantiles
+
+    rng = random.Random(17)
+    n = 20_000
+    rows = [{"id": i, "v": rng.gauss(0, 1000)} for i in range(n)]
+    acc = 100  # rank error bound = n/acc = 200
+    out = Quantiles(
+        "s", "q", value_col="v",
+        quantiles={"p10": 0.1, "p50": 0.5, "p90": 0.9},
+        mode="approx", accuracy=acc,
+    )(Flow({"s": spark.createDataFrame(rows)}))["q"]
+    got = out.collect()[0]
+    assert got.n == n
+    svals = sorted(r["v"] for r in rows)
+    for name, p in (("p10", 0.1), ("p50", 0.5), ("p90", 0.9)):
+        v = got[name]
+        # rank of the returned value in the exact sorted order
+        import bisect
+        rank = bisect.bisect_left(svals, v)
+        assert abs(rank - p * n) <= n / acc + 1, (name, rank, p * n)
+
+    with pytest.raises(ValueError, match="mode"):
+        Quantiles("s", value_col="v", quantiles={"m": 0.5}, mode="nope")
+
+
+def test_batch_only_components_reject_streams(spark):
+    """Corpus-statistics components raise a TYPED, actionable error on
+    streaming frames instead of Spark's opaque AnalysisException; the
+    approx quantile path, a single partial+final agg, stays
+    stream-legal."""
+    from strom_spark import Flow, Quantiles
+    from strom_spark.operators.textrank import (
+        BM25Score,
+        TfIdfTopTerms,
+        UnigramLMScore,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "value AS doc_id", "CAST(value AS STRING) AS text", "CAST(value AS DOUBLE) AS v"
+        )
+    )
+    assert stream.isStreaming
+    flow = Flow({"s": stream})
+    for comp in (
+        BM25Score("s", "o", id_col="doc_id", text_col="text", terms=["x"]),
+        TfIdfTopTerms("s", "o", id_col="doc_id", text_col="text"),
+        UnigramLMScore("s", "o", id_col="doc_id", text_col="text"),
+        Quantiles("s", "o", value_col="v", quantiles={"p50": 0.5}),
+    ):
+        with pytest.raises(TypeError, match="batch-only.*foreachBatch"):
+            comp.transform(flow)
+    # approx mode lowers to one aggregation — legal on a stream
+    q = Quantiles("s", "o", value_col="v", quantiles={"p50": 0.5}, mode="approx")
+    assert q.transform(flow)["o"].isStreaming
