@@ -442,14 +442,45 @@ def _hyperplanes(dim: int, n: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n, dim)).tolist()
 
 
-def _sign_bits(vec_col, planes: list[list[float]]):
-    """Bit-string of sign(v · p) for each hyperplane p (literal arrays
-    — planes are few and tiny, inlined into the plan)."""
-    bits = []
-    for p in planes:
-        lit = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(V.dot(vec_col, lit) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+def _sig_frame(
+    df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray, n_tables: int, bits: int
+) -> DataFrame:
+    """(id, sigs array<bigint>) — every table signature for every row,
+    computed as ONE Arrow-batched GEMM per batch against the broadcast
+    plane matrix, each table's sign bits packed into a bigint.
+
+    Why not pure Column expressions: one expression tree per plane dot
+    product inlines n_tables × bits × dim literal nodes into the plan
+    (12k+ for a 48×4×64 config) and codegen of that tree dominates
+    wall-clock, while the HOF form over a 2-D literal re-evaluates the
+    shared sign vector per table (no common-subexpression reuse across
+    lambda scopes) and is quadratically worse.  Sign hashing IS a
+    matrix multiply — the same call the IVF assignment kernel makes —
+    so it runs as one (vectorized, C) ``X @ P.T`` per Arrow batch.
+    Normalization is skipped: sign(v·p) is invariant to positive row
+    scaling.  Exact cosine verification stays JVM-side."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(planes, dtype="float64"))
+    pows = np.array([1 << (bits - 1 - i) for i in range(bits)], dtype="int64")
+    slim = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    id_type = slim.schema["id"].dataType.simpleString()
+
+    def kernel(batches):
+        P = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            X = np.stack(batch["v"].to_list()).astype("float64")
+            S = (X @ P.T) >= 0  # (n, n_tables*bits) sign bits
+            S = S.reshape(len(X), n_tables, bits).astype("int64")
+            sigs = S @ pows  # radix-pack each table -> (n, n_tables)
+            yield pd.DataFrame({"id": batch["id"], "sigs": list(sigs)})
+
+    return slim.mapInPandas(kernel, schema=f"id {id_type}, sigs array<bigint>")
 
 
 class CosineLSHJoin(Component):
@@ -471,6 +502,8 @@ class CosineLSHJoin(Component):
         seed: int = 42,
         label: str | None = None,
     ):
+        if not 0 < bits_per_table <= 62:
+            raise ValueError("bits_per_table must be in [1, 62] (bigint-packed)")
         self.input = input
         self.output = output or input
         self.id_col = id_col
@@ -488,29 +521,32 @@ class CosineLSHJoin(Component):
             F.col(self.id_col).alias("id"), V.l2_normalize(self.vec_col).alias("v")
         )
         planes = _hyperplanes(self.dim, self.n_tables * self.bits_per_table, self.seed)
-        sigs = []
-        for t in range(self.n_tables):
-            tp = planes[t * self.bits_per_table : (t + 1) * self.bits_per_table]
-            sigs.append(_sign_bits(F.col("v"), tp) if tp else F.lit(""))
         # carry the full per-table signature array through the join so
         # a pair colliding in several tables can be kept ONLY in its
-        # first matching table — an unrolled boolean over already-loaded
+        # first matching table — one array_position over already-loaded
         # columns instead of a wide dropDuplicates shuffle over all
         # candidate pairs (same trick as SimHashPairs' block dedup,
-        # dedup.py).  Join key is (table, signature): integer+string
+        # dedup.py).  Join key is (table, signature): pure integer
         # equi-join, candidates never leave their bucket partition.
-        bucketed = normed.select(
-            "id", "v", F.array(*sigs).alias("sigs")
-        ).select(
-            "id", "v", "sigs", F.posexplode(F.col("sigs")).alias("t", "bucket")
-        )
+        # The VECTORS do not ride the explode or the self-join at all —
+        # replicating a wide embedding n_tables× and shipping two copies
+        # through every candidate row would dominate the shuffle volume;
+        # they are re-attached by id AFTER first-match dedup, when only
+        # unique candidate pairs remain.
+        bucketed = _sig_frame(
+            df, self.id_col, self.vec_col, np.asarray(planes),
+            self.n_tables, self.bits_per_table,
+        ).select("id", "sigs", F.posexplode(F.col("sigs")).alias("t", "bucket"))
         a, b = bucketed.alias("a"), bucketed.alias("b")
-        first_match = F.lit(True)
-        for j in range(self.n_tables - 1):
-            first_match = first_match & (
-                (F.lit(j) >= F.col("a.t"))
-                | (F.col("a.sigs")[j] != F.col("b.sigs")[j])
+        # index of the FIRST table whose signatures agree; every joined
+        # pair agrees at table t, so position is always found and <= t+1
+        first_match = (
+            F.array_position(
+                F.zip_with(F.col("a.sigs"), F.col("b.sigs"), lambda x, y: x == y),
+                F.lit(True),
             )
+            == F.col("a.t") + 1
+        )
         cand = (
             a.join(
                 b,
@@ -519,15 +555,14 @@ class CosineLSHJoin(Component):
                 & (F.col("a.id") < F.col("b.id")),
             )
             .filter(first_match)
-            .select(
-                F.col("a.id").alias("d1"),
-                F.col("b.id").alias("d2"),
-                F.col("a.v").alias("v1"),
-                F.col("b.v").alias("v2"),
-            )
+            .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
         )
+        v1 = normed.select(F.col("id").alias("d1"), F.col("v").alias("v1"))
+        v2 = normed.select(F.col("id").alias("d2"), F.col("v").alias("v2"))
         out = (
-            cand.withColumn("cosine", F.round(V.dot("v1", "v2"), 6))
+            cand.join(v1, "d1")
+            .join(v2, "d2")
+            .withColumn("cosine", F.round(V.dot("v1", "v2"), 6))
             .filter(F.col("cosine") >= self.threshold)
             .select("d1", "d2", "cosine")
         )
