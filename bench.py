@@ -64,6 +64,10 @@ HEADLINE = [
     "range_join_overlap",
     "bm25_search",
     "value_quantiles",
+    # round-4 additions: skew-salted fact join; sign-LSH near-dup
+    # pairs (GEMM signatures) — TOTAL covers 38 from here
+    "salted_skew_join",
+    "cosine_lsh_pairs",
 ]
 
 

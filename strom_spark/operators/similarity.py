@@ -533,20 +533,33 @@ class CosineLSHJoin(Component):
         # through every candidate row would dominate the shuffle volume;
         # they are re-attached by id AFTER first-match dedup, when only
         # unique candidate pairs remain.
-        bucketed = _sig_frame(
-            df, self.id_col, self.vec_col, np.asarray(planes),
-            self.n_tables, self.bits_per_table,
-        ).select("id", "sigs", F.posexplode(F.col("sigs")).alias("t", "bucket"))
-        a, b = bucketed.alias("a"), bucketed.alias("b")
-        # index of the FIRST table whose signatures agree; every joined
-        # pair agrees at table t, so position is always found and <= t+1
-        first_match = (
-            F.array_position(
-                F.zip_with(F.col("a.sigs"), F.col("b.sigs"), lambda x, y: x == y),
-                F.lit(True),
+        # Explicit width on the bucket shuffle: the self-join's INPUT is
+        # tiny (ids + packed sigs) but its OUTPUT fans out ~|bucket|²
+        # per bucket — AQE's coalescing sees only input bytes and would
+        # funnel the whole fan-out through one task.  Repartitioning on
+        # the join key at the session's shuffle width both parallelizes
+        # the fan-out and pre-satisfies the join's distribution (no
+        # second exchange).
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        bucketed = (
+            _sig_frame(
+                df, self.id_col, self.vec_col, np.asarray(planes),
+                self.n_tables, self.bits_per_table,
             )
-            == F.col("a.t") + 1
+            .select("id", "sigs", F.posexplode(F.col("sigs")).alias("t", "bucket"))
+            .repartition(n_part, "t", "bucket")
         )
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        # keep a pair only in its FIRST matching table: unrolled compare
+        # chain over the packed-int signature arrays — ordinal gets, no
+        # per-row array allocation (zip_with/array_position would build
+        # a fresh boolean array per candidate), O(n_tables) plan terms
+        first_match = F.lit(True)
+        for j in range(self.n_tables - 1):
+            first_match = first_match & (
+                (F.lit(j) >= F.col("a.t"))
+                | (F.col("a.sigs")[j] != F.col("b.sigs")[j])
+            )
         cand = (
             a.join(
                 b,
@@ -559,12 +572,32 @@ class CosineLSHJoin(Component):
         )
         v1 = normed.select(F.col("id").alias("d1"), F.col("v").alias("v1"))
         v2 = normed.select(F.col("id").alias("d2"), F.col("v").alias("v2"))
+        paired = cand.join(v1, "d1").join(v2, "d2")
+        id_t = paired.schema["d1"].dataType.simpleString()
+
+        def verify(batches):
+            import pandas as pd
+
+            for batch in batches:
+                if not len(batch):
+                    continue
+                A = np.stack(batch["v1"].to_list())
+                B = np.stack(batch["v2"].to_list())
+                cos = np.round(np.einsum("ij,ij->i", A, B), 6)
+                yield pd.DataFrame(
+                    {"d1": batch["d1"], "d2": batch["d2"], "cosine": cos}
+                )
+
+        # exact verification as one vectorized row-wise dot per Arrow
+        # batch — candidate counts are the cost driver here and an
+        # interpreted per-element HOF fold over millions of pairs is
+        # 10-100x slower than the C einsum (same tradeoff as the
+        # signature GEMM and dedup's tiled-GEMM verify)
         out = (
-            cand.join(v1, "d1")
-            .join(v2, "d2")
-            .withColumn("cosine", F.round(V.dot("v1", "v2"), 6))
+            paired.mapInPandas(
+                verify, schema=f"d1 {id_t}, d2 {id_t}, cosine double"
+            )
             .filter(F.col("cosine") >= self.threshold)
-            .select("d1", "d2", "cosine")
         )
         return flow.without(self.input).with_stream(self.output, out)
 
