@@ -127,6 +127,35 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
+    # RangeJoin bucket-width sensitivity: the explode factor is
+    # (interval_len / bucket + 1), so a bucket far below the typical
+    # span multiplies the joined row count — the operator's one silent
+    # scale knob.  Probe a synthetic point-in-interval join at widths
+    # around the median span and at the AUTO width; all widths must
+    # produce the identical match count (width is plan-only).
+    from strom_spark.operators.rangejoin import RangeJoin
+
+    pts = spark.range(500_000).select(
+        F.col("id").alias("pid"), (F.xxhash64("id") % 1_000_000).alias("p")
+    )
+    ivs = spark.range(50_000).select(
+        F.col("id").alias("iid"),
+        (F.xxhash64("id", F.lit(1)) % 1_000_000).alias("s"),
+    ).withColumn("e", F.col("s") + 200 + F.pmod(F.xxhash64("iid"), F.lit(800)))
+    pts.cache().count(); ivs.cache().count()
+    match_counts = set()
+    for label, bucket in [("auto", None), ("median", 600), ("tiny", 10), ("huge", 100_000)]:
+        t0 = time.time()
+        out = RangeJoin(
+            "L", "R", "o", point="p", right_start="s", right_end="e", bucket=bucket
+        )(Flow({"L": pts, "R": ivs}))["o"]
+        n = out.count()
+        match_counts.add(n)
+        results["ops"][f"range_join_bucket_{label}"] = {
+            "rows": n, "sec": round(time.time() - t0, 1), "bucket": bucket,
+        }
+    assert len(match_counts) == 1, f"bucket width changed semantics: {match_counts}"
+
     print(json.dumps(results))
     spark.stop()
 
