@@ -523,3 +523,42 @@ def test_batch_only_components_reject_streams(spark):
     # approx mode lowers to one aggregation — legal on a stream
     q = Quantiles("s", "o", value_col="v", quantiles={"p50": 0.5}, mode="approx")
     assert q.transform(flow)["o"].isStreaming
+
+
+def test_quantiles_approx_streaming_differential(spark, sf_dir):
+    """Approx quantiles over an availableNow stream drain to the SAME
+    result as the identical batch aggregation — true streaming parity,
+    not just a plan-compiles check."""
+    import shutil
+    import tempfile
+
+    from strom_spark import Flow, Quantiles, load_table
+    from strom_spark.streaming.control import run_available
+
+    d = tempfile.mkdtemp(prefix="strom_qstream_")
+    try:
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = Quantiles(
+            "s", "o", value_col="value",
+            quantiles={"p50": 0.5, "p90": 0.9}, by=["event_type"],
+            mode="approx", accuracy=10000,
+        )
+        out = q(Flow({"s": stream}))["o"]
+        run_available(out, query_name="t_qstream", output_mode="complete")
+        got = {r.event_type: r for r in spark.sql("SELECT * FROM t_qstream").collect()}
+        want = {
+            r.event_type: r
+            for r in q(Flow({"s": spark.read.parquet(d)}))["o"].collect()
+        }
+        assert set(got) == set(want) and got
+        for k in want:
+            assert got[k].n == want[k].n
+            # same sketch algorithm over the same rows; micro-batch
+            # boundaries may perturb insertion order, so allow the
+            # sketch's own rank tolerance rather than exact equality
+            assert got[k].p50 == pytest.approx(want[k].p50, rel=0.05)
+            assert got[k].p90 == pytest.approx(want[k].p90, rel=0.05)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
