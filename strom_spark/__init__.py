@@ -50,7 +50,15 @@ from .operators.rangejoin import RangeJoin
 from .operators.textrank import BM25Score, TfIdfTopTerms, UnigramLMScore
 from .operators.graph import ConnectedComponents
 from .operators.sampling import GroupCap, HashSample, HashSplit
-from .operators.multimodal import MediaFeatures, synthetic_assets, wav_decode, ppm_decode
+from .operators.multimodal import (
+    FrameSample,
+    MediaFeatures,
+    MediaResize,
+    ppm_decode,
+    ppm_resize,
+    synthetic_assets,
+    wav_decode,
+)
 
 __all__ = [
     "Flow",
@@ -124,6 +132,9 @@ __all__ = [
     "HashSample",
     "HashSplit",
     "MediaFeatures",
+    "MediaResize",
+    "FrameSample",
+    "ppm_resize",
     "synthetic_assets",
     "wav_decode",
     "ppm_decode",

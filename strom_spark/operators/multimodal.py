@@ -128,42 +128,8 @@ def ppm_decode(content: bytes, media_type: str = "image") -> list[float]:
     Raises on 16-bit rasters (maxval > 255) and other netpbm variants
     — pass a real decode_fn (PIL) for those in production.
     """
-    if not content or content[:1] != b"P" or content[1:2] not in (b"3", b"6"):
-        raise ValueError("not a PPM (P3/P6) payload")
-    binary = content[1:2] == b"6"
-
-    # header tokens: magic, width, height, maxval; '#' starts a comment
-    # running to end-of-line; any whitespace separates tokens.
-    pos, tokens = 2, []
-    while len(tokens) < 3:
-        if pos >= len(content):
-            raise ValueError("truncated PPM header")
-        c = content[pos : pos + 1]
-        if c == b"#":
-            nl = content.find(b"\n", pos)
-            pos = len(content) if nl < 0 else nl + 1
-        elif c.isspace():
-            pos += 1
-        else:
-            end = pos
-            while end < len(content) and not content[end : end + 1].isspace():
-                end += 1
-            tokens.append(int(content[pos:end]))
-            pos = end
-    width, height, maxval = tokens
-    if maxval > 255:
-        raise ValueError(f"16-bit PPM (maxval={maxval}) not supported")
+    width, height, maxval, vals = ppm_parse(content)
     n_px = width * height
-    if binary:
-        pos += 1  # exactly one whitespace byte after maxval
-        raster = content[pos : pos + 3 * n_px]
-        if len(raster) < 3 * n_px:
-            raise ValueError("truncated PPM raster")
-        vals = raster
-    else:
-        vals = [int(t) for t in content[pos:].split()]
-        if len(vals) < 3 * n_px:
-            raise ValueError("truncated PPM raster")
     sr = sum(vals[0 : 3 * n_px : 3])
     sg = sum(vals[1 : 3 * n_px : 3])
     sb = sum(vals[2 : 3 * n_px : 3])
@@ -243,6 +209,258 @@ class MediaFeatures(Component):
                 yield out
 
         out = prepared.mapInPandas(extract, schema=FEATURE_SCHEMA)
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+def ppm_parse(content: bytes):
+    """Parse a P6/P3 PPM into (width, height, maxval, flat_raster) —
+    shared by :func:`ppm_decode` consumers that need pixels, not
+    features.  Raises ValueError on anything that isn't 8-bit PPM."""
+    if not content or content[:1] != b"P" or content[1:2] not in (b"3", b"6"):
+        raise ValueError("not a PPM (P3/P6) payload")
+    binary = content[1:2] == b"6"
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(content):
+            raise ValueError("truncated PPM header")
+        c = content[pos : pos + 1]
+        if c == b"#":
+            nl = content.find(b"\n", pos)
+            pos = len(content) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(content) and not content[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(content[pos:end]))
+            pos = end
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError(f"16-bit PPM (maxval={maxval}) not supported")
+    n_px = width * height
+    if binary:
+        pos += 1
+        raster = content[pos : pos + 3 * n_px]
+        if len(raster) < 3 * n_px:
+            raise ValueError("truncated PPM raster")
+        flat = list(raster)
+    else:
+        flat = [int(t) for t in content[pos:].split()][: 3 * n_px]
+        if len(flat) < 3 * n_px:
+            raise ValueError("truncated PPM raster")
+    return width, height, maxval, flat
+
+
+def ppm_resize(content: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL nearest-neighbor resize for PPM images, emitted as P6 —
+    numpy index arithmetic on the decoded raster, no native codecs.
+    Deterministic: source pixel = floor(i * src / dst) per axis (the
+    standard nearest-neighbor mapping)."""
+    import numpy as np
+
+    w, h, maxval, flat = ppm_parse(content)
+    img = np.asarray(flat, dtype="uint8").reshape(h, w, 3)
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    out = img[ys][:, xs]
+    header = f"P6\n{target_w} {target_h}\n{maxval}\n".encode()
+    return header + out.tobytes()
+
+
+class MediaResize(Component):
+    """Resize binary images via mapInPandas (Arrow batches, linear
+    scan, no shuffle — blobs never leave their partition).
+
+    ``resize_fn(content, w, h) -> bytes`` defaults to the REAL
+    stdlib+numpy PPM path (:func:`ppm_resize`); payloads it cannot
+    parse (JPEG/PNG need native codecs this container lacks) pass
+    through unchanged with ``resized=false`` so the pipeline is honest
+    about what it transformed — or raise with ``strict=True``.  Output:
+    (asset_id, media_type, content, width, height, resized)."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        target_w: int,
+        target_h: int,
+        id_col: str = "asset_id",
+        content_col: str = "content",
+        media_type_col: str = "media_type",
+        resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+        strict: bool = False,
+        label: str | None = None,
+    ):
+        if target_w <= 0 or target_h <= 0:
+            raise ValueError("target dimensions must be positive")
+        self.input = input
+        self.output = output or input
+        self.target_w, self.target_h = int(target_w), int(target_h)
+        self.id_col = id_col
+        self.content_col = content_col
+        self.media_type_col = media_type_col
+        self.resize_fn = resize_fn
+        self.strict = strict
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        tw, th = self.target_w, self.target_h
+        fn = self.resize_fn or ppm_resize
+        strict = self.strict
+
+        prepared = df.select(
+            F.col(self.id_col).alias("asset_id"),
+            F.col(self.media_type_col).alias("media_type"),
+            F.col(self.content_col).alias("__content"),
+        )
+
+        def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                contents, flags = [], []
+                for c in pdf["__content"]:
+                    try:
+                        contents.append(fn(c, tw, th))
+                        flags.append(True)
+                    except (ValueError, TypeError):
+                        if strict:
+                            raise
+                        contents.append(c)
+                        flags.append(False)
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "media_type": pdf["media_type"],
+                        "content": contents,
+                        "width": [tw if f else None for f in flags],
+                        "height": [th if f else None for f in flags],
+                        "resized": flags,
+                    }
+                )
+
+        out = prepared.mapInPandas(
+            resize,
+            schema=(
+                "asset_id bigint, media_type string, content binary, "
+                "width int, height int, resized boolean"
+            ),
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+def _fake_frames(content: bytes, n_frames: int) -> "list[bytes]":
+    """Deterministic stand-in for a video frame decoder: slice the
+    payload into n_frames equal byte chunks.  NOT real frames — the
+    container has no video codecs; pass frame_fn=ffmpeg-backed decode
+    in production."""
+    if not content or n_frames <= 0:
+        return []
+    n = max(1, len(content) // n_frames)
+    return [bytes(content[i * n : (i + 1) * n]) for i in range(n_frames)]
+
+
+class FrameSample(Component):
+    """Sample frames from binary video via mapInPandas — one OUTPUT ROW
+    PER SAMPLED FRAME (the explode shape every frame pipeline needs),
+    frame index and timestamp attached.
+
+    ``frame_fn(content, n_frames) -> list[bytes]`` extracts evenly
+    spaced frames; with None, a clearly-marked deterministic byte-chunk
+    fake stands in (no video codecs in this container) — or
+    ``strict=True`` raises NotImplementedError.  ``fps`` + the asset's
+    ``duration_ms`` column give each sampled frame a timestamp:
+    frame i of n spans [i, i+1) / n of the duration.
+
+    At 100 TB: frames fan OUT of the blob scan (rows multiply by
+    every_n), so the component is a linear mapInPandas with bounded
+    Arrow batches and no shuffle; write sampled frames to their own
+    table before any wide op touches them."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        n_frames: int = 8,
+        id_col: str = "asset_id",
+        content_col: str = "content",
+        duration_col: str = "duration_ms",
+        frame_fn: "Callable[[bytes, int], list] | None" = None,
+        strict: bool = False,
+        label: str | None = None,
+    ):
+        if n_frames <= 0:
+            raise ValueError("n_frames must be positive")
+        self.input = input
+        self.output = output or input
+        self.n_frames = int(n_frames)
+        self.id_col = id_col
+        self.content_col = content_col
+        self.duration_col = duration_col
+        self.frame_fn = frame_fn
+        self.strict = strict
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        k = self.n_frames
+        fn = self.frame_fn
+        if self.strict and fn is None:
+            raise NotImplementedError(
+                "no video frame decoder available in this environment; "
+                "pass frame_fn="
+            )
+        if fn is None:
+            fn = _fake_frames
+
+        prepared = df.select(
+            F.col(self.id_col).alias("asset_id"),
+            F.col(self.duration_col).cast("bigint").alias("__dur"),
+            F.col(self.content_col).alias("__content"),
+        )
+
+        def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, idxs, ts, frames = [], [], [], []
+                for aid, dur, c in zip(
+                    pdf["asset_id"], pdf["__dur"], pdf["__content"]
+                ):
+                    fs = fn(c, k)
+                    n = len(fs)
+                    for i, fr in enumerate(fs):
+                        ids.append(aid)
+                        idxs.append(i)
+                        ts.append(
+                            int(dur) * i // n if dur is not None and n else None
+                        )
+                        frames.append(fr)
+                yield pd.DataFrame(
+                    {
+                        "asset_id": ids,
+                        "frame_idx": idxs,
+                        "frame_ts_ms": ts,
+                        "frame": frames,
+                    }
+                )
+
+        out = prepared.mapInPandas(
+            sample,
+            schema="asset_id bigint, frame_idx int, frame_ts_ms bigint, frame binary",
+        )
         return flow.without(self.input).with_stream(self.output, out)
 
     def input_names(self) -> Sequence[str]:

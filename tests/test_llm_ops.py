@@ -491,6 +491,78 @@ def test_ppm_decode_real_format(spark):
     assert feats[2][4:7] == [127.5, 0.0, 127.5]
 
 
+def test_media_resize_real_ppm(spark):
+    """MediaResize really resizes PPM: a 4x4 quadrant image shrinks to
+    2x2 with the exact nearest-neighbor pixels; the output re-decodes
+    with ppm_decode; non-PPM payloads pass through with resized=false
+    (or raise in strict mode)."""
+    from strom_spark import Flow, MediaResize, ppm_decode, ppm_resize
+
+    # 4x4: top-left red, top-right green, bottom-left blue, bottom-right white
+    px = {"r": [255, 0, 0], "g": [0, 255, 0], "b": [0, 0, 255], "w": [255, 255, 255]}
+    rows = ["rrgg", "rrgg", "bbww", "bbww"]
+    raster = bytes(v for row in rows for c in row for v in px[c])
+    p6 = b"P6\n4 4\n255\n" + raster
+
+    small = ppm_resize(p6, 2, 2)
+    assert small.startswith(b"P6\n2 2\n255\n")
+    # nearest-neighbor at exact 2x downscale picks pixels (0,0) (0,2) (2,0) (2,2)
+    assert list(small[-12:]) == px["r"] + px["g"] + px["b"] + px["w"]
+    w, h, *_ = ppm_decode(small)
+    assert (w, h) == (2.0, 2.0)
+    # upscale round-trips the quadrant structure
+    big = ppm_resize(small, 4, 4)
+    assert ppm_resize(big, 2, 2) == small
+
+    assets = spark.createDataFrame(
+        [{"asset_id": 1, "media_type": "image", "content": p6},
+         {"asset_id": 2, "media_type": "video", "content": b"\x00\x01\x02mp4ish"}],
+        schema="asset_id bigint, media_type string, content binary",
+    )
+    out = MediaResize("a", "o", target_w=2, target_h=2)(Flow({"a": assets}))["o"]
+    got = {r.asset_id: r for r in out.collect()}
+    assert got[1].resized and (got[1].width, got[1].height) == (2, 2)
+    assert bytes(got[1].content) == small
+    assert not got[2].resized and got[2].width is None
+    assert bytes(got[2].content) == b"\x00\x01\x02mp4ish"  # untouched
+
+    # executor-side raise arrives wrapped in PySpark's PythonException
+    with pytest.raises(Exception, match="not a PPM"):
+        MediaResize(
+            "a", "o", target_w=2, target_h=2, strict=True
+        )(Flow({"a": assets}))["o"].collect()
+
+
+def test_frame_sample_plumbing(spark):
+    """FrameSample: one output row per sampled frame with index and
+    duration-proportional timestamp; deterministic fake frames (no
+    video codecs here); strict mode raises NotImplementedError."""
+    from strom_spark import Flow, FrameSample, synthetic_assets
+
+    assets = synthetic_assets(spark, n=9).filter("media_type = 'video'")
+    n_videos = assets.count()
+    out = FrameSample("a", "o", n_frames=4)(Flow({"a": assets}))["o"]
+    rows = out.collect()
+    assert len(rows) == 4 * n_videos
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    durs = {r.asset_id: r.duration_ms for r in assets.collect()}
+    for aid, frs in by_asset.items():
+        assert sorted(f.frame_idx for f in frs) == [0, 1, 2, 3]
+        for f in frs:
+            if durs[aid] is not None:
+                assert f.frame_ts_ms == durs[aid] * f.frame_idx // 4
+            assert isinstance(bytes(f.frame), bytes)
+    # determinism: same input -> identical frames
+    again = FrameSample("a", "o", n_frames=4)(Flow({"a": assets}))["o"].collect()
+    assert sorted((r.asset_id, r.frame_idx, bytes(r.frame)) for r in again) == \
+           sorted((r.asset_id, r.frame_idx, bytes(r.frame)) for r in rows)
+
+    with pytest.raises(NotImplementedError, match="frame_fn"):
+        FrameSample("a", "o", strict=True)(Flow({"a": assets}))
+
+
 def test_unigram_lm_differential(spark):
     """UnigramLMScore vs pure python on a tiny corpus: rare-token docs
     must score higher than boilerplate; exact values match."""
