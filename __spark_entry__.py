@@ -3196,19 +3196,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 queries of this
-# dict; with 75 registered, source-registration order left the newest 25
-# (TPC-H pack, range joins, BM25/TF-IDF/LM, quantiles, asof, clusters)
-# without a driver-signed row for three rounds.  Export in ROTATED
-# order — the previously-unsampled tail first, then the rest — so every
-# query lands inside a driver window across consecutive rounds.  The
-# early queries dropping out of this round's window carry signed rows
-# from rounds 1-3.
-_SIGN_FIRST = 50  # how many of the head were driver-signed through r3
+# dict; with 76 registered, plain registration order would leave the
+# same tail permanently unsampled.  Export LEAST-RECENTLY-SIGNED first:
+# scan the driver's own CORRECTNESS_r*.json artifacts and order by the
+# last round each query got a driver row (never-signed queries first,
+# registration order as the tie-break).  Every query then cycles
+# through the driver's window across rounds with no manual rotation.
 
 
 def _export_order() -> list[str]:
+    import glob
+    import json
+    import re
+
+    last_signed: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last_signed[name] = max(last_signed.get(name, 0), rnd)
     names = list(_QUERIES)
-    return names[_SIGN_FIRST:] + names[:_SIGN_FIRST]
+    reg_pos = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last_signed.get(n, -1), reg_pos[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
