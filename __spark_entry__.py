@@ -3185,6 +3185,33 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "heavy_hitter_users",
+    """
+SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS n
+FROM events
+GROUP BY user_id
+HAVING count(*) > (SELECT count(*) // 150 FROM events)
+""",
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (operators/relational.py:HeavyHitters):
+    users contributing more than 1/150th of all events, via the two-pass
+    Misra-Gries lowering — per-partition k-counter sketches (bounded
+    state, no wide shuffle of every distinct user) find a guaranteed
+    SUPERSET of the heavy hitters, then an exact count of only those
+    candidates (broadcast semi-join) makes the output exact.  The SQL
+    oracle is the plain GROUP BY ... HAVING the sketch replaces at
+    scale."""
+    from strom_spark import HeavyHitters
+
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    return HeavyHitters(
+        "e", "hh", value_col="user_id", min_count=n // 150, k=1024
+    )(Flow({"e": events}))["hh"]
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

@@ -30,7 +30,7 @@ from .operators.splitter import Splitter, SplitterTree, Repartition
 from .operators.renamer import Renamer
 from .operators.stateful import StatefulTransformer
 from .operators.windows import CountWindow, SlidingCountWindow, TimeWindow, SessionWindow
-from .operators.relational import Sort, Limit, Distinct, TopK, TopKPerGroup, RowNumber, SetOp, Quantiles, global_row_number
+from .operators.relational import HeavyHitters, Sort, Limit, Distinct, TopK, TopKPerGroup, RowNumber, SetOp, Quantiles, global_row_number
 from .operators.loop import Iterate
 from .operators.cep import MatchDecide
 from .operators.dedup import (
@@ -128,6 +128,7 @@ __all__ = [
     "UnigramLMScore",
     "ConnectedComponents",
     "Quantiles",
+    "HeavyHitters",
     "GroupCap",
     "HashSample",
     "HashSplit",

@@ -344,3 +344,125 @@ class Quantiles(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class HeavyHitters(Component):
+    """EXACT heavy hitters (items with frequency > ``min_count``) via
+    the standard two-pass sketch-then-verify lowering:
+
+      1. **Candidate pass** — per-partition Misra-Gries summaries of
+         ``k`` counters (``mapInPandas``, state bounded by ``k`` per
+         partition regardless of input size), merged with a single
+         bounded aggregation.  MG's guarantee: any item with true count
+         > n/k survives every summary and the merge, so with
+         ``min_count >= n/k`` the candidate set is a SUPERSET of the
+         true heavy hitters (the operator enforces this by raising
+         when n/k > min_count — the user must widen k).
+      2. **Verify pass** — exact count of ONLY the candidates (a
+         broadcast semi-join of at most ``k`` values against the
+         input), filtered to > min_count.
+
+    Output is therefore EXACT — (value, n) for every value with true
+    frequency > min_count — while the wide state of a full groupBy on
+    a high-cardinality column is replaced by k counters per partition
+    plus a count restricted to <= k candidate values.  At 100 TB this
+    is the difference between shuffling every distinct URL/token and
+    shuffling only plausibly-frequent ones.
+
+    The frequency threshold is COUNT-based (``min_count`` rows) — for a
+    fraction threshold pass ``min_count = ceil(phi * n)``.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        value_col: str,
+        min_count: int,
+        k: int = 1024,
+        label: str | None = None,
+    ):
+        if min_count <= 0:
+            raise ValueError("min_count must be positive")
+        if k <= 1:
+            raise ValueError("k must be > 1")
+        self.input = input
+        self.output = output or input
+        self.value_col = value_col
+        self.min_count = int(min_count)
+        self.k = int(k)
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        import pandas as pd
+
+        df = flow[self.input]
+        require_batch(
+            df, "HeavyHitters", "the exact verify pass re-scans the input"
+        )
+        k = self.k
+        slim = df.select(F.col(self.value_col).cast("string").alias("__v"))
+
+        def mg_partition(batches):
+            # one Misra-Gries summary per PARTITION (state: k counters);
+            # mapInPandas streams batches, so the summary spans them
+            counters: dict[str, int] = {}
+            for batch in batches:
+                for v in batch["__v"]:
+                    if v is None:
+                        continue
+                    if v in counters:
+                        counters[v] += 1
+                    elif len(counters) < k - 1:
+                        counters[v] = 1
+                    else:
+                        # decrement-all step, dropping zeroed counters
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+            yield pd.DataFrame(
+                {"__v": list(counters), "est": list(counters.values())}
+            )
+
+        # merged summary: summing per-partition estimates keeps the
+        # superset guarantee (sums only over-count survivors); the
+        # aggregation is bounded by k x partitions input rows
+        merged = (
+            slim.mapInPandas(mg_partition, schema="__v string, est bigint")
+            .groupBy("__v")
+            .agg(F.sum("est").alias("est"))
+        )
+
+        # enforce the guarantee precondition: n/k must not exceed
+        # min_count, else a true heavy hitter could be evicted
+        n_rows = slim.count()
+        if n_rows / k > self.min_count:
+            raise ValueError(
+                f"HeavyHitters: n/k = {n_rows}/{k} = {n_rows / k:.0f} exceeds "
+                f"min_count={self.min_count}; raise k to at least "
+                f"{-(-n_rows // self.min_count)} to guarantee no heavy hitter "
+                "is missed"
+            )
+        # MG error <= n/k: candidates with est + n/k <= min_count cannot
+        # be heavy hitters; the rest verify exactly
+        cands = merged.filter(F.col("est") + F.lit(n_rows // k) > self.min_count)
+
+        out = (
+            slim.join(F.broadcast(cands.select("__v")), "__v")
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > self.min_count)
+            .select(F.col("__v").alias(self.value_col), "n")
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

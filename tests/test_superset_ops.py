@@ -492,6 +492,39 @@ def test_quantiles_approx_rank_error_bound(spark):
         Quantiles("s", value_col="v", quantiles={"m": 0.5}, mode="nope")
 
 
+def test_heavy_hitters_differential(spark):
+    """HeavyHitters (two-pass Misra-Gries) is EXACT: identical to the
+    plain groupBy-HAVING on a zipf-ish distribution, including with a k
+    small enough that the sketch actually evicts; k too small for the
+    guarantee raises instead of silently missing items."""
+    import random
+
+    from strom_spark import Flow, HeavyHitters
+
+    rng = random.Random(31)
+    # ~30 hot values + a long tail of near-singletons
+    vals = [f"hot{i}" for i in range(30) for _ in range(rng.randint(50, 200))]
+    vals += [f"cold{i}" for i in range(5000) for _ in range(rng.randint(1, 2))]
+    rng.shuffle(vals)
+    df = spark.createDataFrame([{"v": v} for v in vals]).repartition(8)
+    n = len(vals)
+    min_count = 40  # every hot value qualifies, no cold one does
+    assert n / 512 <= min_count
+    out = HeavyHitters("s", "o", value_col="v", min_count=min_count, k=512)(
+        Flow({"s": df})
+    )["o"]
+    got = {(r.v, r.n) for r in out.collect()}
+    from collections import Counter
+
+    want = {(v, c) for v, c in Counter(vals).items() if c > min_count}
+    assert got == want and len(want) == 30
+
+    with pytest.raises(ValueError, match="raise k"):
+        HeavyHitters("s", "o", value_col="v", min_count=2, k=16)(
+            Flow({"s": df})
+        )
+
+
 def test_batch_only_components_reject_streams(spark):
     """Corpus-statistics components raise a TYPED, actionable error on
     streaming frames instead of Spark's opaque AnalysisException; the
