@@ -449,11 +449,16 @@ class HeavyHitters(Component):
                 "is missed"
             )
         # MG error <= n/k: candidates with est + n/k <= min_count cannot
-        # be heavy hitters; the rest verify exactly
+        # be heavy hitters; the rest verify exactly.  NO forced
+        # broadcast: the candidate set is bounded per partition (k-1
+        # survivors) but the merged union can reach (k-1) x partitions
+        # rows at cluster scale — AQE converts the join to broadcast
+        # when runtime stats allow and backs off when they don't (the
+        # repo-wide hint doctrine, enforced by plans/audit.py).
         cands = merged.filter(F.col("est") + F.lit(n_rows // k) > self.min_count)
 
         out = (
-            slim.join(F.broadcast(cands.select("__v")), "__v")
+            slim.join(cands.select("__v"), "__v")
             .groupBy("__v")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > self.min_count)
