@@ -3206,9 +3206,10 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strom_spark import HeavyHitters
 
     events = load_table(spark, sf_dir, "events")
-    n = events.count()
+    # callable threshold: derived from the sketch pass's own row count —
+    # the events table is scanned exactly twice (sketch + verify)
     return HeavyHitters(
-        "e", "hh", value_col="user_id", min_count=n // 150, k=1024
+        "e", "hh", value_col="user_id", min_count=lambda n: n // 150, k=1024
     )(Flow({"e": events}))["hh"]
 
 

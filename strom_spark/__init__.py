@@ -55,6 +55,7 @@ from .operators.multimodal import (
     MediaFeatures,
     MediaResize,
     ppm_decode,
+    ppm_parse,
     ppm_resize,
     synthetic_assets,
     wav_decode,
@@ -136,6 +137,7 @@ __all__ = [
     "MediaResize",
     "FrameSample",
     "ppm_resize",
+    "ppm_parse",
     "synthetic_assets",
     "wav_decode",
     "ppm_decode",

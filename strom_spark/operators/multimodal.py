@@ -244,6 +244,10 @@ def ppm_parse(content: bytes):
     width, height, maxval = tokens
     if maxval > 255:
         raise ValueError(f"16-bit PPM (maxval={maxval}) not supported")
+    if width <= 0 or height <= 0:
+        # a 0-width header parses "cleanly" but every pixel operation
+        # downstream (resize indexing, mean division) breaks on it
+        raise ValueError(f"degenerate PPM dimensions {width}x{height}")
     n_px = width * height
     if binary:
         pos += 1
@@ -441,12 +445,13 @@ class FrameSample(Component):
                 ):
                     fs = fn(c, k)
                     n = len(fs)
+                    # NULL bigints arrive from Arrow as NaN, not None —
+                    # `is not None` alone lets int(NaN) blow up the task
+                    has_dur = dur is not None and not pd.isna(dur)
                     for i, fr in enumerate(fs):
                         ids.append(aid)
                         idxs.append(i)
-                        ts.append(
-                            int(dur) * i // n if dur is not None and n else None
-                        )
+                        ts.append(int(dur) * i // n if has_dur and n else None)
                         frames.append(fr)
                 yield pd.DataFrame(
                     {

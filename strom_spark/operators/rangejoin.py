@@ -162,6 +162,15 @@ class RangeJoin(Component):
                 "range join requires disjoint column names outside extra_on; "
                 f"rename these on one side first: {sorted(clash)}"
             )
+        if self.bucket is None and (left.isStreaming or right.isStreaming):
+            # auto-sizing runs an eager aggregate at plan time, which a
+            # streaming plan cannot execute — fail with the actionable
+            # error, not Spark's writeStream.start() AnalysisException
+            raise TypeError(
+                "RangeJoin: bucket auto-sizing is batch-only (it runs an "
+                "eager median aggregate); pass bucket= explicitly for "
+                "streaming inputs"
+            )
         width = self.bucket if self.bucket is not None else self._auto_bucket(left, right)
         rs, re = _as_long(right, self.right_start), _as_long(right, self.right_end)
         rb = self._explode_buckets(right, self.right_start, self.right_end, width)

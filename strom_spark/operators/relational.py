@@ -5,7 +5,7 @@ so the Flow/Pipeline surface is complete."""
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Callable, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
@@ -369,8 +369,17 @@ class HeavyHitters(Component):
     is the difference between shuffling every distinct URL/token and
     shuffling only plausibly-frequent ones.
 
-    The frequency threshold is COUNT-based (``min_count`` rows) — for a
-    fraction threshold pass ``min_count = ceil(phi * n)``.
+    The input is scanned exactly TWICE (the information-theoretic floor
+    for exact heavy hitters): the sketch pass also carries the
+    per-partition row counts, and its tiny output is localCheckpointed
+    so the total-count, the guarantee check, and the candidate filter
+    all read the materialized summary instead of re-scanning.
+
+    ``min_count`` is the row-count threshold; pass a CALLABLE
+    ``n -> int`` (e.g. ``lambda n: n // 100`` for "more than 1%") to
+    derive it from the total row count without a separate count job.
+    NULL values are EXCLUDED — a SQL ``GROUP BY`` would emit a NULL
+    group, this operator never does (filter upstream if nulls matter).
     """
 
     def __init__(
@@ -379,18 +388,18 @@ class HeavyHitters(Component):
         output: str | None = None,
         *,
         value_col: str,
-        min_count: int,
+        min_count: "int | Callable[[int], int]",
         k: int = 1024,
         label: str | None = None,
     ):
-        if min_count <= 0:
+        if not callable(min_count) and min_count <= 0:
             raise ValueError("min_count must be positive")
         if k <= 1:
             raise ValueError("k must be > 1")
         self.input = input
         self.output = output or input
         self.value_col = value_col
-        self.min_count = int(min_count)
+        self.min_count = min_count if callable(min_count) else int(min_count)
         self.k = int(k)
         self.label = label
 
@@ -402,16 +411,21 @@ class HeavyHitters(Component):
             df, "HeavyHitters", "the exact verify pass re-scans the input"
         )
         k = self.k
-        slim = df.select(F.col(self.value_col).cast("string").alias("__v"))
+        slim = df.select(
+            F.col(self.value_col).cast("string").alias("__v")
+        ).filter(F.col("__v").isNotNull())
 
         def mg_partition(batches):
             # one Misra-Gries summary per PARTITION (state: k counters);
-            # mapInPandas streams batches, so the summary spans them
+            # mapInPandas streams batches, so the summary spans them.
+            # A sentinel row (__v NULL — impossible as data, nulls are
+            # filtered above) carries the partition's row count so the
+            # total needs no second scan.
             counters: dict[str, int] = {}
+            seen = 0
             for batch in batches:
                 for v in batch["__v"]:
-                    if v is None:
-                        continue
+                    seen += 1
                     if v in counters:
                         counters[v] += 1
                     elif len(counters) < k - 1:
@@ -426,42 +440,57 @@ class HeavyHitters(Component):
                         for key in dead:
                             del counters[key]
             yield pd.DataFrame(
-                {"__v": list(counters), "est": list(counters.values())}
+                {
+                    "__v": list(counters) + [None],
+                    "est": list(counters.values()) + [seen],
+                }
             )
 
-        # merged summary: summing per-partition estimates keeps the
-        # superset guarantee (sums only over-count survivors); the
-        # aggregation is bounded by k x partitions input rows
-        merged = (
-            slim.mapInPandas(mg_partition, schema="__v string, est bigint")
-            .groupBy("__v")
-            .agg(F.sum("est").alias("est"))
+        # ONE scan produces the summary; localCheckpoint pins its tiny
+        # result (<= k x partitions rows) for the count + filter below
+        summary = slim.mapInPandas(
+            mg_partition, schema="__v string, est bigint"
+        ).localCheckpoint(eager=True)
+        n_rows = (
+            summary.filter(F.col("__v").isNull()).agg(F.sum("est")).collect()[0][0]
+            or 0
         )
+        min_count = (
+            self.min_count(n_rows) if callable(self.min_count) else self.min_count
+        )
+        if min_count <= 0:
+            raise ValueError(f"derived min_count={min_count} must be positive")
 
         # enforce the guarantee precondition: n/k must not exceed
         # min_count, else a true heavy hitter could be evicted
-        n_rows = slim.count()
-        if n_rows / k > self.min_count:
+        if n_rows / k > min_count:
             raise ValueError(
                 f"HeavyHitters: n/k = {n_rows}/{k} = {n_rows / k:.0f} exceeds "
-                f"min_count={self.min_count}; raise k to at least "
-                f"{-(-n_rows // self.min_count)} to guarantee no heavy hitter "
+                f"min_count={min_count}; raise k to at least "
+                f"{-(-n_rows // min_count)} to guarantee no heavy hitter "
                 "is missed"
             )
-        # MG error <= n/k: candidates with est + n/k <= min_count cannot
-        # be heavy hitters; the rest verify exactly.  NO forced
-        # broadcast: the candidate set is bounded per partition (k-1
-        # survivors) but the merged union can reach (k-1) x partitions
-        # rows at cluster scale — AQE converts the join to broadcast
-        # when runtime stats allow and backs off when they don't (the
-        # repo-wide hint doctrine, enforced by plans/audit.py).
-        cands = merged.filter(F.col("est") + F.lit(n_rows // k) > self.min_count)
+        # merged summary: summing per-partition estimates keeps the
+        # superset guarantee (sums only over-count survivors).  MG error
+        # <= n/k: candidates with est + n/k <= min_count cannot be heavy
+        # hitters; the rest verify exactly.  NO forced broadcast: the
+        # candidate set is bounded per partition (k-1 survivors) but the
+        # merged union can reach (k-1) x partitions rows at cluster
+        # scale — AQE converts the join to broadcast when runtime stats
+        # allow and backs off when they don't (the repo-wide hint
+        # doctrine, enforced by plans/audit.py).
+        cands = (
+            summary.filter(F.col("__v").isNotNull())
+            .groupBy("__v")
+            .agg(F.sum("est").alias("est"))
+            .filter(F.col("est") + F.lit(n_rows // k) > min_count)
+        )
 
         out = (
             slim.join(cands.select("__v"), "__v")
             .groupBy("__v")
             .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > self.min_count)
+            .filter(F.col("n") > min_count)
             .select(F.col("__v").alias(self.value_col), "n")
         )
         return flow.without(self.input).with_stream(self.output, out)

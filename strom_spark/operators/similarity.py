@@ -216,6 +216,7 @@ class IVFTopK(Component):
             F.col(self.id_col).alias("neighbor_id"),
             F.col(self.vec_col).cast("array<double>").alias("v"),
         )
+        nid_type = slim.schema["neighbor_id"].dataType.simpleString()
 
         def assign(batches):
             M = bc.value
@@ -234,7 +235,8 @@ class IVFTopK(Component):
                 )
 
         assigned = slim.mapInPandas(
-            assign, schema="neighbor_id bigint, centroid_id int, nv array<double>"
+            assign,
+            schema=f"neighbor_id {nid_type}, centroid_id int, nv array<double>",
         )
 
         probe_df = _probe_assign(
@@ -315,10 +317,13 @@ class IVFIndex(Component):
             F.col(self.id_col).alias("neighbor_id"),
             F.col(self.vec_col).cast("array<double>").alias("v"),
         )
+        nid_type = slim.schema["neighbor_id"].dataType.simpleString()
 
         def assign(batches):
             M = bc.value
             for batch in batches:
+                if not len(batch):
+                    continue
                 B = np.stack(batch["v"].to_list()).astype("float64")
                 B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
                 yield pd.DataFrame(
@@ -330,7 +335,8 @@ class IVFIndex(Component):
                 )
 
         assigned = slim.mapInPandas(
-            assign, schema="neighbor_id bigint, centroid_id int, nv array<double>"
+            assign,
+            schema=f"neighbor_id {nid_type}, centroid_id int, nv array<double>",
         )
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(self.path)
         with open(f"{self.path}/_centroids.json", "w") as f:
@@ -362,6 +368,9 @@ def _probe_assign(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    # preserve the caller's id type (string doc ids etc.), same as
+    # _sig_frame — a hardcoded bigint would break non-integral id_col
+    id_type = slim.schema["query_id"].dataType.simpleString()
 
     def probe(batches):
         M = bc.value
@@ -380,7 +389,7 @@ def _probe_assign(
             yield pd.DataFrame({"query_id": qids, "centroid_id": cids, "qv": qvs})
 
     out = slim.mapInPandas(
-        probe, schema="query_id bigint, centroid_id int, qv array<double>"
+        probe, schema=f"query_id {id_type}, centroid_id int, qv array<double>"
     )
     return out.localCheckpoint(eager=True)
 
@@ -583,7 +592,7 @@ class CosineLSHJoin(Component):
                     continue
                 A = np.stack(batch["v1"].to_list())
                 B = np.stack(batch["v2"].to_list())
-                cos = np.round(np.einsum("ij,ij->i", A, B), 6)
+                cos = np.einsum("ij,ij->i", A, B)
                 yield pd.DataFrame(
                     {"d1": batch["d1"], "d2": batch["d2"], "cosine": cos}
                 )
@@ -592,11 +601,16 @@ class CosineLSHJoin(Component):
         # batch — candidate counts are the cost driver here and an
         # interpreted per-element HOF fold over millions of pairs is
         # 10-100x slower than the C einsum (same tradeoff as the
-        # signature GEMM and dedup's tiled-GEMM verify)
+        # signature GEMM and dedup's tiled-GEMM verify).  The ROUNDING
+        # stays JVM-side: F.round is exact BigDecimal HALF_UP, the same
+        # function every oracle-compared score in this repo uses —
+        # np.round is scaled-rint (half-to-even, documented-inexact
+        # scaling) and could flip a 6th decimal against the oracle.
         out = (
             paired.mapInPandas(
                 verify, schema=f"d1 {id_t}, d2 {id_t}, cosine double"
             )
+            .withColumn("cosine", F.round(F.col("cosine"), 6))
             .filter(F.col("cosine") >= self.threshold)
         )
         return flow.without(self.input).with_stream(self.output, out)

@@ -562,6 +562,31 @@ def test_frame_sample_plumbing(spark):
     with pytest.raises(NotImplementedError, match="frame_fn"):
         FrameSample("a", "o", strict=True)(Flow({"a": assets}))
 
+    # NULL duration_ms (arrives as NaN through Arrow) must yield NULL
+    # timestamps, not crash the task — images in synthetic_assets have
+    # duration_ms=None, so run over the WHOLE mixed-media table
+    mixed = synthetic_assets(spark, n=9)
+    got = FrameSample("a", "o", n_frames=2)(Flow({"a": mixed}))["o"].collect()
+    img_ids = {r.asset_id for r in mixed.filter("media_type = 'image'").collect()}
+    assert any(r.asset_id in img_ids and r.frame_ts_ms is None for r in got)
+
+
+def test_media_resize_degenerate_ppm_passthrough(spark):
+    """A zero-width PPM header parses as far as the raster but must be
+    rejected as degenerate — passing through (resized=false) in lax
+    mode instead of an IndexError killing the task."""
+    from strom_spark import Flow, MediaResize, ppm_parse
+
+    with pytest.raises(ValueError, match="degenerate"):
+        ppm_parse(b"P6\n0 5\n255\n")
+    assets = spark.createDataFrame(
+        [{"asset_id": 1, "media_type": "image", "content": b"P6\n0 5\n255\n"}],
+        schema="asset_id bigint, media_type string, content binary",
+    )
+    out = MediaResize("a", "o", target_w=2, target_h=2)(Flow({"a": assets}))["o"]
+    r = out.collect()[0]
+    assert not r.resized and bytes(r.content) == b"P6\n0 5\n255\n"
+
 
 def test_unigram_lm_differential(spark):
     """UnigramLMScore vs pure python on a tiny corpus: rare-token docs
