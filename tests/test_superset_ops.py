@@ -235,6 +235,29 @@ def test_ivf_index_probe_is_partition_pruned(spark, emb, tmp_path):
     assert pruned.count() == 50
 
 
+def test_ivf_string_ids_end_to_end(spark, emb, tmp_path):
+    """The whole IVF family must work with STRING vector ids — the
+    kernels derive the id type from the input schema rather than
+    assuming bigint."""
+    from strom_spark import IVFIndex, IVFTopK, ivf_search
+
+    semb = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    queries = semb.filter(F.col("vec_id").isin("doc-1", "doc-2", "doc-3"))
+    out = IVFTopK("c", "q", "knn", k=3, n_centroids=8, n_probe=8)(
+        Flow({"c": semb, "q": queries})
+    )["knn"].collect()
+    assert len(out) == 9 and all(r.neighbor_id.startswith("doc-") for r in out)
+
+    path = str(tmp_path / "ivf_sidx")
+    IVFIndex("corpus", path, n_centroids=8)(Flow({"corpus": semb}))
+    got = ivf_search(spark, path, queries, k=3, n_probe=8).collect()
+    assert sorted((r.query_id, r.neighbor_id, r.rank) for r in got) == sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in out
+    )
+
+
 def test_approx_distinct_within_rsd_bound(spark, sf_dir):
     """Quantifies the rows-only approx_distinct_users entry: HLL++
     estimates must sit within the configured relative standard

@@ -156,6 +156,27 @@ def main() -> None:
         }
     assert len(match_counts) == 1, f"bucket width changed semantics: {match_counts}"
 
+    # CosineLSHJoin candidate economy: the PRODUCTION config (high
+    # threshold, wide tables) must generate a small fraction of the
+    # all-pairs space, while the oracle demo config (threshold 0.3,
+    # recall-1) intentionally approaches all-pairs.  Candidates are
+    # what the exact verify pays for — this row records the split.
+    from strom_spark.operators.similarity import CosineLSHJoin
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n_vec = emb.count()
+    for label, kw in [
+        ("prod", dict(threshold=0.9, n_tables=8, bits_per_table=12)),
+        ("demo_recall1", dict(threshold=0.3, n_tables=48, bits_per_table=4)),
+    ]:
+        t0 = time.time()
+        pairs = CosineLSHJoin("e", "p", dim=64, **kw)(Flow({"e": emb}))["p"].count()
+        results["ops"][f"cosine_lsh_{label}"] = {
+            "rows": pairs,
+            "sec": round(time.time() - t0, 1),
+            "all_pairs": n_vec * (n_vec - 1) // 2,
+        }
+
     print(json.dumps(results))
     spark.stop()
 
