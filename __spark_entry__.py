@@ -3190,8 +3190,9 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS n
 FROM events
+WHERE user_id IS NOT NULL
 GROUP BY user_id
-HAVING count(*) > (SELECT count(*) // 150 FROM events)
+HAVING count(*) > (SELECT count(user_id) // 150 FROM events)
 """,
 )
 def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
