@@ -3186,6 +3186,42 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "decontaminate_train",
+    rf"""
+WITH {_NORM_DOCS},
+{_SHINGLES},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0)
+SELECT tr.doc_id, count(*) AS n_contaminated
+FROM tr JOIN ev USING (shingle)
+GROUP BY tr.doc_id
+HAVING count(*) >= 5
+""",
+)
+def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:Decontaminate) —
+    the canonical pre-training step: a held-out slice of documents
+    (doc_id % 29 = 0) plays the eval/benchmark corpus; every remaining
+    training doc sharing >= 5 distinct 3-word shingles with it is
+    flagged.  The lowering never materializes pairs: distinct train
+    postings join the distinct eval shingle SET, so each posting
+    matches at most once (output bounded by the posting count); counts
+    shuffle on the doc id.  The oracle is the identical shingle
+    algebra in DuckDB (shared CTE with the Jaccard queries)."""
+    from strom_spark import Decontaminate
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") % 29 != 0)
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    flagged = Decontaminate(
+        "train", "eval", "out", k=3, min_overlap=5, mode="flag"
+    )(Flow({"train": train, "eval": ev}))["out"]
+    return flagged.filter(F.col("contaminated")).select(
+        "doc_id", "n_contaminated"
+    )
+
+
+@_q(
     "heavy_hitter_users",
     """
 SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS n

@@ -34,6 +34,7 @@ from .operators.relational import HeavyHitters, Sort, Limit, Distinct, TopK, Top
 from .operators.loop import Iterate
 from .operators.cep import MatchDecide
 from .operators.dedup import (
+    Decontaminate,
     SimHashDedup,
     ExactDedup,
     StreamingExactDedup,
@@ -109,6 +110,7 @@ __all__ = [
     "Iterate",
     "MatchDecide",
     "ExactDedup",
+    "Decontaminate",
     "StreamingExactDedup",
     "WinnowFingerprints",
     "SimHashDedup",

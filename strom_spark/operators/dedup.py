@@ -840,3 +840,111 @@ class EmbeddingNearDupPairs(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class Decontaminate(Component):
+    """Cross-corpus n-gram DECONTAMINATION — the canonical pre-training
+    step: flag (or drop) every training document that shares at least
+    ``min_overlap`` distinct k-word shingles with ANY document of an
+    evaluation/benchmark corpus, so eval answers don't leak into
+    training data.
+
+    Lowering (linear, no pair materialization):
+
+      1. distinct (doc, shingle) postings of the TRAIN side (the same
+         inverted-index unit NgramJaccardPairs uses);
+      2. the DISTINCT shingle set of the EVAL side — eval identity is
+         irrelevant, only membership, so the join side collapses to
+         one row per unique eval shingle;
+      3. equi-join postings x eval-shingles on the shingle and count
+         per train doc.  Because the eval set is distinct, each train
+         posting matches AT MOST ONCE — join output is bounded by the
+         train posting count, never quadratic;
+      4. ``mode='flag'``: all train columns + ``n_contaminated`` +
+         ``contaminated``; ``mode='drop'``: contaminated docs removed.
+
+    No forced broadcast on the eval side (a benchmark suite is usually
+    tiny, but "usually" is not a bound) — AQE broadcasts it when
+    runtime stats allow.  At 100 TB the train side shuffles once on
+    the shingle key and once on the doc id, both high-cardinality.
+    """
+
+    def __init__(
+        self,
+        train: str,
+        eval: str,
+        output: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        eval_text_col: str | None = None,
+        k: int = 3,
+        min_overlap: int = 1,
+        mode: str = "flag",
+        label: str | None = None,
+    ):
+        if mode not in ("flag", "drop"):
+            raise ValueError("mode must be 'flag' or 'drop'")
+        if min_overlap < 1:
+            raise ValueError("min_overlap must be >= 1")
+        self.train, self.eval, self.output = train, eval, output
+        self.id_col = id_col
+        self.text_col = text_col
+        self.eval_text_col = eval_text_col or text_col
+        self.k = int(k)
+        self.min_overlap = int(min_overlap)
+        self.mode = mode
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        train, ev = flow[self.train], flow[self.eval]
+        for reserved in ("n_contaminated", "contaminated"):
+            if reserved in train.columns:
+                raise ValueError(
+                    f"Decontaminate: train column {reserved!r} clashes with an "
+                    "output column — rename it first"
+                )
+        postings = _shingle_postings(train, self.id_col, self.text_col, self.k)
+        ev_slim = _spread(ev.select(F.col(self.eval_text_col).alias("__text")))
+        ev_toks = ev_slim.select(TXT.tokens("__text").alias("__toks"))
+        ev_grams = (
+            ev_toks.select(
+                F.explode(
+                    TXT.shingles_of_tokens(F.col("__toks"), self.k)
+                ).alias("shingle")
+            )
+            .distinct()
+        )
+        overlap = (
+            postings.join(ev_grams, "shingle")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_contaminated"))
+            .filter(F.col("n_contaminated") >= self.min_overlap)
+        )
+        if self.mode == "drop":
+            out = train.join(
+                overlap.select(F.col("id").alias(self.id_col)),
+                self.id_col,
+                "left_anti",
+            )
+        else:
+            out = (
+                train.join(
+                    overlap.select(
+                        F.col("id").alias(self.id_col), "n_contaminated"
+                    ),
+                    self.id_col,
+                    "left",
+                )
+                .withColumn(
+                    "n_contaminated", F.coalesce("n_contaminated", F.lit(0))
+                )
+                .withColumn("contaminated", F.col("n_contaminated") >= self.min_overlap)
+            )
+        return flow.without(self.train, self.eval).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.train, self.eval)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

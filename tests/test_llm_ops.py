@@ -588,6 +588,54 @@ def test_media_resize_degenerate_ppm_passthrough(spark):
     assert not r.resized and bytes(r.content) == b"P6\n0 5\n255\n"
 
 
+def test_decontaminate_differential(spark):
+    """Decontaminate vs pure-python shingle overlap: flag counts match
+    exactly; drop mode removes exactly the flagged docs; eval docs
+    shorter than k contribute nothing; reserved-column clash raises."""
+    from strom_spark import Decontaminate, Flow
+
+    train = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "the quick brown cat sits on the warm mat"),
+        (4, "completely unrelated text about spark plans"),
+    ]
+    ev = [
+        (100, "the quick brown fox runs"),   # shares shingles with 1 and 3
+        (101, "five dozen liquor jugs here"),  # shares with 2
+        (102, "xy"),                           # < k tokens: no shingles
+    ]
+
+    def sh(text, k=3):
+        w = text.split()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    ev_grams = set().union(*(sh(t) for _, t in ev))
+    want = {
+        d: len(sh(t) & ev_grams) for d, t in train if sh(t) & ev_grams
+    }
+
+    T = spark.createDataFrame(train, "doc_id bigint, text string")
+    E = spark.createDataFrame(ev, "doc_id bigint, text string")
+    out = Decontaminate("t", "e", "o", k=3, min_overlap=1)(
+        Flow({"t": T, "e": E})
+    )["o"]
+    got = {r.doc_id: r.n_contaminated for r in out.collect() if r.contaminated}
+    assert got == want and 4 not in got
+
+    kept = Decontaminate("t", "e", "o", k=3, min_overlap=1, mode="drop")(
+        Flow({"t": T, "e": E})
+    )["o"]
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        d for d, _ in train if d not in want
+    )
+
+    with pytest.raises(ValueError, match="clashes"):
+        Decontaminate("t", "e", "o")(
+            Flow({"t": T.withColumn("contaminated", F.lit(True)), "e": E})
+        )
+
+
 def test_unigram_lm_differential(spark):
     """UnigramLMScore vs pure python on a tiny corpus: rare-token docs
     must score higher than boilerplate; exact values match."""
