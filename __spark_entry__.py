@@ -3222,6 +3222,71 @@ def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pii_redaction",
+    r"""
+SELECT doc_id,
+  length(regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g'),
+    '\+?[0-9]{1,3}[-. (]{1,2}[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ]?[0-9]{4}', '<PHONE>', 'g')
+  ) AS n_redacted_chars,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\+?[0-9]{1,3}[-. (]{1,2}[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ]?[0-9]{4}')) AS BIGINT) AS n_phone
+FROM documents
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/text.py:redact_pii) — the standard
+    pre-release redaction pass: emails, dotted-quad IPs, and phone
+    numbers replaced by typed placeholders, with per-class audit
+    counts.  Pure regexp_replace/extract_all chain (JVM codegen, zero
+    Python); patterns restricted to the Java-regex ∩ RE2 dialect so
+    the identical expressions run on the DuckDB oracle.  The hash
+    compares the redacted LENGTH (not the text — the driver hashes all
+    columns and long strings make mismatch triage useless) plus raw
+    counts."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = TXT.pii_counts("text")
+    return docs.select(
+        "doc_id",
+        F.length(TXT.redact_pii("text")).alias("n_redacted_chars"),
+        counts["n_email"].alias("n_email"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_phone"].alias("n_phone"),
+    )
+
+
+@_q(
+    "repetition_scores",
+    rf"""
+WITH {_NORM_DOCS},
+tw AS (SELECT doc_id, list_filter(w, x -> x != '') AS w FROM toks),
+g AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+  FROM tw, unnest(range(1, greatest(len(w) - 1, 1))) t(i)
+  WHERE len(w) >= 3
+),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio,
+  CAST(sum(c) AS BIGINT) AS n_grams
+FROM pg GROUP BY doc_id
+""",
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal
+    (functions/text.py:repetition_stats): per document, the share of
+    3-gram occurrences taken by its single most frequent 3-gram —
+    near-1 flags boilerplate/degenerate loops for removal.
+    NON-distinct grams (repeats ARE the signal), explode → two keyed
+    aggregations; no per-element HOF over derived arrays (quadratic
+    per doc)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TXT.repetition_stats(docs, "doc_id", "text", k=3)
+
+
+@_q(
     "heavy_hitter_users",
     """
 SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS n

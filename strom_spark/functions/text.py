@@ -206,3 +206,87 @@ def quality_features(col: "Column | str") -> dict[str, Column]:
         "uniq_token_ratio": uniq_ratio.cast("double"),
         "quality_score": score.cast("double"),
     }
+
+
+#: PII patterns — conservative subset whose regex semantics are
+#: identical under Java regex (Spark) and RE2 (DuckDB): no backrefs,
+#: no lookaround, explicit character classes only.
+PII_PATTERNS = {
+    # local@domain.tld
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted-quad IPv4 (octet ranges not validated — redaction favors
+    # recall; 999.1.1.1 redacts too, harmless)
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    # +1-555-123-4567 / (555) 123 4567 / 555.123.4567 — 10+ digits in
+    # common groupings; anchored on a separator-or-start so plain long
+    # numbers (ids) survive
+    "phone": r"\+?[0-9]{1,3}[-. (]{1,2}[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ]?[0-9]{4}",
+}
+
+
+def redact_pii(col: "Column | str", kinds: "tuple[str, ...]" = ("email", "ipv4", "phone")) -> Column:
+    """Replace every match of the selected PII pattern classes with
+    ``<KIND>`` placeholders — the standard scrubbing pass before
+    training-data release.  Pure ``regexp_replace`` chain: JVM-side,
+    codegen, zero Python; patterns are restricted to the Java/RE2
+    common dialect so the same expression is oracle-checkable."""
+    out = _c(col)
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(col: "Column | str") -> "dict[str, Column]":
+    """Per-class PII match counts (bigint) — the audit signal next to
+    the redaction."""
+    return {
+        f"n_{kind}": F.size(
+            F.regexp_extract_all(_c(col), F.lit(pat), 0)
+        ).cast("bigint")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def kgrams_of_tokens(t: Column, k: int) -> Column:
+    """NON-distinct k-gram array of a bound token column — the unit
+    for repetition analysis, where duplicate grams are the signal
+    (``shingles_of_tokens`` deliberately dedups; this doesn't).  Same
+    bound-column contract and <k-token empty-array guard."""
+    n = F.size(t)
+    idx = F.when(
+        n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+
+
+def repetition_stats(df, id_col: str, text_col: str, k: int = 3):
+    """Gopher-style repetition signal per document: ``rep_ratio`` =
+    occurrences of the single most frequent k-gram / total k-gram
+    occurrences (1/(n-k+1) for repetition-free text, →1 for degenerate
+    loops), plus ``n_grams``.  Docs with < k tokens are omitted
+    (no grams to measure).
+
+    Plan: explode NON-distinct grams → per-(doc, gram) count → per-doc
+    max/sum — two keyed aggregations, no per-element HOF over derived
+    arrays (a transform-over-distinct-with-filter form re-evaluates
+    the gram array per element and is quadratic per document)."""
+    slim = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    toks = slim.select("__id", tokens("__text").alias("__toks"))
+    grams = toks.select(
+        "__id", F.explode(kgrams_of_tokens(F.col("__toks"), k)).alias("__g")
+    )
+    per_gram = grams.groupBy("__id", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        per_gram.groupBy("__id")
+        .agg(
+            F.max("__c").alias("__top"),
+            F.sum("__c").alias("n_grams"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            (F.col("__top").cast("double") / F.col("n_grams").cast("double")).alias(
+                "rep_ratio"
+            ),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+        )
+    )

@@ -588,6 +588,52 @@ def test_media_resize_degenerate_ppm_passthrough(spark):
     assert not r.resized and bytes(r.content) == b"P6\n0 5\n255\n"
 
 
+def test_pii_redaction_known_cases(spark):
+    """redact_pii replaces emails/IPs/phones with typed placeholders
+    and pii_counts audits them; clean text passes through untouched."""
+    from strom_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call +1-555-123-4567"),
+        (2, "server 10.0.255.3 responded; backup at 192.168.1.1"),
+        (3, "no pii here, just words and the number 1234567890123"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    counts = pii_counts("text")
+    out = df.select(
+        "id",
+        redact_pii("text").alias("red"),
+        counts["n_email"].alias("e"),
+        counts["n_ipv4"].alias("i"),
+        counts["n_phone"].alias("p"),
+    ).collect()
+    by = {r.id: r for r in out}
+    assert by[1].e == 1 and by[1].p == 1
+    assert "<EMAIL>" in by[1].red and "<PHONE>" in by[1].red
+    assert "jane" not in by[1].red and "4567" not in by[1].red
+    assert by[2].i == 2 and by[2].red.count("<IPV4>") == 2
+    # a bare 13-digit id is NOT a phone (no separators) and stays
+    assert (by[3].e, by[3].i, by[3].p) == (0, 0, 0)
+    assert by[3].red == rows[2][1]
+
+
+def test_repetition_stats_differential(spark):
+    """repetition_stats vs hand-computed ratios: a degenerate loop
+    scores near 1, varied text scores 1/(n-k+1), <k-token docs drop."""
+    from strom_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),   # 6 grams, all equal
+        (2, "one two three four five six"),               # 4 distinct grams
+        (3, "too short"),                                  # < 3 tokens: omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text", k=3).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].rep_ratio == pytest.approx(1.0) and got[1].n_grams == 6
+    assert got[2].rep_ratio == pytest.approx(0.25) and got[2].n_grams == 4
+
+
 def test_decontaminate_differential(spark):
     """Decontaminate vs pure-python shingle overlap: flag counts match
     exactly; drop mode removes exactly the flagged docs; eval docs
