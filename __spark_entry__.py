@@ -3287,6 +3287,107 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "curation_v2",
+    rf"""
+WITH {_NORM_DOCS},
+{_SHINGLES},
+fp AS (SELECT doc_id, md5(ntext) AS fp FROM norm),
+dd AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0),
+cont AS (
+  SELECT s.doc_id FROM sh s JOIN ev USING (shingle)
+  WHERE s.doc_id % 29 <> 0
+  GROUP BY s.doc_id HAVING count(*) >= 5
+),
+base AS (
+  SELECT d.doc_id FROM dd d
+  WHERE d.doc_id % 29 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+),
+tw AS (SELECT doc_id, list_filter(w, x -> x != '') AS w FROM toks),
+g AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+  FROM tw, unnest(range(1, greatest(len(w) - 1, 1))) t(i)
+  WHERE len(w) >= 3
+),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+rep AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
+  FROM pg GROUP BY doc_id
+),
+pii AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+    + len(regexp_extract_all(text, '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}'))
+    + len(regexp_extract_all(text, '\+?[0-9]{{1,3}}[-. (]{{1,2}}[0-9]{{3}}[-. )]{{1,2}}[0-9]{{3}}[-. ]?[0-9]{{4}}')) AS n_pii
+  FROM documents
+),
+kept AS (
+  SELECT b.doc_id, r.rep_ratio, p.n_pii,
+    ('0x' || substring(md5('cur' || CAST(b.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS bucket
+  FROM base b JOIN rep r USING (doc_id) JOIN pii p USING (doc_id)
+  WHERE r.rep_ratio <= 0.5
+)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_pii) AS BIGINT) AS total_pii,
+  min(rep_ratio) AS min_rep, max(rep_ratio) AS max_rep
+FROM kept GROUP BY 1 ORDER BY 1
+""",
+)
+def curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 end-to-end curation pipeline as ONE composed Flow —
+    every stage a library component over the same algebra: exact dedup
+    (keep min doc_id per content fingerprint) → benchmark
+    DECONTAMINATION (drop docs sharing ≥5 shingles with the held-out
+    doc_id % 29 eval slice) → repetition gate (most-frequent-3-gram
+    share ≤ 0.5, <3-token docs dropped with it) → PII audit
+    (email/IP/phone counts ride along) → deterministic hash split →
+    per-split report.  One Catalyst plan: fingerprint shuffle, shingle
+    join, two gram aggregations, split projection — no driver
+    materialization anywhere.  min/max rep_ratio are identical IEEE
+    divisions on both engines (order-independent); total_pii is an
+    integer sum."""
+    from strom_spark import Decontaminate, HashSplit
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    fp = docs.withColumn("fp", TXT.fingerprint("text"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    deduped = docs.join(keep, "doc_id", "left_semi")
+    train = deduped.filter(F.col("doc_id") % 29 != 0)
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    clean = Decontaminate(
+        "train", "eval", "clean", k=3, min_overlap=5, mode="drop"
+    )(Flow({"train": train, "eval": ev}))["clean"]
+    reps = TXT.repetition_stats(clean, "doc_id", "text", k=3)
+    counts = TXT.pii_counts("text")
+    audited = (
+        clean.join(reps.select("doc_id", "rep_ratio"), "doc_id")
+        .filter(F.col("rep_ratio") <= 0.5)
+        .withColumn(
+            "n_pii",
+            counts["n_email"] + counts["n_ipv4"] + counts["n_phone"],
+        )
+    )
+    split = HashSplit(
+        "docs", "out", key_col="doc_id",
+        splits={"train": 0.9, "val": 0.05, "test": 0.05}, salt="cur",
+    )(Flow({"docs": audited}))["out"]
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pii").cast("bigint").alias("total_pii"),
+            F.min("rep_ratio").alias("min_rep"),
+            F.max("rep_ratio").alias("max_rep"),
+        )
+        .orderBy("split")
+    )
+
+
+@_q(
     "heavy_hitter_users",
     """
 SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS n
