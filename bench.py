@@ -65,9 +65,11 @@ HEADLINE = [
     "bm25_search",
     "value_quantiles",
     # round-4 additions: skew-salted fact join; sign-LSH near-dup
-    # pairs (GEMM signatures) — TOTAL covers 38 from here
+    # pairs (GEMM signatures); the full curation pipeline composite —
+    # TOTAL covers 39 from here
     "salted_skew_join",
     "cosine_lsh_pairs",
+    "curation_v2",
 ]
 
 
