@@ -162,6 +162,34 @@ def test_no_fact_broadcast_sweep(spark, sf_dir):
     )
 
 
+def test_no_quadratic_join_sweep(spark, sf_dir):
+    """The O(n²)-accident gate: NO registered query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed ONLY for
+    the adjudicated bounded patterns below — a 1-row scalar-aggregate
+    attach (O(n×1)) or the guarded bounded-broadcast non-equi kNN
+    scan.  A new query (or a refactor of an old one) that accidentally
+    plans an unbounded nested-loop join fails here with its plan."""
+    import __spark_entry__ as entry
+
+    # name -> why its BNLJ is bounded (side is 1 row / guard-bounded)
+    BNLJ_ALLOW = {
+        "q22_idle_high_balance": "scalar avg(acctbal) attach — 1-row side",
+        "bm25_search": "corpus stats (count, avgdl) attach — 1-row side",
+        "tfidf_top_terms": "corpus doc-count attach — 1-row side",
+        "lm_quality_scores": "corpus total/vocab attach — 1-row side",
+        "knn_topk": "CosineTopK != join — broadcast side bounded by max_broadcast_rows",
+        "curation_v2": "corpus stats attach inside quality scoring — 1-row side",
+    }
+    failures = {}
+    for name, fn in entry.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            failures[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOW:
+            failures[name] = "unadjudicated BroadcastNestedLoopJoin"
+    assert not failures, f"quadratic join shapes: {failures}"
+
+
 def test_explain_shows_pushdown(spark, sf_dir):
     """The judge-facing check: a filter over parquet must reach the
     scan (PushedFilters) and prune columns (ReadSchema)."""
