@@ -256,3 +256,46 @@ def test_winnow_matches_pure_python(spark, docs, w):
         got.setdefault(r.id, set()).add(r.fp)
     for i, t in enumerate(docs):
         assert got.get(i, set()) == py_winnow(t), (i, t)
+
+
+@given(
+    pts=st.lists(st.integers(0, 500), min_size=1, max_size=25),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 480), st.integers(0, 60)), min_size=1, max_size=15
+    ),
+    bucket=st.sampled_from([None, 1, 7, 50, 10_000]),
+    end_inclusive=st.booleans(),
+)
+@SET
+def test_range_join_matches_brute_force(spark, pts, ivs, bucket, end_inclusive):
+    """RangeJoin point mode vs a python brute-force filter on random
+    points/intervals: identical pair MULTISET for every bucket width —
+    including the auto-sized default and degenerate tiny/huge widths —
+    and for both end bounds.  Zero-width intervals match nothing
+    (half-open) unless end_inclusive."""
+    from strom_spark import RangeJoin
+
+    P = [{"pid": i, "p": p} for i, p in enumerate(pts)]
+    R = [{"iid": i, "s": s, "e": s + w} for i, (s, w) in enumerate(ivs)]
+    want = sorted(
+        (a["pid"], b["iid"])
+        for a in P
+        for b in R
+        if b["s"] <= a["p"] and (a["p"] <= b["e"] if end_inclusive else a["p"] < b["e"])
+    )
+    # auto-sizing raises only when NO positive-width interval exists
+    has_positive = any(w > 0 for _, w in ivs)
+    flow = Flow({
+        "L": spark.createDataFrame(P),
+        "R": spark.createDataFrame(R),
+    })
+    rj = RangeJoin(
+        "L", "R", "o", point="p", right_start="s", right_end="e",
+        bucket=bucket, end_inclusive=end_inclusive,
+    )
+    if bucket is None and not has_positive:
+        with pytest.raises(ValueError, match="auto-size"):
+            rj(flow)
+        return
+    got = sorted((r.pid, r.iid) for r in rj(flow)["o"].collect())
+    assert got == want
