@@ -350,10 +350,13 @@ class MediaResize(Component):
                     }
                 )
 
+        # derive the id type from the input schema — a string-keyed
+        # asset table must not hit an Arrow bigint cast error here
+        id_type = df.schema[self.id_col].dataType.simpleString()
         out = prepared.mapInPandas(
             resize,
             schema=(
-                "asset_id bigint, media_type string, content binary, "
+                f"asset_id {id_type}, media_type string, content binary, "
                 "width int, height int, resized boolean"
             ),
         )
@@ -462,9 +465,10 @@ class FrameSample(Component):
                     }
                 )
 
+        id_type = df.schema[self.id_col].dataType.simpleString()
         out = prepared.mapInPandas(
             sample,
-            schema="asset_id bigint, frame_idx int, frame_ts_ms bigint, frame binary",
+            schema=f"asset_id {id_type}, frame_idx int, frame_ts_ms bigint, frame binary",
         )
         return flow.without(self.input).with_stream(self.output, out)
 

@@ -301,7 +301,10 @@ class Quantiles(Component):
                 ).alias(name)
                 for name, p in self.quantiles.items()
             ]
-            aggs.append(F.count(F.lit(1)).alias("n"))
+            # percentile_approx ignores NULLs, so n must count the same
+            # population the sketch measured (non-null values), or the
+            # rank-error bound n/accuracy lies on null-bearing columns
+            aggs.append(F.count(self.value_col).alias("n"))
             out = df.groupBy(*self.by).agg(*aggs)
             return flow.without(self.input).with_stream(self.output, out)
         require_batch(
@@ -486,12 +489,20 @@ class HeavyHitters(Component):
             .filter(F.col("est") + F.lit(n_rows // k) > min_count)
         )
 
+        # the sketch works over a string view of the value; round-trip
+        # the output column back to the INPUT's type so callers see the
+        # same dtype they fed in (bigint ids stay bigint)
         out = (
             slim.join(cands.select("__v"), "__v")
             .groupBy("__v")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > min_count)
-            .select(F.col("__v").alias(self.value_col), "n")
+            .select(
+                F.col("__v")
+                .cast(df.schema[self.value_col].dataType)
+                .alias(self.value_col),
+                "n",
+            )
         )
         return flow.without(self.input).with_stream(self.output, out)
 

@@ -547,6 +547,17 @@ def test_heavy_hitters_differential(spark):
             Flow({"s": df})
         )
 
+    # the output column round-trips the INPUT dtype (the sketch's
+    # internal string view must not leak): bigint ids stay bigint
+    ints = spark.createDataFrame(
+        [{"v": i % 3} for i in range(300)], schema="v bigint"
+    ).repartition(4)
+    iout = HeavyHitters("s", "o", value_col="v", min_count=50, k=64)(
+        Flow({"s": ints})
+    )["o"]
+    assert iout.schema["v"].dataType.simpleString() == "bigint"
+    assert {(r.v, r.n) for r in iout.collect()} == {(0, 100), (1, 100), (2, 100)}
+
 
 def test_batch_only_components_reject_streams(spark):
     """Corpus-statistics components raise a TYPED, actionable error on

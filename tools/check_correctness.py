@@ -22,12 +22,21 @@ from strom_spark.io import TABLES
 
 
 def norm_cell(v):
+    """Type-faithful cell normalization mirroring the driver: a float
+    renders with a fractional marker even when integral (``78.0``),
+    while an int renders bare (``78``) — so an oracle column that came
+    back float64 (e.g. DuckDB integer-SUM -> HUGEINT -> pandas float)
+    MISMATCHES a Spark bigint, exactly as the driver's hash does.
+    Floats keep %.9g magnitude tolerance for genuine double columns."""
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        s = f"{v:.9g}"
+        if not any(c in s for c in ".einf"):
+            s += ".0"
+        return s
     if isinstance(v, (int,)):
         return str(v)
     return str(v)
