@@ -1631,6 +1631,38 @@ def cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )["pairs"]
 
 
+@_q(
+    "cosine_lsh_prod",
+    """
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9
+""",
+)
+def cosine_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION CosineLSHJoin config (θ=0.9, 8 tables × 12 bits
+    — the candidate-economy point from SCALE.md): high bits per table
+    keep buckets tiny, so candidate pairs stay near-linear in corpus
+    size.  This is the config you would run at 100 TB, and the one the
+    headline bench times; `cosine_lsh_pairs` keeps the recall-1 demo
+    config (48×4, θ=0.3) for exact oracle verification of non-empty
+    output from the same machinery.
+
+    Oracle note (honest): the testdata corpus has NO pair above cosine
+    0.6 (measured: max 0.51 at sf0.01, 0.60 at sf0.1), so the true
+    θ=0.9 pair set is EMPTY and the all-pairs oracle hash-matches the
+    LSH output exactly — the check this buys is PRECISION (exact
+    verification emits no spurious pair even though the bucket join
+    generates candidates).  Recall on non-empty truth sets is covered
+    by `cosine_lsh_pairs` (recall-1 config, hash-matched) and the
+    recall measurements in tests/test_llm_ops.py."""
+    flow = Flow({"emb": load_table(spark, sf_dir, "embeddings")})
+    return CosineLSHJoin(
+        "emb", "pairs", dim=64, threshold=0.9, n_tables=8, bits_per_table=12
+    )(flow)["pairs"]
+
+
 _Q4_SQL = """
 SELECT o_orderpriority, COUNT(*) AS n
 FROM orders o
@@ -2095,7 +2127,19 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     features + ExactDedup-style keep), the whole thing is one Catalyst
     plan: scan -> narrow scoring -> one fingerprint shuffle -> one
     source rollup.  min/max quality (order-independent doubles) keep
-    the report hash-stable across engines."""
+    the report hash-stable across engines.
+
+    Dedup is a WINDOW (doc_id == min(doc_id) over fp), not the
+    agg+semi-join ExactDedup uses for raw rows: here the join input is
+    the expensive DERIVED scoring projection, and the self-join shape
+    computed (and codegen-compiled) that whole HOF subtree twice —
+    measured 9.5s cold / 3.3s warm at sf0.1 vs 3.0s / 2.2s windowed
+    (this was r4's 'corpus_curation regression': real, not variance).
+    The scored rows are slim (5 narrow columns), so one fp-shuffle of
+    them beats recomputing the scoring; ExactDedup's semi-join remains
+    right when the payload is wide and the input is a raw scan."""
+    from pyspark.sql import Window as W
+
     flow = Flow({"docs": spread(load_table(spark, sf_dir, "documents"))})
     out = Pipeline(
         [
@@ -2113,10 +2157,11 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )(flow)
     filt = out["docs"]
-    keep = filt.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    dedup = filt.withColumn(
+        "__min_id", F.min("doc_id").over(W.partitionBy("fp"))
+    ).filter(F.col("doc_id") == F.col("__min_id"))
     return (
-        filt.join(keep, "doc_id", "left_semi")
-        .groupBy("source")
+        dedup.groupBy("source")
         .agg(
             F.count("*").alias("n_kept"),
             F.min("q").alias("min_quality"),

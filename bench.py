@@ -68,7 +68,11 @@ HEADLINE = [
     # pairs (GEMM signatures); the full curation pipeline composite —
     # TOTAL covers 39 from here
     "salted_skew_join",
-    "cosine_lsh_pairs",
+    # round 5: bench the PRODUCTION LSH config (θ=0.9, 8×12) instead of
+    # the recall-1 oracle demo (θ=0.3, 48×4 — intentionally ≈all-pairs,
+    # it cost 38% of the r4 headline); the demo config stays registered
+    # for driver correctness at sf0.01 where it costs ~3s
+    "cosine_lsh_prod",
     "curation_v2",
 ]
 

@@ -571,6 +571,89 @@ def test_frame_sample_plumbing(spark):
     assert any(r.asset_id in img_ids and r.frame_ts_ms is None for r in got)
 
 
+def test_frame_sample_real_decoder_seam(spark):
+    """The frame_fn injection point carries REAL decoded frame bytes +
+    timestamps end-to-end: a self-describing container format is packed
+    on the driver, decoded inside the mapInPandas kernel by a
+    parse-then-sample decoder (the ffmpeg shape), and every sampled
+    frame's exact payload, index, and duration-proportional timestamp
+    come back out.  Also exercises a STRING asset id — the output id
+    type is derived from the input schema, not hardcoded bigint.
+
+    The decoder is a CLOSURE (pickled by value): a module-level test
+    function would pickle by reference and fail to import on executors."""
+    import struct
+
+    from strom_spark import Flow, FrameSample
+
+    def _svc_pack(frames):
+        # tiny self-describing container: magic 'SVC1' + uint16 frame
+        # count + per-frame uint32 length-prefixed payload
+        out = [b"SVC1", struct.pack(">H", len(frames))]
+        for fr in frames:
+            out.append(struct.pack(">I", len(fr)))
+            out.append(fr)
+        return b"".join(out)
+
+    def _svc_decode(content, n_frames):
+        # the realistic external-decoder shape: parse the container,
+        # materialize all frames, return n_frames evenly spaced ones —
+        # what an ffmpeg-backed decode-then-sample does; raises on
+        # malformed input like a codec would
+        import struct as _s
+
+        if bytes(content[:4]) != b"SVC1":
+            raise ValueError("not an SVC container")
+        total = _s.unpack(">H", bytes(content[4:6]))[0]
+        frames, off = [], 6
+        for _ in range(total):
+            (ln,) = _s.unpack(">I", bytes(content[off : off + 4]))
+            off += 4
+            frames.append(bytes(content[off : off + ln]))
+            off += ln
+        if not frames:
+            return []
+        k = min(n_frames, len(frames))
+        return [frames[i * len(frames) // k] for i in range(k)]
+
+    # 3 videos with known distinct frames; string ids
+    vids = {}
+    for v in range(3):
+        frames = [bytes([v * 40 + i]) * (i + 3) for i in range(10 + v * 3)]
+        vids[f"vid-{v}"] = frames
+    assets = spark.createDataFrame(
+        [
+            {"asset_id": aid, "content": _svc_pack(frs), "duration_ms": 9000 + 100 * j}
+            for j, (aid, frs) in enumerate(sorted(vids.items()))
+        ],
+        schema="asset_id string, content binary, duration_ms bigint",
+    ).repartition(3)
+
+    out = FrameSample("a", "o", n_frames=4, frame_fn=_svc_decode)(
+        Flow({"a": assets})
+    )["o"]
+    assert out.schema["asset_id"].dataType.simpleString() == "string"
+    rows = out.collect()
+    assert len(rows) == 4 * 3
+    durs = {f"vid-{v}": 9000 + 100 * j for j, v in enumerate(range(3))}
+    for r in rows:
+        frames = vids[r.asset_id]
+        # the decoder sampled evenly: frame i of 4 is frames[i*len//4]
+        assert bytes(r.frame) == frames[r.frame_idx * len(frames) // 4]
+        assert r.frame_ts_ms == durs[r.asset_id] * r.frame_idx // 4
+
+    # malformed container + strict decoder: the error surfaces (no
+    # silent fake fallback when a real decoder is injected)
+    bad = spark.createDataFrame(
+        [{"asset_id": "x", "content": b"JUNK", "duration_ms": 5}],
+        schema="asset_id string, content binary, duration_ms bigint",
+    )
+    with pytest.raises(Exception, match="SVC"):
+        FrameSample("a", "o", n_frames=2, frame_fn=_svc_decode)(
+            Flow({"a": bad})
+        )["o"].collect()
+
+
 def test_media_resize_degenerate_ppm_passthrough(spark):
     """A zero-width PPM header parses as far as the raster but must be
     rejected as degenerate — passing through (resized=false) in lax

@@ -177,6 +177,82 @@ def main() -> None:
             "all_pairs": n_vec * (n_vec - 1) // 2,
         }
 
+    # HeavyHitters at copies× on the real (skewed) events.user_id
+    # column: the question at 100 TB is how much STATE the exact answer
+    # costs.  The naive lowering shuffles EVERY distinct user (state =
+    # distinct count, grows with the data); the two-pass Misra-Gries
+    # lowering keeps k counters per partition and then exact-counts only
+    # the <= k merged candidates.  Both must return the identical set.
+    from strom_spark.operators.relational import HeavyHitters
+
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet").select("user_id")
+    bigev = ev
+    for _ in range(copies - 1):
+        bigev = bigev.unionByName(ev)  # hot keys stay hot at copies×
+    bigev = bigev.repartition(32).cache()
+    n_ev = bigev.count()
+    distinct_users = bigev.select("user_id").distinct().count()
+
+    t0 = time.time()
+    mg = HeavyHitters(
+        "e", "o", value_col="user_id", min_count=lambda n: n // 150, k=1024
+    )(Flow({"e": bigev}))["o"]
+    mg_rows = {(r.user_id, r.n) for r in mg.collect()}
+    t_mg = time.time() - t0
+
+    t0 = time.time()
+    naive = (
+        bigev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > n_ev // 150)
+    )
+    naive_rows = {(r.user_id, r.n) for r in naive.collect()}
+    t_naive = time.time() - t0
+    assert mg_rows == naive_rows, "MG two-pass diverged from naive groupBy"
+    results["ops"]["heavy_hitters_mg"] = {
+        "rows": len(mg_rows), "sec": round(t_mg, 1),
+        "state_bound": 1024 * 32,  # k counters x partitions
+    }
+    results["ops"]["heavy_hitters_naive_groupby"] = {
+        "rows": len(naive_rows), "sec": round(t_naive, 1),
+        "state_bound": distinct_users,  # every distinct key shuffles
+    }
+
+    # Decontaminate linearity: output is bounded by train POSTINGS
+    # matched, so growing the EVAL side 10x (disjoint synthetic
+    # shingles) must not blow up the join — runtime stays ~flat and
+    # rows identical, because fresh eval shingles match nothing and
+    # only the distinct-shingle set grows.
+    from strom_spark.operators.dedup import Decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").cache()
+    docs.count()
+    ev1 = docs.filter(F.col("doc_id") % 100 == 7).select("doc_id", "text")
+    synth = spark.range(ev1.count() * (copies - 1)).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("synthbench token"),
+            F.col("id").cast("string"),
+            F.lit(" unique phrase never in corpus "),
+            (F.col("id") * 31).cast("string"),
+        ).alias("text"),
+    )
+    for label, ev_side in [("eval_1x", ev1), ("eval_10x", ev1.unionByName(synth))]:
+        t0 = time.time()
+        flagged = Decontaminate("tr", "ev", "o", min_overlap=3)(
+            Flow({"tr": docs, "ev": ev_side})
+        )["o"]
+        n_contam = flagged.filter("contaminated").count()
+        results["ops"][f"decontaminate_{label}"] = {
+            "rows": n_contam, "sec": round(time.time() - t0, 1),
+            "eval_docs": ev_side.count(),
+        }
+    assert (
+        results["ops"]["decontaminate_eval_1x"]["rows"]
+        == results["ops"]["decontaminate_eval_10x"]["rows"]
+    ), "disjoint synthetic eval shingles must not change the flagged set"
+
     print(json.dumps(results))
     spark.stop()
 
