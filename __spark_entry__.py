@@ -3463,6 +3463,155 @@ def curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "curation_v3",
+    rf"""
+WITH {_NORM_DOCS},
+{_SHINGLES},
+fp AS (SELECT doc_id, md5(ntext) AS fp FROM norm),
+dd AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0),
+cont AS (
+  SELECT s.doc_id FROM sh s JOIN dd USING (doc_id) JOIN ev USING (shingle)
+  WHERE s.doc_id % 29 <> 0
+  GROUP BY s.doc_id HAVING count(*) >= 5
+),
+base AS (
+  SELECT d.doc_id FROM dd d
+  WHERE d.doc_id % 29 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+),
+feats AS (
+  SELECT t.doc_id,
+    len(list_filter(w, x -> x != '')) AS n_tok,
+    len(regexp_extract_all(d.text, '[^A-Za-z0-9\s]')) AS n_punct,
+    len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS n_stop,
+    len(list_distinct(w)) AS n_uniq,
+    length(d.text) AS n_chars,
+    len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','a'], x))) AS s_en,
+    len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+    len(list_filter(w, x -> list_contains(['le','la','les','et','est','une'], x))) AS s_fr,
+    len(list_filter(w, x -> list_contains(['el','los','las','y','es','una'], x))) AS s_es
+  FROM toks t JOIN base USING (doc_id) JOIN documents d ON t.doc_id = d.doc_id
+),
+scored AS (
+  SELECT doc_id,
+    0.3 * least(n_tok / 100.0, 1.0)
+      + 0.25 * least((n_stop / greatest(n_tok, 1)) * 5, 1.0)
+      + 0.25 * (1.0 - least((n_punct / greatest(n_chars, 1)) * 10, 1.0))
+      + 0.2 * (n_uniq / greatest(n_tok, 1)) AS q,
+    CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+         ELSE 'und' END AS lang
+  FROM feats
+),
+gated AS (SELECT doc_id, q FROM scored WHERE lang = 'en' AND q >= 0.4),
+tw AS (SELECT doc_id, list_filter(w, x -> x != '') AS w FROM toks),
+g AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+  FROM tw, unnest(range(1, greatest(len(w) - 1, 1))) t(i)
+  WHERE len(w) >= 3
+),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+rep AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
+  FROM pg GROUP BY doc_id
+),
+pii AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+    + len(regexp_extract_all(text, '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}'))
+    + len(regexp_extract_all(text, '\+?[0-9]{{1,3}}[-. (]{{1,2}}[0-9]{{3}}[-. )]{{1,2}}[0-9]{{3}}[-. ]?[0-9]{{4}}')) AS n_pii
+  FROM documents
+),
+kept AS (
+  SELECT b.doc_id, b.q, r.rep_ratio, p.n_pii,
+    ('0x' || substring(md5('cur' || CAST(b.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS bucket
+  FROM gated b JOIN rep r USING (doc_id) JOIN pii p USING (doc_id)
+  WHERE r.rep_ratio <= 0.5
+)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_pii) AS BIGINT) AS total_pii,
+  min(rep_ratio) AS min_rep, max(rep_ratio) AS max_rep,
+  min(q) AS min_q, max(q) AS max_q
+FROM kept GROUP BY 1 ORDER BY 1
+""",
+)
+def curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data curation pipeline as one composed
+    Flow — curation_v2's stages plus the language-ID and quality gates
+    of corpus_curation, so every curation capability the engine has
+    runs in a single Catalyst plan with one monolithic composed oracle:
+
+      exact dedup (min doc_id per content fingerprint, semi-join on the
+      raw scan — cheap derived key, wide payload: the adjudicated
+      ExactDedup shape) → benchmark DECONTAMINATION (drop docs sharing
+      ≥5 shingles with the held-out doc_id % 29 eval slice) →
+      language-ID gate (en) + quality gate (q ≥ 0.4) → repetition gate
+      (most-frequent-3-gram share ≤ 0.5) → PII audit → deterministic
+      hash split → per-split report.
+
+    Stage ORDER is deliberate: decontamination runs on raw deduped text
+    BEFORE scoring, so the expensive quality/langid HOF subtree is
+    computed exactly once, on the decontaminated survivors — the same
+    double-compute trap fixed in corpus_curation this round, avoided by
+    construction.  (Decontamination must not depend on quality gates
+    anyway: a contaminated doc is contaminated regardless of quality.)
+    Report aggregates are order-independent (count, integer sum,
+    min/max) so the hash is engine-stable."""
+    from strom_spark import Decontaminate, HashSplit
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    fp = docs.withColumn("fp", TXT.fingerprint("text"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    deduped = docs.join(keep, "doc_id", "left_semi")
+    train = deduped.filter(F.col("doc_id") % 29 != 0)
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    clean = Decontaminate(
+        "train", "eval", "clean", k=3, min_overlap=5, mode="drop"
+    )(Flow({"train": train, "eval": ev}))["clean"]
+    gated = (
+        clean.select(
+            "doc_id",
+            "text",
+            TXT.lang_id("text").alias("lang"),
+            TXT.quality_features("text")["quality_score"].alias("q"),
+        )
+        .filter((F.col("lang") == "en") & (F.col("q") >= 0.4))
+    )
+    reps = TXT.repetition_stats(gated, "doc_id", "text", k=3)
+    counts = TXT.pii_counts("text")
+    audited = (
+        gated.join(reps.select("doc_id", "rep_ratio"), "doc_id")
+        .filter(F.col("rep_ratio") <= 0.5)
+        .withColumn(
+            "n_pii",
+            counts["n_email"] + counts["n_ipv4"] + counts["n_phone"],
+        )
+    )
+    split = HashSplit(
+        "docs", "out", key_col="doc_id",
+        splits={"train": 0.9, "val": 0.05, "test": 0.05}, salt="cur",
+    )(Flow({"docs": audited}))["out"]
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pii").cast("bigint").alias("total_pii"),
+            F.min("rep_ratio").alias("min_rep"),
+            F.max("rep_ratio").alias("max_rep"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+        .orderBy("split")
+    )
+
+
+@_q(
     "heavy_hitter_users",
     """
 SELECT user_id, count(*) AS n

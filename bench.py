@@ -74,6 +74,9 @@ HEADLINE = [
     # for driver correctness at sf0.01 where it costs ~3s
     "cosine_lsh_prod",
     "curation_v2",
+    # round 5: the complete curation pipeline (v2 + langid/quality
+    # gates) — TOTAL covers 40 from here
+    "curation_v3",
 ]
 
 

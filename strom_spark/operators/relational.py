@@ -421,27 +421,35 @@ class HeavyHitters(Component):
         def mg_partition(batches):
             # one Misra-Gries summary per PARTITION (state: k counters);
             # mapInPandas streams batches, so the summary spans them.
+            # VECTORIZED via the mergeable-summaries formulation
+            # (Agarwal/Cormode et al.): each Arrow batch's exact
+            # value_counts (C speed, no per-row Python) is itself an
+            # error-free summary; merge = pointwise sum, then when more
+            # than k-1 counters survive, subtract the k-th largest
+            # count from all and drop the non-positive.  Each such
+            # decrement of c removes >= k*c mass, so the total
+            # decrement any item suffers is <= n_p/k — exactly the
+            # classic per-row MG bound, and the n//k slack in the
+            # candidate filter below is unchanged.  Measured 4.4x
+            # faster than the per-row loop on a 20M-row unique-tail
+            # corpus (tools/scale_probe.py).
             # A sentinel row (__v NULL — impossible as data, nulls are
             # filtered above) carries the partition's row count so the
             # total needs no second scan.
+            import heapq
+
             counters: dict[str, int] = {}
             seen = 0
             for batch in batches:
-                for v in batch["__v"]:
-                    seen += 1
-                    if v in counters:
-                        counters[v] += 1
-                    elif len(counters) < k - 1:
-                        counters[v] = 1
-                    else:
-                        # decrement-all step, dropping zeroed counters
-                        dead = []
-                        for key in counters:
-                            counters[key] -= 1
-                            if counters[key] == 0:
-                                dead.append(key)
-                        for key in dead:
-                            del counters[key]
+                vc = batch["__v"].value_counts()
+                seen += int(vc.sum())
+                for v, c in vc.items():
+                    counters[v] = counters.get(v, 0) + int(c)
+                if len(counters) > k - 1:
+                    cutoff = heapq.nlargest(k, counters.values())[-1]
+                    counters = {
+                        v: c - cutoff for v, c in counters.items() if c > cutoff
+                    }
             yield pd.DataFrame(
                 {
                     "__v": list(counters) + [None],

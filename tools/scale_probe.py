@@ -177,46 +177,56 @@ def main() -> None:
             "all_pairs": n_vec * (n_vec - 1) // 2,
         }
 
-    # HeavyHitters at copies× on the real (skewed) events.user_id
-    # column: the question at 100 TB is how much STATE the exact answer
-    # costs.  The naive lowering shuffles EVERY distinct user (state =
-    # distinct count, grows with the data); the two-pass Misra-Gries
-    # lowering keeps k counters per partition and then exact-counts only
-    # the <= k merged candidates.  Both must return the identical set.
+    # HeavyHitters in the regime the sketch EXISTS for: a few hot keys
+    # over a HUGE nearly-unique tail (the testdata events.user_id column
+    # is flat at sf0.1 — 1500 users, max share ~1/1000 — so it cannot
+    # probe this; a URL/token column at 100 TB can).  The naive
+    # lowering's shuffle state is the DISTINCT key count (~2M x copies
+    # here, billions at 100 TB); the two-pass Misra-Gries lowering is
+    # bounded at k x partitions counters plus an exact count of <= k
+    # candidates, independent of the tail.  Both must return the
+    # identical exact answer.
     from strom_spark.operators.relational import HeavyHitters
 
-    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet").select("user_id")
-    bigev = ev
-    for _ in range(copies - 1):
-        bigev = bigev.unionByName(ev)  # hot keys stay hot at copies×
-    bigev = bigev.repartition(32).cache()
-    n_ev = bigev.count()
-    distinct_users = bigev.select("user_id").distinct().count()
+    n_hot, hot_share_inv = 20, 20  # 20 hot keys carry 1/20 of all rows
+    n_rows_hh = 2_000_000 * copies
+    skewed = spark.range(n_rows_hh).select(
+        F.when(
+            F.col("id") % hot_share_inv == 0,
+            (F.floor(F.col("id") / hot_share_inv) % n_hot).cast("string"),
+        )
+        .otherwise(F.concat(F.lit("tail"), F.col("id").cast("string")))
+        .alias("v")
+    ).repartition(32).cache()
+    skewed.count()
+    distinct_keys = skewed.select("v").distinct().count()
 
     t0 = time.time()
     mg = HeavyHitters(
-        "e", "o", value_col="user_id", min_count=lambda n: n // 150, k=1024
-    )(Flow({"e": bigev}))["o"]
-    mg_rows = {(r.user_id, r.n) for r in mg.collect()}
+        "e", "o", value_col="v", min_count=lambda n: n // 1000, k=1024
+    )(Flow({"e": skewed}))["o"]
+    mg_rows = {(r.v, r.n) for r in mg.collect()}
     t_mg = time.time() - t0
 
     t0 = time.time()
     naive = (
-        bigev.filter(F.col("user_id").isNotNull())
-        .groupBy("user_id")
+        skewed.groupBy("v")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > n_ev // 150)
+        .filter(F.col("n") > n_rows_hh // 1000)
     )
-    naive_rows = {(r.user_id, r.n) for r in naive.collect()}
+    naive_rows = {(r.v, r.n) for r in naive.collect()}
     t_naive = time.time() - t0
-    assert mg_rows == naive_rows, "MG two-pass diverged from naive groupBy"
+    assert mg_rows == naive_rows and len(mg_rows) == n_hot, (
+        f"MG two-pass diverged from naive groupBy: {len(mg_rows)} vs "
+        f"{len(naive_rows)}"
+    )
     results["ops"]["heavy_hitters_mg"] = {
         "rows": len(mg_rows), "sec": round(t_mg, 1),
         "state_bound": 1024 * 32,  # k counters x partitions
     }
     results["ops"]["heavy_hitters_naive_groupby"] = {
         "rows": len(naive_rows), "sec": round(t_naive, 1),
-        "state_bound": distinct_users,  # every distinct key shuffles
+        "state_bound": distinct_keys,  # every distinct key shuffles
     }
 
     # Decontaminate linearity: output is bounded by train POSTINGS
