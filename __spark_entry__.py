@@ -2029,6 +2029,91 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_next_purchase",
+    """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.click_id, c.user_id,
+  CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+  COALESCE(p.purchase_id, -1) AS purchase_id,
+  CAST(COALESCE(epoch_us(p.ts), -1) AS BIGINT) AS purchase_ts_us
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+""",
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py direction='forward'):
+    each click matched to the user's EARLIEST purchase at-or-after it —
+    the conversion-lag building block, and the driver-checked
+    counterpart of `asof_click_attribution`'s backward mode (DuckDB's
+    native ASOF with a <= inequality picks the same nearest-after row).
+    Same one-shuffle union-marker lowering, over the reversed time
+    order."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    from strom_spark import AsofJoin
+
+    out = AsofJoin(
+        "clicks", "purchases", "attr",
+        key="user_id", value_cols=["purchase_id"], direction="forward",
+    )(Flow({"clicks": clicks, "purchases": purchases}))["attr"]
+    return out.select(
+        "click_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+        F.coalesce(F.unix_micros("matched_ts"), F.lit(-1)).alias("purchase_ts_us"),
+    )
+
+
+@_q(
+    "embedding_norm_stats",
+    """
+SELECT label, COUNT(*) AS n_vecs,
+  min(round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)) AS min_norm,
+  max(round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)) AS max_norm
+FROM embeddings GROUP BY label ORDER BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math on the embedding column WITHOUT Python: L2 norm as
+    a JVM-side higher-order fold (`F.aggregate` over the double-cast
+    array), grouped min/max per label.  Norms are rounded to 6 decimals
+    on BOTH engines before the min/max, absorbing summation-order ulp
+    differences (the same move the cosine oracles use) while keeping
+    the aggregate order-independent.  At 100 TB this is the shape for
+    any per-vector scalar: narrow codegen scan, one keyed agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.round(
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)), 6
+    )
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@_q(
     "asof_click_attribution",
     """
 WITH clicks AS (
