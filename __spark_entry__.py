@@ -1017,6 +1017,74 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "order_price_percentiles",
+    """
+SELECT o_orderkey, o_orderpriority,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist analytic windows (superset ops beside
+    ntile/row_number): both are exact integer-ratio doubles
+    ((rank-1)/(n-1), rank/n) so the values are engine-identical with no
+    rounding; the deterministic (price, orderkey) order makes ranks
+    unambiguous.  One shuffle on the partition key, like any keyed
+    window; the date filter is pushed to the parquet scan."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )
+
+
+@_q(
+    "cube_lineitem_flags",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE (cross-dimension subtotals — the superset op next
+    to rollup_revenue's hierarchy) with `grouping_id` disambiguating
+    subtotal NULLs from data NULLs, exactly as DuckDB's GROUPING bitmask
+    does (same bit order: first grouping column is the high bit).  One
+    hash-agg pass with grouping-set expansion — no extra shuffle vs the
+    plain groupBy."""
+    flow = Flow({"lineitem": load_table(spark, sf_dir, "lineitem")})
+    out = Agg(
+        "lineitem",
+        "agg",
+        by=["l_returnflag", "l_linestatus"],
+        mode="cube",
+        aggs={
+            "gid": F.grouping_id().cast("bigint"),
+            "n": F.count("*"),
+            "sum_qty": F.sum(_dec("l_quantity")).cast("double"),
+        },
+    )(flow)
+    return out["agg"].select(
+        "l_returnflag", "l_linestatus", "gid", "n", "sum_qty"
+    )
+
+
+@_q(
     "rollup_revenue",
     """
 SELECT r.r_name, n.n_name,
