@@ -69,9 +69,9 @@ HEADLINE = [
     # TOTAL covers 39 from here
     "salted_skew_join",
     # round 5: bench the PRODUCTION LSH config (θ=0.9, 8×12) instead of
-    # the recall-1 oracle demo (θ=0.3, 48×4 — intentionally ≈all-pairs,
-    # it cost 38% of the r4 headline); the demo config stays registered
-    # for driver correctness at sf0.01 where it costs ~3s
+    # the recall-1 oracle demo (intentionally ≈all-pairs, it cost 38%
+    # of the r4 headline); the demo config stays registered for driver
+    # correctness on a fixed 500-vector corpus
     "cosine_lsh_prod",
     "curation_v2",
     # round 5: the complete curation pipeline (v2 + langid/quality

@@ -259,8 +259,9 @@ def test_ivf_string_ids_end_to_end(spark, emb, tmp_path):
 
 
 def test_approx_distinct_within_rsd_bound(spark, sf_dir):
-    """Quantifies the rows-only approx_distinct_users entry: HLL++
-    estimates must sit within the configured relative standard
+    """Quantifies the HLL++ error behind approx_distinct_users (whose
+    registered artifact asserts a 5% flag at rsd=0.01 — a 5-sigma
+    margin): estimates must sit within the configured relative standard
     deviation of the exact COUNT(DISTINCT) — checked per event_type at
     3x rsd (99.7% band; deterministic for fixed data+implementation)."""
     from pyspark.sql import functions as F
