@@ -299,3 +299,48 @@ def test_range_join_matches_brute_force(spark, pts, ivs, bucket, end_inclusive):
         return
     got = sorted((r.pid, r.iid) for r in rj(flow)["o"].collect())
     assert got == want
+
+
+@given(
+    lvs=st.lists(
+        st.tuples(st.integers(0, 480), st.integers(-20, 60)), min_size=1, max_size=15
+    ),
+    rvs=st.lists(
+        st.tuples(st.integers(0, 480), st.integers(-20, 60)), min_size=1, max_size=15
+    ),
+    bucket=st.sampled_from([None, 1, 7, 50, 10_000]),
+)
+@SET
+def test_range_join_overlap_matches_brute_force(spark, lvs, rvs, bucket):
+    """RangeJoin overlap mode vs a python brute force on random
+    intervals (including zero-width and INVERTED ones, which must
+    silently drop): identical pair MULTISET — so exactly-once canonical-
+    bucket emission holds — for every bucket width including auto.
+    Half-open semantics: a pair overlaps iff ls < re and rs < le with
+    both intervals non-degenerate."""
+    from strom_spark import RangeJoin
+
+    L = [{"lid": i, "ls": s, "le": s + w} for i, (s, w) in enumerate(lvs)]
+    R = [{"rid": i, "rs_": s, "re_": s + w} for i, (s, w) in enumerate(rvs)]
+    want = sorted(
+        (a["lid"], b["rid"])
+        for a in L
+        for b in R
+        if a["ls"] < a["le"] and b["rs_"] < b["re_"]
+        and a["ls"] < b["re_"] and b["rs_"] < a["le"]
+    )
+    has_positive = any(w > 0 for _, w in lvs) or any(w > 0 for _, w in rvs)
+    flow = Flow({
+        "L": spark.createDataFrame(L, "lid long, ls long, le long"),
+        "R": spark.createDataFrame(R, "rid long, rs_ long, re_ long"),
+    })
+    rj = RangeJoin(
+        "L", "R", "o", left_start="ls", left_end="le",
+        right_start="rs_", right_end="re_", bucket=bucket,
+    )
+    if bucket is None and not has_positive:
+        with pytest.raises(ValueError, match="auto-size"):
+            rj(flow)
+        return
+    got = sorted((r.lid, r.rid) for r in rj(flow)["o"].collect())
+    assert got == want
