@@ -37,10 +37,67 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
         # co-located buckets: the join runs with ZERO exchanges
         assert "Exchange" not in tree
         assert joined.count() == lineitem.count()
+        # and the joined ANSWER matches the plain parquet join, grouped
+        grouped = joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        expect = {
+            (r.o_orderpriority, r.n)
+            for r in orders.join(
+                lineitem, orders.o_orderkey == lineitem.l_orderkey
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert {(r.o_orderpriority, r.n) for r in grouped.collect()} == expect
+
+        # bucket PRUNING: an equality filter on the bucket key scans 1
+        # of the 8 buckets.  autoBucketedScan disables bucketed reads
+        # for join-less scans, so pin it on to observe the pruning.
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            some_key = orders.select("o_orderkey").head()[0]
+            pruned = _plan(
+                spark.table("b_orders").filter(F.col("o_orderkey") == some_key)
+            )
+            assert "SelectedBucketsCount: 1 out of 8" in pruned, pruned
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+            )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned parquet write (the events-by-type layout
+    a 100 TB event store uses, typically by date) and the matching
+    read-side guarantee: a filter on the partition column appears under
+    PartitionFilters in the scan — non-matching directories are never
+    opened, so scan cost is proportional to the SELECTED partitions."""
+    import shutil
+
+    out = str(tmp_path / "events_by_type")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.write.partitionBy("event_type").parquet(out)
+
+    back = spark.read.parquet(out)
+    q = back.filter(F.col("event_type") == "click").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = _plan(q)
+    assert "PartitionFilters" in plan
+    pf_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "event_type" in pf_line, pf_line
+    assert q.head()[0] == ev.filter("event_type = 'click'").count()
+    shutil.rmtree(out, ignore_errors=True)
 
 
 def test_salted_join_equals_plain_join(spark):
