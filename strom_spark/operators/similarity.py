@@ -550,35 +550,50 @@ class CosineLSHJoin(Component):
         # the fan-out and pre-satisfies the join's distribution (no
         # second exchange).
         n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # Candidate dedup strategy is ADAPTIVE in n_tables (round 5):
+        #   - narrow configs (production, <= 16 tables): keep a pair only
+        #     in its FIRST matching table via an unrolled compare chain
+        #     over the packed-int signature arrays — ordinal gets, no
+        #     per-row allocation, ZERO extra shuffle.  The chain is
+        #     O(n_tables) boolean terms per candidate and the join must
+        #     carry both sides' sigs arrays, so its cost grows with
+        #     table count twice over;
+        #   - wide configs (recall-demo, > 16 tables): emit slim
+        #     (d1, d2) candidates (sigs dropped BEFORE the self-join)
+        #     and dedup with one dropDuplicates shuffle of two ints —
+        #     measured 15.9s -> ~4s at 96 tables x 500 vectors, where
+        #     the 95-term chain + 2x768-byte sig payloads dominated.
+        use_chain = self.n_tables <= 16
+        sig = _sig_frame(
+            df, self.id_col, self.vec_col, np.asarray(planes),
+            self.n_tables, self.bits_per_table,
+        )
+        cols = ["id", "sigs"] if use_chain else ["id"]
         bucketed = (
-            _sig_frame(
-                df, self.id_col, self.vec_col, np.asarray(planes),
-                self.n_tables, self.bits_per_table,
-            )
-            .select("id", "sigs", F.posexplode(F.col("sigs")).alias("t", "bucket"))
+            sig.select(*cols, F.posexplode(F.col("sigs")).alias("t", "bucket"))
             .repartition(n_part, "t", "bucket")
         )
         a, b = bucketed.alias("a"), bucketed.alias("b")
-        # keep a pair only in its FIRST matching table: unrolled compare
-        # chain over the packed-int signature arrays — ordinal gets, no
-        # per-row array allocation (zip_with/array_position would build
-        # a fresh boolean array per candidate), O(n_tables) plan terms
-        first_match = F.lit(True)
-        for j in range(self.n_tables - 1):
-            first_match = first_match & (
-                (F.lit(j) >= F.col("a.t"))
-                | (F.col("a.sigs")[j] != F.col("b.sigs")[j])
-            )
-        cand = (
-            a.join(
-                b,
-                (F.col("a.t") == F.col("b.t"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .filter(first_match)
-            .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        joined = a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
         )
+        if use_chain:
+            first_match = F.lit(True)
+            for j in range(self.n_tables - 1):
+                first_match = first_match & (
+                    (F.lit(j) >= F.col("a.t"))
+                    | (F.col("a.sigs")[j] != F.col("b.sigs")[j])
+                )
+            cand = joined.filter(first_match).select(
+                F.col("a.id").alias("d1"), F.col("b.id").alias("d2")
+            )
+        else:
+            cand = joined.select(
+                F.col("a.id").alias("d1"), F.col("b.id").alias("d2")
+            ).dropDuplicates(["d1", "d2"])
         v1 = normed.select(F.col("id").alias("d1"), F.col("v").alias("v1"))
         v2 = normed.select(F.col("id").alias("d2"), F.col("v").alias("v2"))
         paired = cand.join(v1, "d1").join(v2, "d2")
