@@ -1972,6 +1972,51 @@ def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mixture_sample_counts",
+    """
+WITH b AS (
+  SELECT doc_id, source,
+    ('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS bucket
+  FROM documents
+),
+kept AS (
+  SELECT source FROM b
+  WHERE bucket < CASE source
+    WHEN 'src0' THEN 10000
+    WHEN 'src1' THEN 5000
+    WHEN 'src2' THEN 2500
+    WHEN 'src3' THEN 1000
+    ELSE 3000 END
+)
+SELECT source, COUNT(*) AS n_kept
+FROM kept GROUP BY source ORDER BY source
+""",
+)
+def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-MIXING pass (operators/sampling.py MixtureSample): each
+    source sampled at its own deterministic rate (src0 100%, src1 50%,
+    src2 25%, src3 10%, everything else 30%) — the downsample-to-target-
+    mixture step of corpus assembly.  Membership is the same portable
+    md5-bucket pure function the other sampling ops use, so the exact
+    kept set replays in the oracle; the plan is a narrow CASE-threshold
+    filter on the scan, zero shuffle before the report agg."""
+    from strom_spark import MixtureSample
+
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    out = MixtureSample(
+        "docs", "mixed",
+        key_col="doc_id", group_col="source",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        default=0.3,
+    )(flow)["mixed"]
+    return (
+        out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+@_q(
     "balanced_source_cap",
     """
 WITH b AS (

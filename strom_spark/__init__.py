@@ -50,7 +50,7 @@ from .operators.asof import AsofJoin
 from .operators.rangejoin import RangeJoin
 from .operators.textrank import BM25Score, TfIdfTopTerms, UnigramLMScore
 from .operators.graph import ConnectedComponents
-from .operators.sampling import GroupCap, HashSample, HashSplit
+from .operators.sampling import GroupCap, HashSample, HashSplit, MixtureSample
 from .operators.multimodal import (
     FrameSample,
     MediaFeatures,
@@ -135,6 +135,7 @@ __all__ = [
     "GroupCap",
     "HashSample",
     "HashSplit",
+    "MixtureSample",
     "MediaFeatures",
     "MediaResize",
     "FrameSample",

@@ -173,3 +173,63 @@ class GroupCap(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class MixtureSample(Component):
+    """Deterministic per-group sampling rates — the data-MIXING
+    primitive of a training corpus: downsample each source/domain to a
+    target mixture ("web at 30%, books at 100%, boilerplate at 5%")
+    with the same portable hash-bucket membership as :class:`HashSample`,
+    so the mixture is reproducible run-to-run, stable under retries and
+    repartitioning, and replayable by any engine.
+
+    ``rates`` maps a ``group_col`` VALUE to its keep fraction; groups
+    not listed use ``default``.  Narrow plan (a CASE over the group
+    column thresholding the key-hash bucket), zero shuffle — at 100 TB
+    the mixture pass rides the scan.  For an exact per-group row CAP
+    instead of a rate, use :class:`GroupCap`."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        key_col: str,
+        group_col: str,
+        rates: Mapping[str, float],
+        default: float = 1.0,
+        salt: str = "mix",
+        label: str | None = None,
+    ):
+        for g, r in rates.items():
+            if not 0.0 <= r <= 1.0:
+                raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+        if not 0.0 <= default <= 1.0:
+            raise ValueError(f"default rate must be in [0, 1], got {default}")
+        if not rates:
+            raise ValueError("rates must name at least one group")
+        self.input = input
+        self.output = output or input
+        self.key_col = key_col
+        self.group_col = group_col
+        self.rates = dict(rates)
+        self.default = default
+        self.salt = salt
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        thresh = None
+        for g, r in self.rates.items():
+            cond = F.col(self.group_col) == F.lit(g)
+            lo = F.lit(round(r * BUCKETS))
+            thresh = F.when(cond, lo) if thresh is None else thresh.when(cond, lo)
+        thresh = thresh.otherwise(F.lit(round(self.default * BUCKETS)))
+        out = df.filter(bucket_of(self.key_col, self.salt) < thresh)
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

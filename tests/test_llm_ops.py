@@ -315,6 +315,39 @@ def test_hash_sampling_family(spark, docs):
         HashSample("d", "s", key_col="doc_id", fraction=1.5)
 
 
+def test_mixture_sample(spark, docs):
+    """MixtureSample: per-group rates respected within binomial noise,
+    rate-1.0 groups kept whole, rate-0.0 groups dropped entirely,
+    unlisted groups use the default, and the kept set is exactly
+    reproducible (same portable hash membership as HashSample)."""
+    from strom_spark import MixtureSample
+
+    flow = Flow({"d": docs})
+    base = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    mixed = MixtureSample(
+        "d", "m", key_col="doc_id", group_col="source", rates=rates, default=0.25
+    )(flow)["m"]
+    per = {r.source: r.n for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["src0"] == base["src0"]  # rate 1.0 keeps everything
+    assert "src2" not in per  # rate 0.0 drops the group
+    for src, n0 in base.items():
+        r = rates.get(src, 0.25)
+        if 0 < r < 1:
+            assert abs(per.get(src, 0) - r * n0) <= 4 * (r * (1 - r) * n0) ** 0.5 + 1, src
+    again = MixtureSample(
+        "d", "m", key_col="doc_id", group_col="source", rates=rates, default=0.25
+    )(flow)["m"]
+    assert sorted(r.doc_id for r in mixed.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+    with pytest.raises(ValueError, match="rate"):
+        MixtureSample("d", "m", key_col="doc_id", group_col="source", rates={"x": 1.5})
+    with pytest.raises(ValueError, match="at least one"):
+        MixtureSample("d", "m", key_col="doc_id", group_col="source", rates={})
+
+
 def test_streaming_exact_dedup(spark):
     """StreamingExactDedup: first row per fingerprint survives across
     micro-batches, duplicate content later in the stream is dropped,
