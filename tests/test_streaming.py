@@ -203,3 +203,72 @@ def test_no_wait_halts_mix_when_finite_input_ends(spark):
         assert set(got) <= {1, 2, 3, 4, 5, 9, 8, 7}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_curation_narrow_stages_match_batch(spark, sf_dir):
+    """The narrow curation stages — quality/langid scoring, the
+    language+quality gate, deterministic mixture sampling, PII
+    redaction with audit counts — are all pure Column expressions, so
+    the SAME component pipeline runs unmodified over a stream and must
+    drain (availableNow) to EXACTLY the batch result, row for row.
+    (The stateful stages have their own streaming lowerings:
+    StreamingExactDedup for dedup, watermarked windows for aggs.)"""
+    import shutil
+    import tempfile
+
+    from strom_spark import MixtureSample, load_table
+    from strom_spark.functions import text as TXT
+
+    d = tempfile.mkdtemp(prefix="strom_cur_stream_")
+    try:
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(d)
+
+        def curate(df):
+            counts = TXT.pii_counts("text")
+            flow = Pipeline(
+                [
+                    Transformer(
+                        "docs",
+                        select={
+                            "doc_id": "doc_id",
+                            "source": "source",
+                            "text": "text",
+                            "lang": TXT.lang_id("text"),
+                            "q": TXT.quality_features("text")["quality_score"],
+                        },
+                    ),
+                    Filter("docs", (F.col("lang") == "en") & (F.col("q") >= 0.3)),
+                    MixtureSample(
+                        "docs",
+                        key_col="doc_id",
+                        group_col="source",
+                        rates={"src0": 1.0, "src1": 0.5},
+                        default=0.4,
+                    ),
+                    Transformer(
+                        "docs",
+                        select={
+                            "doc_id": "doc_id",
+                            "source": "source",
+                            "clean": TXT.redact_pii("text"),
+                            "n_pii": counts["n_email"] + counts["n_ipv4"] + counts["n_phone"],
+                        },
+                    ),
+                ]
+            )(Flow({"docs": df}))
+            return flow["docs"]
+
+        out = curate(_read_stream(spark, d))
+        assert out.isStreaming
+        run_available(out, query_name="t_stream_curation")
+        got = sorted(
+            (r.doc_id, r.source, r.clean, r.n_pii)
+            for r in spark.sql("SELECT * FROM t_stream_curation").collect()
+        )
+        want = sorted(
+            (r.doc_id, r.source, r.clean, r.n_pii)
+            for r in curate(spark.read.parquet(d)).collect()
+        )
+        assert got == want and len(want) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
