@@ -530,25 +530,19 @@ class CosineLSHJoin(Component):
             F.col(self.id_col).alias("id"), V.l2_normalize(self.vec_col).alias("v")
         )
         planes = _hyperplanes(self.dim, self.n_tables * self.bits_per_table, self.seed)
-        # carry the full per-table signature array through the join so
-        # a pair colliding in several tables can be kept ONLY in its
-        # first matching table — one array_position over already-loaded
-        # columns instead of a wide dropDuplicates shuffle over all
-        # candidate pairs (same trick as SimHashPairs' block dedup,
-        # dedup.py).  Join key is (table, signature): pure integer
-        # equi-join, candidates never leave their bucket partition.
-        # The VECTORS do not ride the explode or the self-join at all —
-        # replicating a wide embedding n_tables× and shipping two copies
-        # through every candidate row would dominate the shuffle volume;
-        # they are re-attached by id AFTER first-match dedup, when only
-        # unique candidate pairs remain.
+        # Join key is (table, signature): pure integer equi-join,
+        # candidates never leave their bucket partition.  The VECTORS
+        # do not ride the explode or the self-join at all — replicating
+        # a wide embedding n_tables× and shipping two copies through
+        # every candidate row would dominate the shuffle volume; they
+        # are re-attached by id AFTER dedup, when only unique candidate
+        # pairs remain.
         # Explicit width on the bucket shuffle: the self-join's INPUT is
-        # tiny (ids + packed sigs) but its OUTPUT fans out ~|bucket|²
-        # per bucket — AQE's coalescing sees only input bytes and would
-        # funnel the whole fan-out through one task.  Repartitioning on
-        # the join key at the session's shuffle width both parallelizes
-        # the fan-out and pre-satisfies the join's distribution (no
-        # second exchange).
+        # tiny but its OUTPUT fans out ~|bucket|² per bucket — AQE's
+        # coalescing sees only input bytes and would funnel the whole
+        # fan-out through one task.  Repartitioning on the join key at
+        # the session's shuffle width both parallelizes the fan-out and
+        # pre-satisfies the join's distribution (no second exchange).
         n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         # Candidate dedup strategy is ADAPTIVE in n_tables (round 5):
         #   - narrow configs (production, <= 16 tables): keep a pair only
