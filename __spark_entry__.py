@@ -1972,6 +1972,86 @@ def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_unpivot",
+    """
+WITH wide AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+  FROM events GROUP BY day_us
+)
+SELECT day_us, event_type, n
+FROM wide UNPIVOT (n FOR event_type IN (click, purchase, view))
+WHERE n > 0
+ORDER BY day_us, event_type
+""",
+)
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long melt, the inverse of events_pivot) via the
+    native ``DataFrame.unpivot`` — a metadata-level expand, no shuffle
+    beyond the pivot agg itself.  Zero-count cells are dropped on both
+    engines (DuckDB's UNPIVOT keeps explicit zeros since the COUNT
+    produced them; the WHERE n > 0 makes the long forms identical —
+    documenting exactly where the two engines' melt semantics meet)."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "purchase", "view"]
+    wide = (
+        events.select(F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"), "event_type")
+        .groupBy("day_us")
+        .pivot("event_type", types)
+        .count()
+        .select("day_us", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types])
+    )
+    return (
+        wide.unpivot("day_us", types, "event_type", "n")
+        .filter(F.col("n") > 0)
+        .orderBy("day_us", "event_type")
+    )
+
+
+@_q(
+    "user_event_paths",
+    """
+SELECT user_id,
+  string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
+  COUNT(*) AS n_events
+FROM events
+WHERE user_id IS NOT NULL AND user_id % 10 = 0
+GROUP BY user_id ORDER BY user_id
+""",
+)
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-DETERMINISTIC array aggregation — the engine-parity
+    subtlety behind every "user journey" query: collect_list has no
+    guaranteed order in a distributed agg, so the sequence is rebuilt
+    by collecting (ts, event_id, event_type) STRUCTS, array_sort-ing
+    them (struct comparison is lexicographic, so (ts, event_id) is the
+    total order), and projecting the event types into a joined path
+    string.  The oracle states the same total order declaratively with
+    ORDER BY inside string_agg.  One hash shuffle on user_id; the
+    user_id % 10 slice keeps the output a bounded sample of journeys."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("user_id").isNotNull() & (F.col("user_id") % 10 == 0))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                "->",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
     "mixture_sample_counts",
     """
 WITH b AS (
