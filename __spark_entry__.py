@@ -1211,6 +1211,42 @@ def set_ops_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "except_all_surplus_views",
+    """
+WITH surplus AS (
+  SELECT user_id FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+  EXCEPT ALL
+  SELECT user_id FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+)
+SELECT user_id, COUNT(*) AS n_surplus
+FROM surplus GROUP BY user_id ORDER BY user_id
+""",
+)
+def except_all_surplus_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — BAG semantics (superset op next to the DISTINCT
+    family): a user with m views and n clicks survives max(m - n, 0)
+    times, so the grouped output is each user's view SURPLUS over
+    clicks — the multiset algebra a DISTINCT except cannot express.
+    Catalyst lowers exceptAll to a summed-multiplicity aggregate +
+    generate (one shuffle on the row value), not a join per occurrence."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(
+        (F.col("event_type") == "view") & F.col("user_id").isNotNull()
+    ).select("user_id")
+    clicks = events.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select("user_id")
+    out = SetOp("except_all", "views", "clicks", "surplus")(
+        Flow({"views": views, "clicks": clicks})
+    )["surplus"]
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_surplus"))
+        .orderBy("user_id")
+    )
+
+
+@_q(
     "round_robin_pairs",
     """
 WITH o AS (

@@ -206,11 +206,18 @@ class RowNumber(Component):
 
 
 class SetOp(Component):
-    """UNION (dedup) / INTERSECT / EXCEPT between two named streams."""
+    """Set ops between two named streams — both SQL semantics families:
+    DISTINCT (``union``/``intersect``/``except``) and BAG/ALL
+    (``union_all``/``intersect_all``/``except_all``, which respect
+    multiplicities: a row occurring m times left and n times right
+    survives ``except_all`` max(m-n, 0) times — the multiset algebra
+    behind "views that outnumber purchases" queries)."""
+
+    _OPS = ("union", "intersect", "except", "union_all", "intersect_all", "except_all")
 
     def __init__(self, op: str, left: str, right: str, output: str, *, label: str | None = None):
-        if op not in ("union", "intersect", "except"):
-            raise ValueError("op must be union|intersect|except")
+        if op not in self._OPS:
+            raise ValueError(f"op must be one of {'|'.join(self._OPS)}")
         self.op = op
         self.left = left
         self.right = right
@@ -221,8 +228,14 @@ class SetOp(Component):
         l, r = flow[self.left], flow[self.right]
         if self.op == "union":
             out = l.unionByName(r, allowMissingColumns=True).distinct()
+        elif self.op == "union_all":
+            out = l.unionByName(r, allowMissingColumns=True)
         elif self.op == "intersect":
             out = l.intersect(r)
+        elif self.op == "intersect_all":
+            out = l.intersectAll(r)
+        elif self.op == "except_all":
+            out = l.exceptAll(r)
         else:
             out = l.subtract(r)  # EXCEPT DISTINCT semantics
         return flow.without(self.left, self.right).with_stream(self.output, out)

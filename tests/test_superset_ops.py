@@ -50,6 +50,22 @@ def test_set_ops(spark):
     ex = SetOp("except", "l", "r", "o")(Flow({"l": l, "r": r}))["o"]
     assert sorted(x["k"] for x in ex.collect()) == [1]
 
+    # BAG semantics respect multiplicities: m left copies minus n right
+    # copies survive except_all max(m-n, 0) times; intersect_all keeps
+    # min(m, n); union_all keeps m+n
+    lb = spark.createDataFrame([(1,), (1,), (1,), (2,), (3,)], ["k"])
+    rb = spark.createDataFrame([(1,), (2,), (2,), (4,)], ["k"])
+    exa = SetOp("except_all", "l", "r", "o")(Flow({"l": lb, "r": rb}))["o"]
+    assert sorted(x["k"] for x in exa.collect()) == [1, 1, 3]
+    ina = SetOp("intersect_all", "l", "r", "o")(Flow({"l": lb, "r": rb}))["o"]
+    assert sorted(x["k"] for x in ina.collect()) == [1, 2]
+    una = SetOp("union_all", "l", "r", "o")(Flow({"l": lb, "r": rb}))["o"]
+    assert una.count() == 9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="op must be"):
+        SetOp("xor", "l", "r", "o")
+
 
 def test_splitter_tree_partition_expr_disjoint_cover(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
