@@ -125,3 +125,50 @@ def test_salted_join_rejects_right_outer(spark):
         salted_join(df, df, ["id"], how="right")
     with _pytest.raises(ValueError, match="salted_join does not support"):
         salted_join(df, df, ["id"], how="full")
+
+
+def test_runtime_bloom_filter_join_fires(spark, sf_dir):
+    """Spark's runtime bloom-filter join reduction is ON in the session
+    (spark.sql.optimizer.runtime.bloomFilter.enabled): a selective
+    filter on one join side injects a bloom filter that prunes the
+    other side's shuffle BEFORE the join.  At the local test scale the
+    10 GB application-side threshold keeps it dormant, so the test
+    lowers the thresholds to prove the optimization actually fires on
+    our join shapes — at 100 TB it engages on its own."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        # and the filtered answer is still exact
+        got = {(r.o_orderpriority, r.n) for r in j.collect()}
+        plain = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .join(
+                spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+                    "o_orderpriority = '1-URGENT'"
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert got == {(r.o_orderpriority, r.n) for r in plain.collect()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
