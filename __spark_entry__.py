@@ -3161,6 +3161,262 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q2_min_cost_supplier",
+    """
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+    MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+eur AS (
+  SELECT ps.pk, ps.sk, ps.cost, s.s_acctbal, s.s_name, n.n_name
+  FROM ps JOIN supplier s ON ps.sk = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+mins AS (SELECT pk, MIN(cost) AS mincost FROM eur GROUP BY pk)
+SELECT CAST(e.s_acctbal AS DOUBLE) AS s_acctbal, e.s_name, e.n_name,
+  p.p_partkey, p.p_brand, CAST(e.cost AS DOUBLE) AS supply_cost
+FROM eur e JOIN mins m ON e.pk = m.pk AND e.cost = m.mincost
+JOIN part p ON p.p_partkey = e.pk
+WHERE p.p_type = 'LARGE'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part in a region).
+    The schema has no partsupp table, so the part-supplier catalog is
+    DERIVED: supply cost := min observed unit price
+    (l_extendedprice/l_quantity) per (part, supplier) pair — one
+    groupBy over lineitem.  The spec's correlated min-cost subquery
+    becomes a window MIN over the region-filtered candidates
+    partitioned by part: ONE shuffle on the part key instead of a
+    re-evaluated subquery per output row.  Part is pre-filtered to the
+    target type before the window so the windowed relation is
+    candidate-sized; region/nation are the only forced broadcasts
+    (fixed 5/25 rows at every SF), supplier/part joins stay
+    declarative for AQE."""
+    flow = Flow(
+        {
+            t: load_table(spark, sf_dir, t)
+            for t in ("lineitem", "part", "supplier", "nation", "region")
+        }
+    )
+    ps = (
+        flow["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    nr = flow["nation"].join(
+        F.broadcast(flow["region"].filter(F.col("r_name") == "EUROPE")),
+        F.expr("n_regionkey = r_regionkey"),
+    )
+    sup = flow["supplier"].join(F.broadcast(nr), F.expr("s_nationkey = n_nationkey"))
+    large = flow["part"].filter(F.col("p_type") == "LARGE")
+    eur = ps.join(sup, F.col("sk") == F.col("s_suppkey")).join(
+        large, F.col("pk") == F.col("p_partkey")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("pk")
+    best = eur.withColumn("mincost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("mincost")
+    )
+    out = TopK(
+        "best",
+        "q2",
+        k=100,
+        order_by=[
+            F.col("s_acctbal").desc(),
+            F.col("n_name"),
+            F.col("s_name"),
+            F.col("p_partkey"),
+        ],
+    )(Flow({"best": best}))
+    return out["q2"].select(
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        "s_name",
+        "n_name",
+        "p_partkey",
+        "p_brand",
+        F.col("cost").cast("double").alias("supply_cost"),
+    )
+
+
+@_q(
+    "q11_important_part_value",
+    """
+WITH asia_lines AS (
+  SELECT l.l_partkey,
+    CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS val
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+tot AS (SELECT SUM(val) AS total FROM asia_lines)
+SELECT l_partkey AS ps_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+FROM asia_lines, tot
+GROUP BY l_partkey, tot.total
+HAVING SUM(val) * 1000 > ANY_VALUE(tot.total)
+""",
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (parts representing a significant fraction of
+    total regional value; partsupp value proxied by the lineitem
+    revenue of ASIA-supplied lines).  The global scalar subquery is a
+    1-row aggregate attached by broadcast cross join — the allowlisted
+    bounded-BNLJ scalar pattern — so the HAVING fraction test is a
+    map-side filter, not a second pass.  Both the per-part agg and the
+    total reuse the same decimal `val` column: comparisons are exact
+    (no float threshold knife-edge cross-engine)."""
+    flow = Flow(
+        {
+            t: load_table(spark, sf_dir, t)
+            for t in ("lineitem", "supplier", "nation", "region")
+        }
+    )
+    nr = flow["nation"].join(
+        F.broadcast(flow["region"].filter(F.col("r_name") == "ASIA")),
+        F.expr("n_regionkey = r_regionkey"),
+    )
+    sup = flow["supplier"].join(F.broadcast(nr), F.expr("s_nationkey = n_nationkey"))
+    asia_lines = (
+        flow["lineitem"]
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("val"),
+        )
+    )
+    tot = asia_lines.agg(F.sum("val").alias("total"))
+    per_part = asia_lines.groupBy("l_partkey").agg(F.sum("val").alias("v"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * 1000 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("v").cast("double").alias("part_value"),
+        )
+    )
+
+
+@_q(
+    "q16_supplier_relationship",
+    """
+WITH excl AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0 OR s_suppkey % 7 = 0
+)
+SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#15' AND p.p_type <> 'MEDIUM'
+  AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+GROUP BY 1, 2, 3
+""",
+)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (how many suppliers can supply each part
+    class, excluding flagged suppliers; the comment-LIKE complaint
+    filter is proxied by acctbal<0 OR suppkey%7=0 — no comment column
+    exists).  NOT IN lowers to a LEFT ANTI join (the excluded-supplier
+    set is SF-bounded small but left unhinted for AQE); the final
+    COUNT(DISTINCT supplier) per (brand,type,size) makes a separate
+    pair-dedup pass redundant — Catalyst plans the distinct-agg expand
+    itself."""
+    flow = Flow(
+        {
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+            "part": load_table(spark, sf_dir, "part"),
+            "supplier": load_table(spark, sf_dir, "supplier"),
+        }
+    )
+    excl = flow["supplier"].filter(
+        (F.col("s_acctbal") < 0) | (F.col("s_suppkey") % 7 == 0)
+    ).select("s_suppkey")
+    fp = flow["part"].filter(
+        (F.col("p_brand") != "Brand#15")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    return (
+        flow["lineitem"]
+        .join(excl, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(fp, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q20_potential_promotion",
+    """
+WITH blue AS (
+  SELECT l.l_suppkey
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'blue%'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING 2 * SUM(CASE WHEN l.l_shipdate < TIMESTAMP '1998-07-01'
+                      THEN CAST(l.l_quantity AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END)
+         > SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+)
+SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA' AND s.s_suppkey IN (SELECT l_suppkey FROM blue)
+ORDER BY s_name
+""",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with surplus stock of a named part
+    family; availqty proxied by early-shipped quantity — a (supplier,
+    part) pair qualifies when more than half its total shipped
+    quantity moved before mid-1998).  The nested IN becomes agg →
+    LEFT SEMI join: part is pre-filtered by name BEFORE the lineitem
+    join so the grouped relation is family-sized; quantity sums stay
+    decimal and the half test is `2*early > total` (exact integer
+    doubling, no float threshold).  Region/nation broadcast; the
+    qualifying-supplier semi join is unhinted for AQE."""
+    flow = Flow(
+        {
+            t: load_table(spark, sf_dir, t)
+            for t in ("lineitem", "part", "supplier", "nation", "region")
+        }
+    )
+    blue_parts = flow["part"].filter(F.col("p_name").like("blue%"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    qual = (
+        flow["lineitem"]
+        .join(blue_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"),
+                    _dec("l_quantity"),
+                ).otherwise(zero)
+            ).alias("early"),
+            F.sum(_dec("l_quantity")).alias("total"),
+        )
+        .filter(F.col("early") * 2 > F.col("total"))
+        .select("l_suppkey")
+    )
+    nr = flow["nation"].join(
+        F.broadcast(flow["region"].filter(F.col("r_name") == "AMERICA")),
+        F.expr("n_regionkey = r_regionkey"),
+    )
+    return (
+        flow["supplier"]
+        .join(F.broadcast(nr), F.expr("s_nationkey = n_nationkey"))
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@_q(
     "q9_product_profit",
     """
 SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
