@@ -4226,6 +4226,121 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )(Flow({"e": events}))["hh"]
 
 
+@_q(
+    "pack_sequences",
+    rf"""
+WITH {_NORM_DOCS},
+tc AS (
+  SELECT doc_id, CAST(len(list_filter(w, x -> x != '')) AS BIGINT) AS n_tok
+  FROM toks
+),
+lanes AS (
+  SELECT doc_id, n_tok,
+    CAST((('0x' || substring(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000) % 4 AS INTEGER) AS pack_bucket
+  FROM tc
+),
+packed AS (
+  SELECT pack_bucket, doc_id, n_tok,
+    SUM(n_tok) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tok AS prev
+  FROM lanes
+)
+SELECT pack_bucket, CAST(prev // 512 AS BIGINT) AS seq_id,
+  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+  CAST(MIN(prev % 512) AS BIGINT) AS first_offset
+FROM packed GROUP BY 1, 2
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py PackSequences): documents
+    -> whitespace token counts -> 4 deterministic md5-hash packing
+    lanes -> concat-then-cut context windows of 512 tokens; the result
+    aggregates per (lane, window): docs packed, tokens filled, first
+    document's offset.  The assignment is a pure function of
+    (doc_id, token count), so the oracle replays it with a window
+    cumsum.  One shuffle (the per-lane sort); lanes bound per-task sort
+    size at 100 TB."""
+    from strom_spark import PackSequences
+    from strom_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count("text").alias("n_tok")
+    )
+    out = PackSequences(
+        "docs", "packed", id_col="doc_id", tokens_col="n_tok", budget=512, n_buckets=4
+    )(Flow({"docs": docs}))["packed"]
+    return out.groupBy("pack_bucket", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("seq_tokens"),
+        F.min("tok_offset").alias("first_offset"),
+    )
+
+
+@_q(
+    "slice_divergence",
+    rf"""
+WITH {_NORM_DOCS},
+tok AS (
+  SELECT t.doc_id, u.t
+  FROM toks t, unnest(list_filter(t.w, x -> x != '')) u(t)
+),
+cst AS (
+  SELECT d.source AS g, tok.t, COUNT(*) AS cst
+  FROM tok JOIN documents d ON tok.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+ct AS (SELECT t, CAST(SUM(cst) AS BIGINT) AS ct FROM cst GROUP BY t),
+ns AS (SELECT g, CAST(SUM(cst) AS BIGINT) AS ns FROM cst GROUP BY g),
+n AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM ns)
+SELECT cst.g AS source, ns.ns AS n_tok,
+  CAST(SUM(CAST(round((cst.cst / ns.ns) * ln((cst.cst * n.n) / (ns.ns * ct.ct)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS kl
+FROM cst JOIN ct ON cst.t = ct.t JOIN ns ON cst.g = ns.g, n
+GROUP BY cst.g, ns.ns
+""",
+)
+def slice_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitor (operators/textrank.py
+    SliceDivergence): per-source KL(P_slice || P_corpus) over unigram
+    distributions — the corpus-QA signal that flags drifted/mis-routed
+    sources.  One corpus explode; per-(slice,term) counts are the
+    checkpointed sufficient statistic; contributions rounded to 6 dp
+    and summed as DECIMAL (shuffle-order independent, the BM25
+    discipline)."""
+    from strom_spark import SliceDivergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SliceDivergence("docs", "kl", group_col="source", text_col="text")(
+        Flow({"docs": docs})
+    )["kl"]
+
+
+@_q(
+    "fuzzy_name_pairs",
+    """
+SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join (operators/fuzzy.py EditDistanceJoin):
+    every customer-name pair within Levenshtein distance 1, found via
+    ED-Join q-gram prefix filtering (q=3: rarest-4-gram inverted
+    index + length filter + exact levenshtein verify) — never
+    all-pairs, while the oracle IS the brute-force all-pairs scan, so
+    a hash match certifies the candidate generation is exact on this
+    corpus."""
+    from strom_spark import EditDistanceJoin
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = EditDistanceJoin(
+        "cust", "pairs", id_col="c_custkey", str_col="c_name", max_dist=1, q=3
+    )(Flow({"cust": cust}))["pairs"]
+    return out.select("id1", "id2", F.col("dist").cast("bigint").alias("dist"))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

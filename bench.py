@@ -77,6 +77,13 @@ HEADLINE = [
     # round 5: the complete curation pipeline (v2 + langid/quality
     # gates) — TOTAL covers 40 from here
     "curation_v3",
+    # round 5 additions: completed TPC-H pack (adapted Q2 — window-min
+    # over a derived part-supplier catalog), sequence packing, per-slice
+    # KL divergence, ED-Join fuzzy matching — TOTAL covers 44 from here
+    "q2_min_cost_supplier",
+    "pack_sequences",
+    "slice_divergence",
+    "fuzzy_name_pairs",
 ]
 
 

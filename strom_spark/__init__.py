@@ -48,9 +48,11 @@ from .operators.dedup import (
 from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, ivf_search
 from .operators.asof import AsofJoin
 from .operators.rangejoin import RangeJoin
-from .operators.textrank import BM25Score, TfIdfTopTerms, UnigramLMScore
+from .operators.textrank import BM25Score, SliceDivergence, TfIdfTopTerms, UnigramLMScore
 from .operators.graph import ConnectedComponents
 from .operators.sampling import GroupCap, HashSample, HashSplit, MixtureSample
+from .operators.packing import PackSequences
+from .operators.fuzzy import EditDistanceJoin
 from .operators.multimodal import (
     FrameSample,
     MediaFeatures,
@@ -129,6 +131,9 @@ __all__ = [
     "BM25Score",
     "TfIdfTopTerms",
     "UnigramLMScore",
+    "SliceDivergence",
+    "PackSequences",
+    "EditDistanceJoin",
     "ConnectedComponents",
     "Quantiles",
     "HeavyHitters",

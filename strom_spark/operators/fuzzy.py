@@ -1,0 +1,155 @@
+"""Fuzzy string matching: edit-distance self-join without all-pairs.
+
+Entity resolution over a column of names/titles ("find every pair of
+strings within Levenshtein distance d") is quadratic if done naively —
+at 100 TB it must be candidate-generated.  This operator implements
+the ED-Join recipe (Xiao, Wang, Lin, VLDB'08): an edit distance of at
+most ``d`` can disturb at most ``q*d`` of a string's q-grams, so two
+strings within distance ``d`` must (a) have lengths within ``d`` and
+(b) share at least one gram among their ``q*d + 1`` RAREST grams
+(prefix filtering under a global canonical gram order — rarest-first
+minimizes index fan-out).  The plan:
+
+  1. one pass extracts distinct q-grams per string;
+  2. global gram frequencies (vocab-sized, the canonical order) are
+     joined back and each string keeps its ``q*d + 1`` rarest grams —
+     the inverted-index prefix;
+  3. the index self-joins on the gram (shuffle on the gram key, never
+     all-pairs; fan-out is bounded by the rarest-gram postings);
+  4. candidates are verified with the exact ``levenshtein`` built-in
+     (JVM codegen, no Python).
+
+The prefix-filter theorem needs at least ``q*d + 1`` grams per string
+(a pigeonhole over the at-most-``q*d`` destroyed grams): SHORT strings
+("abcd" vs "abxd" at q=3 share zero grams yet have distance 1) would
+be silently missed.  Strings short enough that either side of a
+qualifying pair could have ``<= q*d`` grams — length below
+``q*(d+1) - 1 + d`` — therefore ALSO emit sentinel grams for their
+length band ``[len, len+d]``, making every short pair within the
+length filter a candidate by construction.  With that, the join is
+EXACT: it returns precisely the pairs a brute-force scan would (the
+property test checks this against brute force over random strings).
+Short-string candidates are per-length-band all-pairs — inherent
+(dense tiny-string neighborhoods), bounded by the short population.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..component import Component, require_batch
+from ..flow import Flow
+
+
+class EditDistanceJoin(Component):
+    """All pairs of rows of ``input`` whose ``str_col`` values are
+    within Levenshtein distance ``max_dist`` (pairs ordered
+    ``id1 < id2``; exact, sub-quadratic via q-gram prefix filtering).
+    Emits ``(id1, id2, dist)``."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str,
+        str_col: str,
+        max_dist: int = 1,
+        q: int = 3,
+        label: str | None = None,
+    ):
+        if max_dist < 1:
+            raise ValueError("max_dist must be >= 1")
+        if q < 2:
+            raise ValueError("q must be >= 2")
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.str_col = str_col
+        self.max_dist = max_dist
+        self.q = q
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        require_batch(
+            df,
+            "EditDistanceJoin",
+            "the canonical gram order is a full-corpus frequency table",
+        )
+        q, d = self.q, self.max_dist
+        prefix_len = q * d + 1
+        base = df.select(
+            F.col(self.id_col).alias("__id"),
+            F.col(self.str_col).alias("__s"),
+            F.length(self.str_col).alias("__len"),
+        )
+        # distinct q-grams per string; strings short enough that a
+        # qualifying partner could have <= q*d grams additionally emit
+        # length-band sentinels [len, len+d] so short pairs are always
+        # candidates (see module docstring — exactness)
+        short_max = q * (d + 1) - 1 + d
+        real = F.when(F.col("__len") >= q, F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__len") - q + 1),
+                lambda i: F.col("__s").substr(i, F.lit(q)),
+            )
+        )).otherwise(F.array().cast("array<string>"))
+        sentinels = F.when(
+            F.col("__len") <= short_max,
+            F.transform(
+                F.sequence(F.col("__len"), F.col("__len") + d),
+                lambda l: F.concat(F.lit("__S"), l.cast("string"), F.lit("__")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = base.select(
+            "__id", "__len", F.explode(real).alias("__g")
+        )
+        sent = base.select(
+            "__id", "__len", F.explode(sentinels).alias("__g")
+        )
+        freq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+        w = Window.partitionBy("__id").orderBy("__df", "__g")
+        # sentinels bypass prefix selection — pruning one would break
+        # the short-pair guarantee (they are deliberately frequent)
+        prefix = (
+            grams.join(freq, "__g")
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= prefix_len)
+            .select("__id", "__len", "__g")
+            .unionByName(sent)
+        )
+        a, b = prefix.alias("a"), prefix.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.__g") == F.col("b.__g"))
+                & (F.col("a.__id") < F.col("b.__id"))
+                & (F.abs(F.col("a.__len") - F.col("b.__len")) <= d),
+            )
+            .select(F.col("a.__id").alias("__id1"), F.col("b.__id").alias("__id2"))
+            .distinct()
+        )
+        s1 = base.select(F.col("__id").alias("__id1"), F.col("__s").alias("__s1"))
+        s2 = base.select(F.col("__id").alias("__id2"), F.col("__s").alias("__s2"))
+        out = (
+            cand.join(s1, "__id1")
+            .join(s2, "__id2")
+            .withColumn("dist", F.levenshtein("__s1", "__s2"))
+            .filter(F.col("dist") <= d)
+            .select(
+                F.col("__id1").alias("id1"),
+                F.col("__id2").alias("id2"),
+                F.col("dist"),
+            )
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -280,3 +280,91 @@ class UnigramLMScore(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class SliceDivergence(Component):
+    """Per-slice KL divergence KL(P_slice || P_corpus) between a
+    corpus slice's unigram distribution and the whole corpus — the
+    distribution-shift monitor of a training-data pipeline (a source
+    whose token distribution drifts from the mixture is boilerplate,
+    spam, or mis-routed content; sort descending and audit the top).
+
+    Emits one row per value of ``group_col``:
+    ``(group_col, n_tok, kl_col)`` with
+    ``KL = sum_t p_t * ln(p_t / c_t)``, ``p_t = cst/Ns``,
+    ``c_t = ct/N``.  Every slice token occurs in the corpus by
+    construction (support(P) subset of support(C)), so no smoothing is
+    needed and KL is finite and >= 0.
+
+    Plan shape: ONE corpus explode -> per-(slice, term) counts ``cst``
+    (the sufficient statistic — eagerly checkpointed, like
+    UnigramLMScore's term table, so the three derived aggregates don't
+    re-scan the corpus); corpus term counts, slice totals, and the
+    grand total are all SECOND aggregations of ``cst`` (no second
+    corpus pass).  The only wide shuffles key on (slice, term) and
+    term; slice totals join unhinted (AQE broadcasts the handful of
+    rows), the grand total is a 1-row broadcast attach.  Per-term
+    contributions are rounded and summed as DECIMAL so the score is
+    shuffle-order independent (the BM25Score discipline).
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        group_col: str,
+        text_col: str,
+        kl_col: str = "kl",
+        label: str | None = None,
+    ):
+        self.input, self.output = input, output or input
+        self.group_col, self.text_col = group_col, text_col
+        self.kl_col = kl_col
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        require_batch(
+            df, "SliceDivergence", "slice and corpus unigram distributions are full-corpus statistics"
+        )
+        tok = df.select(
+            F.col(self.group_col).alias("__g"),
+            F.explode(F.filter(TXT.tokens(self.text_col), lambda x: x != F.lit(""))).alias("__t"),
+        )
+        cst = (
+            tok.groupBy("__g", "__t")
+            .agg(F.count(F.lit(1)).alias("__cst"))
+            .localCheckpoint(eager=True)
+        )
+        ct = cst.groupBy("__t").agg(F.sum("__cst").alias("__ct"))
+        ns = cst.groupBy("__g").agg(F.sum("__cst").alias("__ns"))
+        n = ns.agg(F.sum("__ns").alias("__n"))
+        p = F.col("__cst").cast("double") / F.col("__ns")
+        ratio = (F.col("__cst").cast("double") * F.col("__n")) / (
+            F.col("__ns").cast("double") * F.col("__ct")
+        )
+        out = (
+            cst.join(ct, "__t")
+            .join(ns, "__g")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "__g",
+                "__ns",
+                F.round(p * F.log(ratio), 6).cast("decimal(18,6)").alias("__c"),
+            )
+            .groupBy("__g", "__ns")
+            .agg(F.sum("__c").cast("double").alias(self.kl_col))
+            .select(
+                F.col("__g").alias(self.group_col),
+                F.col("__ns").alias("n_tok"),
+                self.kl_col,
+            )
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -1,0 +1,185 @@
+"""Round-5 operators: PackSequences, SliceDivergence, EditDistanceJoin.
+
+Each is tested against an independent plain-Python reference on small
+in-memory frames (the reference's per-operator unit layer, SURVEY §5),
+plus a randomized brute-force property test for the fuzzy join —
+the prefix filter must return EXACTLY the brute-force pair set.
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from strom_spark import EditDistanceJoin, Flow, PackSequences, SliceDivergence
+
+
+# ---------------------------------------------------------------- packing
+
+
+def _md5_bucket(key, salt, mod):
+    import hashlib
+
+    h = int(hashlib.md5((salt + str(key)).encode()).hexdigest()[:8], 16)
+    return (h % 10_000) % mod
+
+
+def test_pack_sequences_semantics(spark):
+    rows = [(i, 100 + (i * 37) % 400) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+    out = PackSequences(
+        "d", "o", id_col="doc_id", tokens_col="n_tok", budget=512, n_buckets=4
+    )(Flow({"d": df}))["o"]
+    got = {r.doc_id: (r.pack_bucket, r.seq_id, r.tok_offset) for r in out.collect()}
+
+    # reference: per-lane greedy concat-then-cut
+    lanes = {}
+    for doc_id, n in rows:
+        lanes.setdefault(_md5_bucket(doc_id, "pack", 4), []).append((doc_id, n))
+    expect = {}
+    for lane, docs in lanes.items():
+        cum = 0
+        for doc_id, n in sorted(docs):
+            expect[doc_id] = (lane, cum // 512, cum % 512)
+            cum += n
+    assert got == expect
+
+
+def test_pack_sequences_doc_longer_than_budget_spans(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, 3000), (3, 10)], "doc_id bigint, n_tok bigint"
+    )
+    out = PackSequences(
+        "d", "o", id_col="doc_id", tokens_col="n_tok", budget=512, n_buckets=1
+    )(Flow({"d": df}))["o"].orderBy("doc_id").collect()
+    # doc 2 starts in window 0 (offset 50); doc 3 starts where doc 2's
+    # 3000 tokens left off: cum 3050 -> window 5, offset 3050-5*512
+    assert (out[0].seq_id, out[0].tok_offset) == (0, 0)
+    assert (out[1].seq_id, out[1].tok_offset) == (0, 50)
+    assert (out[2].seq_id, out[2].tok_offset) == (5, 3050 - 5 * 512)
+
+
+def test_pack_sequences_streaming_rejected(spark, tmp_path):
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as doc_id", "value as n_tok")
+    )
+    with pytest.raises(TypeError, match="batch-only"):
+        PackSequences("d", "o", id_col="doc_id", tokens_col="n_tok", budget=8)(
+            Flow({"d": stream})
+        )
+
+
+# ---------------------------------------------------------- divergence
+
+
+def test_slice_divergence_matches_reference(spark):
+    data = [
+        ("a", "x x y z"),
+        ("a", "x y"),
+        ("b", "z z z w"),
+        ("b", "w z"),
+    ]
+    df = spark.createDataFrame(data, "src string, text string")
+    out = SliceDivergence("d", "o", group_col="src", text_col="text")(
+        Flow({"d": df})
+    )["o"].collect()
+    got = {r.src: (r.n_tok, r.kl) for r in out}
+
+    # plain-python reference with the same per-term 6-dp rounding
+    from collections import Counter
+
+    cst = Counter()
+    for src, text in data:
+        for t in text.split():
+            cst[(src, t)] += 1
+    ct = Counter()
+    for (src, t), c in cst.items():
+        ct[t] += c
+    ns = Counter()
+    for (src, t), c in cst.items():
+        ns[src] += c
+    n = sum(ns.values())
+    for src in ns:
+        kl = sum(
+            round((c / ns[src]) * math.log((c * n) / (ns[src] * ct[t])), 6)
+            for (s, t), c in cst.items()
+            if s == src
+        )
+        assert got[src][0] == ns[src]
+        assert abs(got[src][1] - kl) < 1e-9
+    # KL >= 0, and a slice with the corpus distribution would be 0
+    assert all(v[1] >= 0 for v in got.values())
+
+
+def test_slice_divergence_identical_slices_zero(spark):
+    df = spark.createDataFrame(
+        [("a", "p q r"), ("b", "p q r")], "src string, text string"
+    )
+    out = SliceDivergence("d", "o", group_col="src", text_col="text")(
+        Flow({"d": df})
+    )["o"].collect()
+    assert all(r.kl == 0.0 for r in out)
+
+
+# --------------------------------------------------------------- fuzzy
+
+
+def _brute_pairs(rows, d):
+    def lev(a, b):
+        if abs(len(a) - len(b)) > d:
+            return d + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (id1, s1), (id2, s2) = rows[i], rows[j]
+            dist = lev(s1, s2)
+            if dist <= d:
+                a, b = sorted((id1, id2))
+                out.add((a, b, dist))
+    return out
+
+
+@pytest.mark.parametrize("max_dist", [1, 2])
+def test_edit_distance_join_equals_brute_force(spark, max_dist):
+    rng = random.Random(42 + max_dist)
+    alphabet = "abc"
+    rows = []
+    for i in range(120):
+        n = rng.randint(1, 12)
+        rows.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    out = EditDistanceJoin(
+        "d", "o", id_col="id", str_col="s", max_dist=max_dist, q=3
+    )(Flow({"d": df}))["o"]
+    got = {(r.id1, r.id2, r.dist) for r in out.collect()}
+    assert got == _brute_pairs(rows, max_dist)
+
+
+def test_edit_distance_join_is_not_all_pairs(spark):
+    # structured names: candidate count must stay far below n^2/2
+    rows = [(i, f"item-{i:06d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    comp = EditDistanceJoin("d", "o", id_col="id", str_col="s", max_dist=1, q=3)
+    out = comp(Flow({"d": df}))["o"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # every pair differs only in digits; distance-1 pairs are those
+    # whose zero-padded ids differ in exactly one digit position
+    got = {(r.id1, r.id2) for r in out.collect()}
+    expect = set()
+    for i in range(500):
+        for j in range(i + 1, 500):
+            a, b = f"{i:06d}", f"{j:06d}"
+            if sum(x != y for x, y in zip(a, b)) == 1:
+                expect.add((i, j))
+    assert got == expect
