@@ -263,6 +263,31 @@ def main() -> None:
         == results["ops"]["decontaminate_eval_10x"]["rows"]
     ), "disjoint synthetic eval shingles must not change the flagged set"
 
+    # EditDistanceJoin candidate economy: the prefix filter must keep
+    # the verified join far below all-pairs as n grows.  Structured ids
+    # ('item-%06d') make distance-1 pairs = ids differing in one digit,
+    # so output grows ~n·log-ish while all-pairs grows n² — the probe
+    # records rows/sec at n and 3n (a quadratic lowering would show
+    # ~9× time; the candidate-bounded one tracks output growth).
+    from strom_spark.operators.fuzzy import EditDistanceJoin
+
+    for n in (20_000, 60_000):
+        names = spark.range(n).select(
+            F.col("id"),
+            F.concat(F.lit("item-"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("s"),
+        ).repartition(32).cache()
+        names.count()
+        t0 = time.time()
+        rows = EditDistanceJoin("d", "o", id_col="id", str_col="s", max_dist=1, q=3)(
+            Flow({"d": names})
+        )["o"].count()
+        results["ops"][f"edit_distance_join_n{n}"] = {
+            "rows": rows,
+            "sec": round(time.time() - t0, 1),
+            "all_pairs": n * (n - 1) // 2,
+        }
+        names.unpersist()
+
     print(json.dumps(results))
     spark.stop()
 
