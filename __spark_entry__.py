@@ -4314,6 +4314,118 @@ def slice_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )["kl"]
 
 
+def _kmeans_oracle(k: int = 8, dim: int = 64, iters: int = 2) -> str:
+    """Unrolled-Lloyd DuckDB oracle: seeds = first k by vec_id; each
+    iteration = argmin assignment (lower-cluster tie-break) + exact
+    DECIMAL per-dimension mean; output = integer-only per-cluster
+    stats (floating point never reaches the hash)."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
+    ).format(d=dim)
+    sql = [
+        "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c FROM emb ORDER BY vec_id LIMIT {k}),",
+    ]
+    for it in range(iters):
+        nxt = it + 1
+        sql.append(
+            f"""assign{it} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, c.cluster,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cluster) AS rk
+    FROM emb e, cents{it} c
+  ) WHERE rk = 1
+),
+means{nxt} AS (
+  SELECT cluster, i,
+    CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS x
+  FROM assign{it}, unnest(generate_series(1, {dim})) t(i)
+  GROUP BY cluster, i
+),
+cents{nxt} AS (
+  SELECT p.cluster, COALESCE(n.c, p.c) AS c
+  FROM cents{it} p LEFT JOIN (
+    SELECT cluster, list(x ORDER BY i) AS c FROM means{nxt} GROUP BY cluster
+  ) n ON p.cluster = n.cluster
+),"""
+        )
+    sql.append(
+        f"""final AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cluster) AS rk
+    FROM emb e, cents{iters} c
+  ) WHERE rk = 1
+)
+SELECT CAST(cluster AS INTEGER) AS cluster, COUNT(*) AS n,
+  MIN(vec_id) AS min_vid, MAX(vec_id) AS max_vid
+FROM final GROUP BY cluster"""
+    )
+    return "\n".join(sql)
+
+
+@_q("kmeans_embedding_clusters", _kmeans_oracle())
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (operators/clustering.py
+    LloydKMeans): k=8, 2 full-corpus iterations over the embedding
+    table — per round, assignment is a narrow argmin projection (JVM
+    codegen) and the mean update ONE keyed hash-agg; the driver holds
+    exactly k rows of per-dimension DECIMAL sums (shuffle-order-exact
+    centroids), never the corpus.  The oracle unrolls the same two
+    iterations in SQL; the compared output is integer-only (cluster
+    sizes + id ranges), so engine ulp differences in distance sums
+    cannot touch the hash (argmin margins absorb them)."""
+    from strom_spark import LloydKMeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = LloydKMeans(
+        "emb", "o", id_col="vec_id", vec_col="embedding", dim=64, k=8, iters=2
+    )(Flow({"emb": emb}))["o"]
+    return out.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vec_id").alias("min_vid"),
+        F.max("vec_id").alias("max_vid"),
+    )
+
+
+@_q(
+    "grouping_sets_orders",
+    """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube desugar
+    to; completes the subtotal trio next to rollup_revenue and
+    cube_lineitem_flags): per-(status, priority) revenue, per-status
+    subtotals, and the grand total in ONE partial+final hash-agg pass
+    (grouping-set rows expanded map-side, no extra shuffle).
+    grouping_id uses the same bitmask convention as DuckDB GROUPING
+    (first grouping column = high bit)."""
+    flow = Flow({"orders": load_table(spark, sf_dir, "orders")})
+    out = Agg(
+        "orders",
+        "agg",
+        by=["o_orderstatus", "o_orderpriority"],
+        mode="grouping_sets",
+        sets=[["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        aggs={
+            "gid": F.grouping_id().cast("bigint"),
+            "n": F.count("*"),
+            "revenue": F.sum(_dec("o_totalprice")).cast("double"),
+        },
+    )(flow)
+    return out["agg"].select(
+        "o_orderstatus", "o_orderpriority", "gid", "n", "revenue"
+    )
+
+
 @_q(
     "fuzzy_name_pairs",
     """

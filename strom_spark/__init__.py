@@ -53,6 +53,7 @@ from .operators.graph import ConnectedComponents
 from .operators.sampling import GroupCap, HashSample, HashSplit, MixtureSample
 from .operators.packing import PackSequences
 from .operators.fuzzy import EditDistanceJoin
+from .operators.clustering import LloydKMeans
 from .operators.multimodal import (
     FrameSample,
     MediaFeatures,
@@ -134,6 +135,7 @@ __all__ = [
     "SliceDivergence",
     "PackSequences",
     "EditDistanceJoin",
+    "LloydKMeans",
     "ConnectedComponents",
     "Quantiles",
     "HeavyHitters",

@@ -1,0 +1,131 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+IVFIndex trains its coarse quantizer on a driver-side SAMPLE (bounded
+by ``sample_size`` — the right call for index building).  This
+operator is the full-corpus counterpart: every iteration is a
+DISTRIBUTED pass — assignment is a narrow projection (argmin over k
+distance expressions, JVM codegen), the mean update is one keyed
+hash-agg shuffle — and the only driver state is the k×dim centroid
+matrix itself.  At 100 TB nothing corpus-sized ever reaches the
+driver: per round the driver receives exactly k rows (per-dimension
+sums + counts).
+
+Determinism (the oracle-parity discipline): per-dimension member sums
+are accumulated as DECIMAL (exact, shuffle-order independent — float
+addition is not associative), and each new centroid coordinate is ONE
+IEEE division ``double(sum)/n``.  Assignment ties break on the lower
+cluster index.  Initial centroids are the first ``k`` vectors in
+``id_col`` order — reproducible and replayable by any engine (for
+clustering quality on real corpora, pass ``init_ids`` with k-means++-
+sampled ids instead; the iteration mechanics are identical).
+
+Distances are left-fold sums over the dimension order on both engines
+(Spark ``aggregate`` HOF / DuckDB ``list_sum``), so argmin decisions
+agree across engines up to genuine floating-point ties — which the
+cluster-index tie-break resolves identically.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..component import Component, require_batch
+from ..flow import Flow
+
+#: decimal type for exact member sums (float32 inputs widen losslessly
+#: to double; 12 fractional digits carry them with headroom)
+_DEC = "decimal(28,12)"
+
+
+class LloydKMeans(Component):
+    """Cluster ``vec_col`` into ``k`` groups with ``iters`` full
+    Lloyd iterations; adds a ``cluster`` column (int, 0..k-1) holding
+    the final assignment."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str,
+        vec_col: str,
+        dim: int,
+        k: int = 8,
+        iters: int = 3,
+        init_ids: "Sequence | None" = None,
+        label: str | None = None,
+    ):
+        if k < 1 or iters < 0 or dim < 1:
+            raise ValueError("k >= 1, iters >= 0, dim >= 1 required")
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.dim = dim
+        self.k = k
+        self.iters = iters
+        self.init_ids = list(init_ids) if init_ids is not None else None
+        self.label = label
+
+    def _assign(self, df: DataFrame, cents: "list[list[float]]"):
+        """cluster = argmin_j ||v - c_j||² with lower-j tie-break."""
+        v = F.col(self.vec_col).cast("array<double>")
+        dists = [
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+        best = F.lit(0)
+        best_d = dists[0]
+        for j in range(1, len(dists)):
+            better = dists[j] < best_d
+            best = F.when(better, F.lit(j)).otherwise(best)
+            best_d = F.when(better, dists[j]).otherwise(best_d)
+        return df.withColumn("cluster", best.cast("int"))
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        require_batch(df, "LloydKMeans", "every Lloyd iteration is a full-corpus aggregate")
+        if self.init_ids is not None:
+            seed = df.filter(F.col(self.id_col).isin(self.init_ids))
+        else:
+            seed = df.orderBy(self.id_col).limit(self.k)
+        cents = [
+            [float(x) for x in r[1]]
+            for r in seed.select(self.id_col, F.col(self.vec_col).cast("array<double>"))
+            .orderBy(self.id_col)
+            .collect()
+        ]
+        if len(cents) < self.k:
+            raise ValueError(f"corpus has only {len(cents)} rows for k={self.k}")
+        v = F.col(self.vec_col).cast("array<double>")
+        for _ in range(self.iters):
+            assigned = self._assign(df, cents)
+            sums = assigned.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at(v, i + 1).cast(_DEC)).alias(f"__s{i}")
+                    for i in range(self.dim)
+                ],
+            )
+            rows = {r["cluster"]: r for r in sums.collect()}
+            cents = [
+                [float(rows[j][f"__s{i}"]) / rows[j]["__n"] for i in range(self.dim)]
+                if j in rows
+                else cents[j]  # empty cluster keeps its centroid
+                for j in range(self.k)
+            ]
+        out = self._assign(df, cents)
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -235,7 +235,10 @@ class Agg(Component):
     ``"rollup"`` or ``"cube"`` — hierarchical/cross-dimension subtotal
     rows exactly as SQL ``GROUP BY ROLLUP/CUBE`` (part of the idiomatic
     superset; the physical plan is still one partial+final hash
-    aggregate pass, grouping-set rows expanded map-side).
+    aggregate pass, grouping-set rows expanded map-side) — or
+    ``"grouping_sets"`` with an explicit ``sets`` list (each a list of
+    column names drawn from ``by``), the general form the other two
+    desugar to.
     """
 
     def __init__(
@@ -246,15 +249,19 @@ class Agg(Component):
         by: Sequence[Any] = (),
         aggs: Mapping[str, Any],
         mode: str = "groupby",
+        sets: "Sequence[Sequence[str]] | None" = None,
         label: str | None = None,
     ):
-        if mode not in ("groupby", "rollup", "cube"):
-            raise ValueError("mode must be groupby|rollup|cube")
+        if mode not in ("groupby", "rollup", "cube", "grouping_sets"):
+            raise ValueError("mode must be groupby|rollup|cube|grouping_sets")
+        if (mode == "grouping_sets") != (sets is not None):
+            raise ValueError("sets must be given exactly when mode='grouping_sets'")
         self.input = input
         self.output = output or input
         self.by = list(by)
         self.aggs = dict(aggs)
         self.mode = mode
+        self.sets = [list(s) for s in sets] if sets is not None else None
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
@@ -264,6 +271,13 @@ class Agg(Component):
             grouped = df.rollup(*self.by)
         elif self.mode == "cube":
             grouped = df.cube(*self.by)
+        elif self.mode == "grouping_sets":
+            from pyspark.sql import functions as F
+
+            grouped = df.groupingSets(
+                [[F.col(c) for c in s] for s in self.sets],
+                *[F.col(c) for c in self.by],
+            )
         else:
             grouped = df.groupBy(*self.by) if self.by else df.groupBy()
         out = grouped.agg(*exprs)

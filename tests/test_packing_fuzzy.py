@@ -183,3 +183,65 @@ def test_edit_distance_join_is_not_all_pairs(spark):
             if sum(x != y for x, y in zip(a, b)) == 1:
                 expect.add((i, j))
     assert got == expect
+
+
+# ------------------------------------------------------------- k-means
+
+
+def test_lloyd_kmeans_matches_reference(spark):
+    """Distributed Lloyd vs a plain-python implementation with the
+    same deterministic init (first-k by id) on well-separated data."""
+    from strom_spark import LloydKMeans
+
+    rng = random.Random(7)
+    centers = [[0.0, 0.0, 0.0], [10.0, 10.0, 0.0], [0.0, 10.0, 10.0]]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.uniform(-1, 1) for x in c]))
+    df = spark.createDataFrame(rows, "vid bigint, v array<double>")
+    out = LloydKMeans("e", "o", id_col="vid", vec_col="v", dim=3, k=3, iters=3)(
+        Flow({"e": df})
+    )["o"]
+    got = {r.vid: r.cluster for r in out.collect()}
+
+    # reference
+    cents = [list(v) for _, v in sorted(rows)[:3]]
+
+    def assign(v, cents):
+        best, bd = 0, sum((a - b) ** 2 for a, b in zip(v, cents[0]))
+        for j in range(1, len(cents)):
+            d = sum((a - b) ** 2 for a, b in zip(v, cents[j]))
+            if d < bd:
+                best, bd = j, d
+        return best
+
+    for _ in range(3):
+        groups = {}
+        for vid, v in rows:
+            groups.setdefault(assign(v, cents), []).append(v)
+        for j, vs in groups.items():
+            n = len(vs)
+            cents[j] = [sum(col) / n for col in zip(*vs)]
+    expect = {vid: assign(v, cents) for vid, v in rows}
+    assert got == expect
+    # the three planted blobs are recovered exactly
+    assert len({tuple(sorted(vid for vid in got if got[vid] == j)) for j in range(3)}) == 3
+    for vid in got:
+        assert got[vid] == got[vid % 3]  # same blob -> same cluster
+
+
+def test_lloyd_kmeans_empty_cluster_keeps_centroid(spark):
+    from strom_spark import LloydKMeans
+
+    # two seed points far apart; all later points near seed 0 -> cluster
+    # 1 may go empty after round 1 but must not crash or renumber
+    rows = [(0, [0.0, 0.0]), (1, [100.0, 100.0])] + [
+        (i, [0.1 * i, 0.0]) for i in range(2, 12)
+    ]
+    df = spark.createDataFrame(rows, "vid bigint, v array<double>")
+    out = LloydKMeans("e", "o", id_col="vid", vec_col="v", dim=2, k=2, iters=2)(
+        Flow({"e": df})
+    )["o"].collect()
+    got = {r.vid: r.cluster for r in out}
+    assert got[1] == 1 and got[0] == 0 and all(got[i] == 0 for i in range(2, 12))

@@ -42,6 +42,33 @@ def test_agg_rollup_and_cube(spark):
     assert cgot[(None, "p")] == 5  # cube adds the b-only slice
 
 
+def test_agg_grouping_sets(spark):
+    rows = [
+        {"a": "x", "b": "p", "v": 1},
+        {"a": "x", "b": "q", "v": 2},
+        {"a": "y", "b": "p", "v": 4},
+    ]
+    df = spark.createDataFrame(rows)
+    gs = Agg(
+        "s",
+        "out",
+        by=["a", "b"],
+        mode="grouping_sets",
+        sets=[["a"], []],
+        aggs={"s": F.sum("v")},
+    )(Flow({"s": df}))["out"]
+    got = {(r["a"], r["b"]): r["s"] for r in gs.collect()}
+    # exactly the requested sets: per-a subtotals + grand total, no
+    # (a, b) detail rows and no b-only slice
+    assert got == {("x", None): 3, ("y", None): 4, (None, None): 7}
+    import pytest
+
+    with pytest.raises(ValueError, match="sets"):
+        Agg("s", "o", by=["a"], mode="grouping_sets", aggs={"s": F.sum("v")})
+    with pytest.raises(ValueError, match="sets"):
+        Agg("s", "o", by=["a"], sets=[["a"]], aggs={"s": F.sum("v")})
+
+
 def test_set_ops(spark):
     l = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
     r = spark.createDataFrame([(2,), (3,), (4,)], ["k"])
