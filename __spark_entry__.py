@@ -624,6 +624,68 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "session_window_stats",
+    """
+WITH gaps AS (
+  SELECT user_id, epoch_us(ts) AS tus, value, event_id,
+    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+),
+flags AS (
+  SELECT user_id, tus, value, event_id,
+    CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM gaps
+),
+sess AS (
+  SELECT user_id, tus, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+)
+SELECT user_id,
+  MIN(tus) AS sess_start_us,
+  MAX(tus) + 1800000000 AS sess_end_us,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+""",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rows via the native ``F.session_window`` operator
+    (SessionWindow component, windows.py) — gap 30 min, keyed by user.
+    The SAME component runs on a watermarked stream with merging keyed
+    state (tests/test_streaming.py sentinel-watermark differential);
+    this batch registration pins its semantics against the classic
+    lag + cumulative-sum lowering in the oracle: session boundary is
+    STRICTLY-greater-than-gap (an event exactly ``gap`` after the
+    previous one extends the session), session_end = last event + gap.
+    One shuffle on (user_id); at 100 TB session state is bounded by
+    the watermark horizon, not history (reference analog: stateful
+    Transformer sessionization, lib/transformer.ex acc form)."""
+    from strom_spark import SessionWindow
+
+    flow = Flow({"events": load_table(spark, sf_dir, "events")})
+    out = SessionWindow(
+        "events",
+        "sess",
+        ts="ts",
+        gap="30 minutes",
+        partition_by=["user_id"],
+        aggs={
+            "n_events": F.count("*"),
+            "sum_value": F.sum(_dec("value")).cast("double"),
+        },
+    )(flow)
+    return out["sess"].select(
+        "user_id",
+        F.unix_micros("session_start").alias("sess_start_us"),
+        F.unix_micros("session_end").alias("sess_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@_q(
     "cep_order_fulfillment",
     """
 WITH per_order AS (
@@ -3915,6 +3977,72 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_email"].alias("n_email"),
         counts["n_ipv4"].alias("n_ipv4"),
         counts["n_phone"].alias("n_phone"),
+    )
+
+
+@_q(
+    "line_dedup_docs",
+    """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+lines AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(w[(i-1)*3+1:(i-1)*3+3], ' ') AS line
+  FROM w, unnest(range(1, CAST(ceil(len(w)/3.0) AS BIGINT) + 1)) u(i)
+),
+keyed AS (SELECT doc_id, pos, line, trim(line) AS k FROM lines),
+freq AS (
+  SELECT k FROM keyed WHERE k <> ''
+  GROUP BY k HAVING COUNT(DISTINCT doc_id) > 4
+),
+kept AS (
+  SELECT doc_id, pos, line FROM keyed
+  WHERE k = '' OR k NOT IN (SELECT k FROM freq)
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id)
+SELECT kp.doc_id,
+  md5(string_agg(kp.line, chr(10) ORDER BY kp.pos)) AS text_md5,
+  COUNT(*) AS n_kept,
+  CAST(any_value(t.n_total) - COUNT(*) AS BIGINT) AS n_dropped
+FROM kept kp JOIN totals t USING (doc_id)
+GROUP BY kp.doc_id
+""",
+)
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (LineDedup, operators/dedup.py) — the
+    CCNet/RefinedWeb boilerplate-removal step: any line occurring in
+    more than 4 distinct documents is removed from every document and
+    the docs are rebuilt with surviving lines in original order.
+
+    The synthetic docs are single-line word soup, so the query first
+    derives a line-structured corpus DETERMINISTICALLY on both sides:
+    consecutive 3-word groups become lines (newline-joined).  The
+    small vocabulary makes 3-word lines genuinely collide across docs,
+    so the frequency tail is non-empty and drops are exercised, not
+    just the identity path.  The rebuilt text is compared by md5 (the
+    oracle's string_agg ORDER BY pos mirrors the operator's
+    array_sort(collect_list(struct(pos, line)))); audit counts compare
+    exactly."""
+    from strom_spark import LineDedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(w) / F.lit(3.0)).cast("int")
+    lined = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_lines),
+                lambda i: F.array_join(F.slice(w, (i - F.lit(1)) * 3 + 1, 3), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = LineDedup("docs", "clean", max_docs=4)(Flow({"docs": lined}))["clean"]
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_kept", "n_dropped"
     )
 
 

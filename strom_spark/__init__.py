@@ -35,6 +35,7 @@ from .operators.loop import Iterate
 from .operators.cep import MatchDecide
 from .operators.dedup import (
     Decontaminate,
+    LineDedup,
     SimHashDedup,
     ExactDedup,
     StreamingExactDedup,
@@ -114,6 +115,7 @@ __all__ = [
     "MatchDecide",
     "ExactDedup",
     "Decontaminate",
+    "LineDedup",
     "StreamingExactDedup",
     "WinnowFingerprints",
     "SimHashDedup",

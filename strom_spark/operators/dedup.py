@@ -948,3 +948,109 @@ class Decontaminate(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class LineDedup(Component):
+    """Corpus-level LINE deduplication (the CCNet / RefinedWeb
+    boilerplate-removal step): a line whose normalized (trimmed) form
+    occurs in more than ``max_docs`` DISTINCT documents is boilerplate
+    (navigation bars, cookie banners, license headers) and is removed
+    from EVERY document; each document is re-assembled from its
+    surviving lines in original order.  Documents whose lines are all
+    boilerplate disappear from the output (CCNet drops them too).
+    Blank lines are structural, never counted or dropped.
+
+    Output: ``(id_col, text_col, n_kept, n_dropped)`` — the rebuilt
+    text plus per-document audit counts.
+
+    Lowering (no O(n²) anywhere):
+      1. ``posexplode(split(text, sep))`` — a narrow fan-out carrying
+         (doc, pos, line);
+      2. line-frequency agg ``countDistinct(doc)`` keyed on the trimmed
+         line — ONE shuffle, map-side partial agg, state bounded by
+         distinct-line count;
+      3. ``left_anti`` join against the ``> max_docs`` tail — tiny by
+         construction (boilerplate repeats, that's what makes it
+         boilerplate), AQE broadcasts it at runtime (repo hint
+         doctrine: no forced broadcast on an SF-growing subtree);
+      4. re-assembly: one groupBy(doc) with an order-restoring
+         ``array_sort(collect_list(struct(pos, line)))`` — the payload
+         shuffles once, keyed on the doc id.
+
+    At 100 TB the frequency table is the only global state and it
+    combines map-side; everything else is narrow or keyed on doc id.
+    Reference analog: none (Strom has no corpus ops) — this is part of
+    the training-data superset, next to Decontaminate above.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        sep: str = "\n",
+        max_docs: int = 4,
+        label: str | None = None,
+    ):
+        if max_docs < 1:
+            raise ValueError("max_docs must be >= 1")
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.text_col = text_col
+        self.sep = sep
+        self.max_docs = int(max_docs)
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        from ..component import require_batch
+
+        df = flow[self.input]
+        require_batch(
+            df, "LineDedup", "the line-frequency pass re-scans the corpus"
+        )
+        # \Q..\E: literal (non-regex) separator for Java's split
+        sep_rx = "\\Q" + self.sep + "\\E"
+        lines = df.filter(F.col(self.text_col).isNotNull()).select(
+            F.col(self.id_col),
+            F.posexplode(F.split(F.col(self.text_col), sep_rx)).alias(
+                "pos", "line"
+            ),
+        )
+        keyed = lines.withColumn("__k", F.trim(F.col("line")))
+        frequent = (
+            keyed.filter(F.col("__k") != "")
+            .groupBy("__k")
+            .agg(F.countDistinct(self.id_col).alias("__nd"))
+            .filter(F.col("__nd") > self.max_docs)
+            .select("__k")
+        )
+        kept = keyed.join(frequent, "__k", "left_anti")
+        ordered = F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("line")))
+        )
+        rebuilt = kept.groupBy(self.id_col).agg(
+            F.array_join(
+                F.transform(ordered, lambda s: s["line"]), self.sep
+            ).alias(self.text_col),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        totals = lines.groupBy(self.id_col).agg(
+            F.count(F.lit(1)).alias("__n_total")
+        )
+        out = (
+            rebuilt.join(totals, self.id_col)
+            .withColumn(
+                "n_dropped", (F.col("__n_total") - F.col("n_kept")).cast("bigint")
+            )
+            .drop("__n_total")
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

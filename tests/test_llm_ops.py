@@ -830,3 +830,54 @@ def test_unigram_lm_differential(spark):
     assert got[3] > got[2] > got[1]  # rarer tokens -> higher surprise
     with pytest.raises(ValueError, match="alpha"):
         UnigramLMScore("d", "o", id_col="doc_id", text_col="text", alpha=0)
+
+
+def test_line_dedup_removes_boilerplate_preserves_order(spark):
+    """LineDedup: a line in > max_docs distinct docs vanishes from ALL
+    docs; surviving lines keep original order; blank lines are
+    structural (never counted, never dropped); a doc whose every line
+    is boilerplate disappears; per-doc audit counts reconcile."""
+    from strom_spark import Flow, LineDedup
+
+    boiler = "accept all cookies"
+    rows = [
+        (1, f"alpha one\n{boiler}\n\nalpha two"),
+        (2, f"{boiler}\nbeta one"),
+        (3, f"gamma one\n{boiler}"),
+        (4, f"delta one\n  {boiler}  \ndelta two"),  # trimmed form matches
+        (5, boiler),  # fully boilerplate -> dropped doc
+        (6, "epsilon only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in LineDedup("d", max_docs=4)(Flow({"d": df}))["d"].collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 6}  # doc 5 fully dropped
+    assert out[1].text == "alpha one\n\nalpha two"  # blank line survives
+    assert out[1].n_kept == 3 and out[1].n_dropped == 1
+    assert out[2].text == "beta one"
+    assert out[4].text == "delta one\ndelta two"  # whitespace-variant dropped
+    assert out[6].text == "epsilon only" and out[6].n_dropped == 0
+    # below threshold: nothing dropped anywhere
+    loose = LineDedup("d", max_docs=5)(Flow({"d": df}))["d"]
+    assert loose.agg(F.sum("n_dropped")).collect()[0][0] == 0
+
+
+def test_line_dedup_custom_separator(spark):
+    """sep is a literal (regex-quoted), round-tripped on re-assembly."""
+    from strom_spark import Flow, LineDedup
+
+    rows = [(i, "keep me. the same sentence. tail") for i in range(3)] + [
+        (9, "solo. the same sentence")
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in LineDedup("d", sep=". ", max_docs=3)(Flow({"d": df}))[
+            "d"
+        ].collect()
+    }
+    assert out[0].text == "keep me. tail"
+    assert out[9].text == "solo"
+    assert out[9].n_dropped == 1

@@ -68,6 +68,76 @@ def test_streaming_time_window_watermark(spark, stream_dir):
     assert total is not None and 0 < total <= n_events
 
 
+def test_streaming_session_window_matches_batch(spark, stream_dir):
+    """SessionWindow over a watermarked stream — merging keyed session
+    state, the one stateful shape plain windowed aggs can't express —
+    drained availableNow must equal the batch lowering EXACTLY.
+
+    Append mode only emits sessions the watermark has passed, so a
+    far-future SENTINEL event (its own user) pushes the final
+    watermark beyond every real session_end; the sentinel's own
+    session is then the only row legitimately withheld or emitted
+    late, and both sides exclude its user before comparing."""
+    import datetime
+
+    from strom_spark import SessionWindow
+
+    base = spark.read.parquet(stream_dir)
+    max_ts = base.agg(F.max("ts")).collect()[0][0]
+    sentinel_uid = -999
+    sentinel = base.limit(1).select(
+        F.lit(10**9).cast("bigint").alias("event_id"),
+        F.lit(max_ts + datetime.timedelta(days=30)).alias("ts"),
+        F.lit(sentinel_uid).cast("bigint").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    d = tempfile.mkdtemp(prefix="strom_sess_stream_")
+    try:
+        base.select(sentinel.columns).write.mode("overwrite").parquet(d)
+        sentinel.write.mode("append").parquet(d)
+
+        def sessions(df):
+            flow = SessionWindow(
+                "events",
+                "sess",
+                ts="ts",
+                gap="30 minutes",
+                partition_by=["user_id"],
+                aggs={"n_events": F.count("*")},
+                watermark=("ts", "1 minute"),
+            )(Flow({"events": df}))
+            return flow["sess"].select(
+                "user_id", "session_start", "session_end", "n_events"
+            )
+
+        schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = sessions(stream)
+        assert out.isStreaming
+        run_available(out, query_name="t_stream_sessions")
+        got = sorted(
+            tuple(r)
+            for r in spark.sql(
+                f"SELECT * FROM t_stream_sessions WHERE user_id != {sentinel_uid}"
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in sessions(spark.read.parquet(d))
+            .filter(F.col("user_id") != sentinel_uid)
+            .collect()
+        )
+        assert got == want and len(want) > 100
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_unbounded_rate_source_with_stop_policy(spark):
     """An infinite synthetic stream (reference: infinite Stream.cycle in
     a flow, gen_mix_test.exs:172) through components, halted by a stop
