@@ -2195,6 +2195,48 @@ def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "temperature_mix_counts",
+    """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+r AS (
+  SELECT source,
+    CAST(round(pow(CAST(n AS DOUBLE) / CAST((SELECT MIN(n) FROM c) AS DOUBLE),
+                   -0.5) * 10000) AS INT) AS thresh
+  FROM c
+),
+b AS (
+  SELECT d.source,
+    ('0x' || substring(md5('tmix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS bucket,
+    r.thresh
+  FROM documents d JOIN r USING (source)
+)
+SELECT source, COUNT(*) AS n_kept
+FROM b WHERE bucket < thresh
+GROUP BY source ORDER BY source
+""",
+)
+def temperature_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing (operators/sampling.py TemperatureMix,
+    alpha=0.5): kept rows per source become proportional to sqrt(n) —
+    the standard multilingual/multi-source flattening.  Rates derive
+    as (n_g/n_min)^(alpha-1), so the only float math is a power of an
+    exact integer ratio (no cross-group sum whose ordering could
+    perturb a threshold) and the md5-bucket membership replays exactly
+    in the oracle."""
+    from strom_spark import TemperatureMix
+
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    out = TemperatureMix(
+        "docs", "mixed", key_col="doc_id", group_col="source", alpha=0.5
+    )(flow)["mixed"]
+    return (
+        out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+@_q(
     "balanced_source_cap",
     """
 WITH b AS (

@@ -51,7 +51,7 @@ from .operators.asof import AsofJoin
 from .operators.rangejoin import RangeJoin
 from .operators.textrank import BM25Score, SliceDivergence, TfIdfTopTerms, UnigramLMScore
 from .operators.graph import ConnectedComponents
-from .operators.sampling import GroupCap, HashSample, HashSplit, MixtureSample
+from .operators.sampling import GroupCap, HashSample, HashSplit, MixtureSample, TemperatureMix
 from .operators.packing import PackSequences
 from .operators.fuzzy import EditDistanceJoin
 from .operators.clustering import LloydKMeans
@@ -145,6 +145,7 @@ __all__ = [
     "HashSample",
     "HashSplit",
     "MixtureSample",
+    "TemperatureMix",
     "MediaFeatures",
     "MediaResize",
     "FrameSample",

@@ -233,3 +233,87 @@ class MixtureSample(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class TemperatureMix(Component):
+    """Temperature-based source mixing — the ``n^alpha`` corpus
+    flattening used for multi-source / multilingual pretraining
+    mixtures: expected kept rows per group become proportional to
+    ``n_g ** alpha`` (alpha=1 keeps the natural mixture, alpha=0
+    flattens every group to the smallest group's size).
+
+    Rates are derived WITHOUT any cross-group float summation:
+    ``rate_g = (n_g / n_min) ** (alpha - 1)`` — the smallest group is
+    kept at 100% and larger groups are downsampled toward it, which is
+    algebraically the same mixture (kept_g ∝ n_g^alpha) but every
+    input to the float math is an exact integer ratio, so Spark and
+    the oracle compute bit-identical thresholds (rounding to integer
+    BUCKETS adds ulp tolerance on top).  Membership is the same
+    portable md5-bucket pure function as :class:`MixtureSample`, so
+    the exact kept set replays anywhere.
+
+    Plan: one tiny count agg (rows = #groups), an unpartitioned window
+    min over that TINY frame for n_min (never over the input), a
+    rates join the runtime broadcasts (AQE — no forced hint per the
+    repo doctrine), then the narrow bucket-threshold filter.  Two
+    passes over the input, both riding the scan."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        key_col: str,
+        group_col: str,
+        alpha: float = 0.5,
+        salt: str = "tmix",
+        label: str | None = None,
+    ):
+        if not 0.0 <= alpha <= 1.0:
+            raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+        self.input = input
+        self.output = output or input
+        self.key_col = key_col
+        self.group_col = group_col
+        self.alpha = float(alpha)
+        self.salt = salt
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        from ..component import require_batch
+
+        df = flow[self.input]
+        require_batch(
+            df, "TemperatureMix", "group sizes come from a counting pass"
+        )
+        counts = df.groupBy(self.group_col).agg(F.count(F.lit(1)).alias("__n"))
+        rates = (
+            counts.withColumn(
+                "__nmin", F.min("__n").over(Window.partitionBy())
+            )
+            .withColumn(
+                "__thresh",
+                F.round(
+                    F.pow(
+                        F.col("__n").cast("double")
+                        / F.col("__nmin").cast("double"),
+                        F.lit(self.alpha - 1.0),
+                    )
+                    * BUCKETS
+                ).cast("int"),
+            )
+            .select(self.group_col, "__thresh")
+        )
+        out = (
+            df.join(rates, self.group_col)
+            .filter(bucket_of(self.key_col, self.salt) < F.col("__thresh"))
+            .drop("__thresh")
+            .select(*df.columns)
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -881,3 +881,32 @@ def test_line_dedup_custom_separator(spark):
     assert out[0].text == "keep me. tail"
     assert out[9].text == "solo"
     assert out[9].n_dropped == 1
+
+
+def test_temperature_mix_flattens_toward_small_groups(spark):
+    """TemperatureMix: kept counts ∝ n^alpha — the smallest group is
+    untouched (rate 1), larger groups shrink toward it; alpha=1 is the
+    identity; membership is deterministic across runs."""
+    from strom_spark import Flow, TemperatureMix
+
+    rows = [(i, "big") for i in range(6400)] + [
+        (10_000 + i, "mid") for i in range(1600)
+    ] + [(20_000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    def kept(alpha):
+        out = TemperatureMix(
+            "d", key_col="doc_id", group_col="source", alpha=alpha
+        )(Flow({"d": df}))["d"]
+        return {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+
+    half = kept(0.5)
+    # expected ∝ sqrt(n): big ~ sqrt(6400*100)=800, mid ~ sqrt(1600*100)=400
+    assert half["small"] == 100  # smallest group keeps everything
+    assert abs(half["big"] - 800) < 120 and abs(half["mid"] - 400) < 90
+    assert kept(1.0) == {"big": 6400, "mid": 1600, "small": 100}  # identity
+    flat = kept(0.0)  # every group flattens to ~n_min
+    assert abs(flat["big"] - 100) < 40 and abs(flat["mid"] - 100) < 40
+    assert kept(0.5) == half  # pure-function membership: identical rerun
+    with pytest.raises(ValueError, match="alpha"):
+        TemperatureMix("d", key_col="doc_id", group_col="source", alpha=1.5)
