@@ -4069,7 +4069,7 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly."""
     from strom_spark import LineDedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     w = F.split(F.col("text"), " ")
     n_lines = F.ceil(F.size(w) / F.lit(3.0)).cast("int")
     lined = docs.filter(F.col("text").isNotNull()).select(

@@ -84,6 +84,11 @@ HEADLINE = [
     "pack_sequences",
     "slice_divergence",
     "fuzzy_name_pairs",
+    # round 5 late additions: corpus line dedup, native gap-session
+    # windows, temperature mixing — TOTAL covers 47 from here
+    "line_dedup_docs",
+    "session_window_stats",
+    "temperature_mix_counts",
 ]
 
 

@@ -969,13 +969,17 @@ class LineDedup(Component):
       2. line-frequency agg ``countDistinct(doc)`` keyed on the trimmed
          line — ONE shuffle, map-side partial agg, state bounded by
          distinct-line count;
-      3. ``left_anti`` join against the ``> max_docs`` tail — tiny by
-         construction (boilerplate repeats, that's what makes it
-         boilerplate), AQE broadcasts it at runtime (repo hint
-         doctrine: no forced broadcast on an SF-growing subtree);
-      4. re-assembly: one groupBy(doc) with an order-restoring
-         ``array_sort(collect_list(struct(pos, line)))`` — the payload
-         shuffles once, keyed on the doc id.
+      3. a LEFT join against the ``> max_docs`` tail marks dropped
+         lines — the tail is tiny by construction (boilerplate
+         repeats, that's what makes it boilerplate), AQE broadcasts it
+         at runtime (repo hint doctrine: no forced broadcast on an
+         SF-growing subtree);
+      4. re-assembly AND audit counts come from ONE groupBy(doc) over
+         the marked lines: an order-restoring
+         ``array_sort(collect_list(struct(pos, line, dup)))`` filtered
+         on the mark — the payload shuffles once, keyed on the doc id,
+         and the input is scanned exactly TWICE (frequency pass +
+         marked pass), not per-derived-aggregate.
 
     At 100 TB the frequency table is the only global state and it
     combines map-side; everything else is narrow or keyed on doc id.
@@ -1027,25 +1031,27 @@ class LineDedup(Component):
             .filter(F.col("__nd") > self.max_docs)
             .select("__k")
         )
-        kept = keyed.join(frequent, "__k", "left_anti")
+        marked = keyed.join(
+            frequent.withColumn("__dup", F.lit(True)), "__k", "left"
+        )
         ordered = F.array_sort(
-            F.collect_list(F.struct(F.col("pos"), F.col("line")))
-        )
-        rebuilt = kept.groupBy(self.id_col).agg(
-            F.array_join(
-                F.transform(ordered, lambda s: s["line"]), self.sep
-            ).alias(self.text_col),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
-        totals = lines.groupBy(self.id_col).agg(
-            F.count(F.lit(1)).alias("__n_total")
-        )
-        out = (
-            rebuilt.join(totals, self.id_col)
-            .withColumn(
-                "n_dropped", (F.col("__n_total") - F.col("n_kept")).cast("bigint")
+            F.collect_list(
+                F.struct(F.col("pos"), F.col("line"), F.col("__dup"))
             )
-            .drop("__n_total")
+        )
+        kept_arr = F.filter(ordered, lambda s: s["__dup"].isNull())
+        out = (
+            marked.groupBy(self.id_col)
+            .agg(
+                F.array_join(
+                    F.transform(kept_arr, lambda s: s["line"]), self.sep
+                ).alias(self.text_col),
+                F.size(kept_arr).cast("bigint").alias("n_kept"),
+                (F.count(F.lit(1)) - F.size(kept_arr))
+                .cast("bigint")
+                .alias("n_dropped"),
+            )
+            .filter(F.col("n_kept") > 0)
         )
         return flow.without(self.input).with_stream(self.output, out)
 

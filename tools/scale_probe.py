@@ -288,6 +288,64 @@ def main() -> None:
         }
         names.unpersist()
 
+    # LineDedup linearity: copying the corpus multiplies ROWS but not
+    # the frequency-table STATE — the line-frequency shuffle is keyed
+    # on distinct lines, which don't grow when copies repeat the same
+    # text.  Runtime must track input size (linear); the distinct-line
+    # bound is recorded as the op's only global state.  Lines derive
+    # as 3-word groups from the word-soup docs, same as the registered
+    # line_dedup_docs query.
+    from strom_spark.operators.dedup import LineDedup
+
+    w_split = F.split(F.col("text"), " ")
+    lined_base = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.ceil(F.size(w_split) / F.lit(3.0)).cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice(w_split, (i - F.lit(1)) * 3 + 1, 3), " "
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    lined_parts = [
+        lined_base.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"), "text"
+        )
+        for i in range(copies)
+    ]
+    lined_big = lined_parts[0]
+    for p in lined_parts[1:]:
+        lined_big = lined_big.unionByName(p)
+    for label, corp in [("1x", lined_base), (f"{copies}x", lined_big)]:
+        corp = corp.repartition(32).cache()
+        n_in = corp.count()
+        distinct_lines = (
+            corp.select(F.explode(F.split("text", "\n")).alias("l"))
+            .distinct()
+            .count()
+        )
+        t0 = time.time()
+        out_rows = LineDedup("d", "o", max_docs=4)(Flow({"d": corp}))[
+            "o"
+        ].count()
+        results["ops"][f"line_dedup_{label}"] = {
+            "rows": out_rows,
+            "sec": round(time.time() - t0, 1),
+            "docs_in": n_in,
+            "state_bound": distinct_lines,
+        }
+        corp.unpersist()
+    assert (
+        results["ops"][f"line_dedup_{copies}x"]["state_bound"]
+        == results["ops"]["line_dedup_1x"]["state_bound"]
+    ), "distinct-line state must not grow with corpus copies"
+
     print(json.dumps(results))
     spark.stop()
 
