@@ -150,7 +150,8 @@ def _brute_pairs(rows, d):
 
 
 @pytest.mark.parametrize("max_dist", [1, 2])
-def test_edit_distance_join_equals_brute_force(spark, max_dist):
+@pytest.mark.parametrize("strategy", ["deletion", "qgram"])
+def test_edit_distance_join_equals_brute_force(spark, max_dist, strategy):
     rng = random.Random(42 + max_dist)
     alphabet = "abc"
     rows = []
@@ -159,10 +160,20 @@ def test_edit_distance_join_equals_brute_force(spark, max_dist):
         rows.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
     df = spark.createDataFrame(rows, "id bigint, s string")
     out = EditDistanceJoin(
-        "d", "o", id_col="id", str_col="s", max_dist=max_dist, q=3
+        "d", "o", id_col="id", str_col="s", max_dist=max_dist, q=3,
+        strategy=strategy,
     )(Flow({"d": df}))["o"]
     got = {(r.id1, r.id2, r.dist) for r in out.collect()}
     assert got == _brute_pairs(rows, max_dist)
+
+
+def test_edit_distance_strategy_validation():
+    with pytest.raises(ValueError, match="strategy"):
+        EditDistanceJoin("d", "o", id_col="i", str_col="s", strategy="nope")
+    with pytest.raises(ValueError, match="deletion"):
+        EditDistanceJoin(
+            "d", "o", id_col="i", str_col="s", max_dist=3, strategy="deletion"
+        )
 
 
 def test_edit_distance_join_is_not_all_pairs(spark):

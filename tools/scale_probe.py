@@ -277,15 +277,23 @@ def main() -> None:
             F.concat(F.lit("item-"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("s"),
         ).repartition(32).cache()
         names.count()
-        t0 = time.time()
-        rows = EditDistanceJoin("d", "o", id_col="id", str_col="s", max_dist=1, q=3)(
-            Flow({"d": names})
-        )["o"].count()
-        results["ops"][f"edit_distance_join_n{n}"] = {
-            "rows": rows,
-            "sec": round(time.time() - t0, 1),
-            "all_pairs": n * (n - 1) // 2,
-        }
+        strategies = ["deletion", "qgram"] if n == 20_000 else ["deletion"]
+        by_strategy = {}
+        for strat in strategies:
+            t0 = time.time()
+            rows = EditDistanceJoin(
+                "d", "o", id_col="id", str_col="s", max_dist=1, q=3,
+                strategy=strat,
+            )(Flow({"d": names}))["o"].count()
+            by_strategy[strat] = rows
+            results["ops"][f"edit_distance_{strat}_n{n}"] = {
+                "rows": rows,
+                "sec": round(time.time() - t0, 1),
+                "all_pairs": n * (n - 1) // 2,
+            }
+        assert len(set(by_strategy.values())) == 1, (
+            f"strategies disagree: {by_strategy}"
+        )
         names.unpersist()
 
     # LineDedup linearity: copying the corpus multiplies ROWS but not
