@@ -12,7 +12,7 @@ from .flow import Flow, as_flow
 from .component import Component, Pipeline
 from .session import get_spark
 from .io import load_table, load_flow, spread, TABLES
-from .scale import salted_join, write_bucketed
+from .scale import compact_write, salted_join, write_bucketed
 from .sources.source import IOGets, Source, SourceOrigin, Read, ReadLines, ReadStream
 from .sources.sink import Sink, SinkOrigin, Write, Console, Null, Memory
 from .operators.transformer import (
@@ -146,6 +146,7 @@ __all__ = [
     "HashSplit",
     "MixtureSample",
     "TemperatureMix",
+    "compact_write",
     "MediaFeatures",
     "MediaResize",
     "FrameSample",

@@ -77,3 +77,65 @@ def salted_join(
     )
     out = l.join(r, on + ["__salt"], how)
     return out.drop("__salt")
+
+
+def compact_write(
+    df: DataFrame,
+    path: str,
+    *,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    sort_by: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Write ``df`` as parquet with a TARGET FILE SIZE instead of
+    whatever file count the upstream partitioning happens to leave —
+    the small-files fix every 100 TB pipeline needs at its sinks (a
+    shuffle-wide write emits one file per task: 10k tasks × 5 MB
+    files poisons every later scan's split planning and the
+    metastore).
+
+    File count derives from Catalyst's size estimate for the plan
+    (``optimizedPlan().stats()``, the same statistic AQE plans with),
+    scaled by a conservative parquet compression factor, then the
+    frame is repartitioned to exactly that count before the write.
+    With ``partition_by``, rows are repartitioned ON the partition
+    columns so each output directory receives few writers rather
+    than one file per (task × directory).
+
+    ``sort_by`` adds ``sortWithinPartitions`` before the write: rows
+    cluster by the sort key inside each file, so parquet row-group
+    min/max statistics become tight and selective scans prune row
+    groups server-side (verified against real footers in
+    tests/test_scale_utils.py).  This is the single-column core of
+    what table formats market as Z-ordering/clustering.
+
+    Returns the file count it targeted.  Estimates are estimates:
+    actual sizes land within a small factor of the target, which is
+    all split planning needs (128 MB vs 5 MB matters; 380 MB vs
+    512 MB does not).
+    """
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
+    jdf = df._jdf
+    est_bytes = int(
+        jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    # For a bare scan, Catalyst's sizeInBytes IS the on-disk file size
+    # (fileCompressionFactor defaults to 1.0), so the estimate maps to
+    # output bytes ~1:1 when re-writing with the same codec; derived
+    # plans inflate it (row-width products), which only errs toward
+    # MORE files of smaller size — the benign direction for split
+    # planning.
+    n_files = max(1, -(-est_bytes // target_file_bytes))
+    if partition_by:
+        out = df.repartition(n_files, *[F.col(c) for c in partition_by])
+    else:
+        out = df.repartition(n_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    w = out.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return n_files

@@ -4,6 +4,7 @@ the 100 TB fact-fact join toolkit (SCALE.md)."""
 import contextlib
 import io
 
+import pytest
 from pyspark.sql import functions as F
 
 from strom_spark.scale import salted_join, write_bucketed
@@ -172,3 +173,88 @@ def test_runtime_bloom_filter_join_fires(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_compact_write_targets_file_size(spark, sf_dir, tmp_path):
+    """compact_write: file count follows the size estimate and target
+    (small target -> several files, huge target -> one), actual sizes
+    land within a small factor of the target."""
+    import os
+
+    from strom_spark import compact_write, load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d1 = str(tmp_path / "compact_small")
+    n1 = compact_write(li, d1, target_file_bytes=24 * 1024)
+    files1 = [f for f in os.listdir(d1) if f.endswith(".parquet")]
+    assert len(files1) == n1 and n1 > 1
+    sizes = [os.path.getsize(os.path.join(d1, f)) for f in files1]
+    # estimate maps on-disk bytes ~1:1; files land within a small
+    # factor of target, and never pathologically tiny
+    assert max(sizes) < 4 * 24 * 1024
+    assert spark.read.parquet(d1).count() == li.count()
+
+    d2 = str(tmp_path / "compact_one")
+    n2 = compact_write(li, d2, target_file_bytes=10 * 1024**3)
+    files2 = [f for f in os.listdir(d2) if f.endswith(".parquet")]
+    assert n2 == 1 and len(files2) == 1
+
+    with pytest.raises(ValueError, match="target_file_bytes"):
+        compact_write(li, d2, target_file_bytes=0)
+
+
+def test_compact_write_sort_by_tightens_row_group_stats(spark, sf_dir, tmp_path):
+    """sort_by clusters rows so parquet row-group min/max ranges are
+    near-disjoint — REAL footers via pyarrow, not plan text: the
+    summed per-row-group key span of the sorted layout must be a
+    small fraction of the unsorted one (which spans ~the whole domain
+    in every row group), the mechanism behind row-group pruning for
+    range predicates."""
+    import pyarrow.parquet as pq
+
+    from strom_spark import compact_write, load_table
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_days", F.datediff("l_shipdate", F.lit("1992-01-01"))
+    )
+
+    def span_sum(path):
+        import os
+
+        total = 0
+        groups = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("ship_days")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += st.max - st.min
+                groups += 1
+        return total, groups
+
+    d_sorted = str(tmp_path / "sorted")
+    d_unsorted = str(tmp_path / "unsorted")
+    # small row groups so each file holds several (footer stats
+    # visible); parquet reads block size from the HADOOP conf, not the
+    # SQL conf
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(16 * 1024))
+    try:
+        compact_write(
+            li, d_sorted, target_file_bytes=1024**3, sort_by=["ship_days"]
+        )
+        compact_write(li, d_unsorted, target_file_bytes=1024**3)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+    s_sorted, g_sorted = span_sum(d_sorted)
+    s_unsorted, g_unsorted = span_sum(d_unsorted)
+    assert g_sorted > 3 and g_unsorted > 3
+    # sorted row groups cover disjoint slices; unsorted ones each span
+    # ~the whole domain
+    assert s_sorted < 0.25 * s_unsorted
