@@ -4089,6 +4089,48 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "blocklist_flag_docs",
+    r"""
+WITH norm AS (
+  SELECT doc_id,
+    ' ' || trim(regexp_replace(lower(text), '\s+', ' ', 'g')) || ' ' AS t
+  FROM documents WHERE text IS NOT NULL
+),
+p(phrase) AS (VALUES ('table scan'), ('fast merge batch'), ('big vector')),
+hits AS (
+  SELECT n.doc_id, COUNT(*) AS n_blocklisted
+  FROM norm n JOIN p ON n.t LIKE '% ' || p.phrase || ' %'
+  GROUP BY n.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n_blocklisted, 0) AS BIGINT) AS n_blocklisted,
+  COALESCE(h.n_blocklisted, 0) > 0 AS blocked
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+)
+def blocklist_flag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banned-phrase compliance pass (operators/dedup.py
+    PhraseBlocklist): every document flagged with how many blocklisted
+    phrases occur in it as whole-word sequences.  The engine lowers to
+    length-grouped shingle equi-joins (one doc explode per distinct
+    phrase word-length, AQE-broadcast phrase side — never a doc×phrase
+    LIKE scan); the oracle IS the quadratic LIKE formulation over the
+    same normalized text, so a hash match certifies the inverted
+    lowering against the naive semantics."""
+    from strom_spark import PhraseBlocklist
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    phrases = spark.createDataFrame(
+        [("table scan",), ("fast merge batch",), ("big vector",)],
+        "phrase string",
+    )
+    out = PhraseBlocklist("docs", "deny", "flagged")(
+        Flow({"docs": docs, "deny": phrases})
+    )["flagged"]
+    return out.select("doc_id", "n_blocklisted", "blocked")
+
+
+@_q(
     "repetition_scores",
     rf"""
 WITH {_NORM_DOCS},

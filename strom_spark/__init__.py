@@ -36,6 +36,7 @@ from .operators.cep import MatchDecide
 from .operators.dedup import (
     Decontaminate,
     LineDedup,
+    PhraseBlocklist,
     SimHashDedup,
     ExactDedup,
     StreamingExactDedup,
@@ -116,6 +117,7 @@ __all__ = [
     "ExactDedup",
     "Decontaminate",
     "LineDedup",
+    "PhraseBlocklist",
     "StreamingExactDedup",
     "WinnowFingerprints",
     "SimHashDedup",

@@ -1060,3 +1060,121 @@ class LineDedup(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class PhraseBlocklist(Component):
+    """Banned-phrase filtering against a PHRASE TABLE — the content
+    compliance step of a release pipeline (slurs, titles under legal
+    hold, known-bad boilerplate): flag or drop every document whose
+    normalized text contains any blocklisted phrase as a whole-WORD
+    sequence.
+
+    Matching is exact word-boundary phrase matching on the normalized
+    (lowercased, whitespace-collapsed) text — NOT substring LIKE over
+    every (doc × phrase) pair, which is quadratic in exactly the way
+    a 100 TB corpus can't pay.  Lowering: phrases normalize and group
+    by word-length; for each distinct length L the docs explode their
+    L-word shingles ONCE and equi-join the phrase set (AQE broadcasts
+    a blocklist-sized side); matches aggregate per doc.  The only
+    driver materialization is the DISTINCT PHRASE WORD-LENGTH set —
+    bounded by the longest phrase, never by either table.
+
+    ``mode='flag'`` appends ``n_blocklisted`` (distinct phrases
+    matched) and ``blocked``; ``mode='drop'`` anti-joins the matched
+    doc set away.  Reference analog: none (training-data superset,
+    sibling of :class:`Decontaminate` — same inverted-match shape
+    with a curated list standing in for the eval corpus).
+    """
+
+    def __init__(
+        self,
+        docs: str,
+        phrases: str,
+        output: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        phrase_col: str = "phrase",
+        mode: str = "flag",
+        label: str | None = None,
+    ):
+        if mode not in ("flag", "drop"):
+            raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+        self.docs = docs
+        self.phrases = phrases
+        self.output = output
+        self.id_col = id_col
+        self.text_col = text_col
+        self.phrase_col = phrase_col
+        self.mode = mode
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        from ..component import require_batch
+
+        docs = flow[self.docs]
+        phrases = flow[self.phrases]
+        require_batch(
+            phrases, "PhraseBlocklist", "phrase lengths drive the plan"
+        )
+        require_batch(
+            docs, "PhraseBlocklist", "per-doc match counts re-aggregate"
+        )
+        p = (
+            phrases.select(TXT.normalize(self.phrase_col).alias("__p"))
+            .filter(F.length("__p") > 0)
+            .distinct()
+        )
+        lengths = sorted(
+            r[0]
+            for r in p.select(
+                F.size(F.split("__p", " ")).alias("__L")
+            )
+            .distinct()
+            .collect()
+        )
+        toks = docs.select(
+            F.col(self.id_col), TXT.tokens(self.text_col).alias("__t")
+        )
+        per_len = [
+            toks.select(
+                self.id_col,
+                F.explode(
+                    TXT.shingles_of_tokens(F.col("__t"), L)
+                ).alias("__p"),
+            )
+            for L in lengths
+        ]
+        if per_len:
+            shingled = per_len[0]
+            for part in per_len[1:]:
+                shingled = shingled.unionByName(part)
+            hits = (
+                shingled.join(p, "__p")
+                .groupBy(self.id_col)
+                .agg(F.count_distinct("__p").alias("n_blocklisted"))
+            )
+        else:  # empty blocklist: nothing matches
+            hits = docs.select(self.id_col).limit(0).withColumn(
+                "n_blocklisted", F.lit(0).cast("bigint")
+            )
+        if self.mode == "drop":
+            out = docs.join(hits.select(self.id_col), self.id_col, "left_anti")
+        else:
+            out = (
+                docs.join(hits, self.id_col, "left")
+                .withColumn(
+                    "n_blocklisted",
+                    F.coalesce("n_blocklisted", F.lit(0)).cast("bigint"),
+                )
+                .withColumn("blocked", F.col("n_blocklisted") > 0)
+            )
+        return flow.without(self.docs, self.phrases).with_stream(
+            self.output, out
+        )
+
+    def input_names(self) -> Sequence[str]:
+        return (self.docs, self.phrases)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -910,3 +910,45 @@ def test_temperature_mix_flattens_toward_small_groups(spark):
     assert kept(0.5) == half  # pure-function membership: identical rerun
     with pytest.raises(ValueError, match="alpha"):
         TemperatureMix("d", key_col="doc_id", group_col="source", alpha=1.5)
+
+
+def test_phrase_blocklist_word_boundary_semantics(spark):
+    """PhraseBlocklist: whole-word-sequence matching on normalized
+    text (case/whitespace insensitive), multi-length phrases in one
+    pass, no substring false positives; drop mode removes matched
+    docs; empty/blank phrases are ignored."""
+    from strom_spark import Flow, PhraseBlocklist
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Click HERE to   unsubscribe now"),  # case+spacing variant
+            (2, "subscribe is fine"),  # substring of a phrase word: no hit
+            (3, "the winner takes it all"),
+            (4, "winner takes nothing"),  # partial phrase: no hit
+            (5, "click here to unsubscribe and the winner takes it"),
+        ],
+        "doc_id bigint, text string",
+    )
+    deny = spark.createDataFrame(
+        [("here to unsubscribe",), ("winner takes it",), ("",), ("   ",)],
+        "phrase string",
+    )
+    out = {
+        r.doc_id: (r.n_blocklisted, r.blocked)
+        for r in PhraseBlocklist("d", "p", "o")(
+            Flow({"d": docs, "p": deny})
+        )["o"].collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    assert out[3] == (1, True)
+    assert out[4] == (0, False)
+    assert out[5] == (2, True)
+
+    kept = PhraseBlocklist("d", "p", "o", mode="drop")(
+        Flow({"d": docs, "p": deny})
+    )["o"]
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 4]
+
+    with pytest.raises(ValueError, match="mode"):
+        PhraseBlocklist("d", "p", "o", mode="scan")
