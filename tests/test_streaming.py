@@ -342,3 +342,59 @@ def test_streaming_curation_narrow_stages_match_batch(spark, sf_dir):
         assert got == want and len(want) > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_mixture_sample_matches_batch(spark, sf_dir):
+    """MixtureSample membership is a pure function of (key, salt) and
+    the plan is a narrow CASE-threshold filter, so the SAME component
+    on a stream must drain to EXACTLY the batch kept-set; the
+    counting ops (TemperatureMix, LineDedup, PhraseBlocklist) are
+    batch-only by contract and must raise their typed error."""
+    from strom_spark import (
+        Flow,
+        LineDedup,
+        MixtureSample,
+        PhraseBlocklist,
+        TemperatureMix,
+        load_table,
+    )
+
+    d = tempfile.mkdtemp(prefix="strom_mix_stream_")
+    try:
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(d)
+
+        def mix(df):
+            return MixtureSample(
+                "docs",
+                key_col="doc_id",
+                group_col="source",
+                rates={"src0": 1.0, "src1": 0.5},
+                default=0.25,
+            )(Flow({"docs": df}))["docs"]
+
+        out = mix(_read_stream(spark, d).select("doc_id", "source"))
+        assert out.isStreaming
+        run_available(out, query_name="t_mix_stream")
+        got = sorted(
+            r.doc_id for r in spark.sql("SELECT doc_id FROM t_mix_stream").collect()
+        )
+        want = sorted(
+            r.doc_id
+            for r in mix(spark.read.parquet(d).select("doc_id", "source")).collect()
+        )
+        assert got == want and len(want) > 0
+
+        stream = _read_stream(spark, d)
+        with pytest.raises(TypeError, match="TemperatureMix is batch-only"):
+            TemperatureMix(
+                "docs", key_col="doc_id", group_col="source"
+            )(Flow({"docs": stream}))
+        with pytest.raises(TypeError, match="LineDedup is batch-only"):
+            LineDedup("docs")(Flow({"docs": stream}))
+        deny = spark.createDataFrame([("x y",)], "phrase string")
+        with pytest.raises(TypeError, match="PhraseBlocklist is batch-only"):
+            PhraseBlocklist("docs", "p", "o")(
+                Flow({"docs": stream, "p": deny})
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
