@@ -89,6 +89,8 @@ HEADLINE = [
     "line_dedup_docs",
     "session_window_stats",
     "temperature_mix_counts",
+    # round 5: banned-phrase compliance filtering — TOTAL covers 48
+    "blocklist_flag_docs",
 ]
 
 
