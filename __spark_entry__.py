@@ -4089,6 +4089,43 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "chunk_documents",
+    r"""
+WITH norm AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+  CAST(s AS BIGINT) AS token_start,
+  CAST(least(32, len(w) - s + 1) AS BIGINT) AS n_chunk_tokens,
+  md5(array_to_string(w[s : s + 31], ' ')) AS chunk_md5
+FROM norm, unnest(range(1, greatest(len(w), 1) + 1, 24)) u(s)
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/packing.py ChunkDocuments,
+    size=32 tokens, overlap=8): the doc → embedding-unit explode of a
+    retrieval pipeline, with 1-based token offsets so spans map back
+    into the source.  Pure Column-HOF narrow fan-out, zero shuffle;
+    chunk text compared by md5."""
+    from strom_spark import ChunkDocuments
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = ChunkDocuments("docs", "chunks", size=32, overlap=8)(
+        Flow({"docs": docs})
+    )["chunks"]
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "token_start",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@_q(
     "blocklist_flag_docs",
     r"""
 WITH norm AS (

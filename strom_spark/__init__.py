@@ -53,7 +53,7 @@ from .operators.rangejoin import RangeJoin
 from .operators.textrank import BM25Score, SliceDivergence, TfIdfTopTerms, UnigramLMScore
 from .operators.graph import ConnectedComponents
 from .operators.sampling import GroupCap, HashSample, HashSplit, MixtureSample, TemperatureMix
-from .operators.packing import PackSequences
+from .operators.packing import ChunkDocuments, PackSequences
 from .operators.fuzzy import EditDistanceJoin
 from .operators.clustering import LloydKMeans
 from .operators.multimodal import (
@@ -138,6 +138,7 @@ __all__ = [
     "UnigramLMScore",
     "SliceDivergence",
     "PackSequences",
+    "ChunkDocuments",
     "EditDistanceJoin",
     "LloydKMeans",
     "ConnectedComponents",

@@ -106,3 +106,87 @@ class PackSequences(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class ChunkDocuments(Component):
+    """Overlapping token-window chunking — the document → embedding-unit
+    explode of a retrieval/indexing pipeline: every ``stride = size -
+    overlap`` tokens starts a chunk of up to ``size`` tokens, adjacent
+    chunks sharing ``overlap`` tokens; the final chunk truncates at the
+    document tail (the standard sliding-window convention).  Where
+    :class:`PackSequences` concatenates documents INTO fixed windows
+    for training, this cuts documents into units for embedding/search.
+
+    Emits one row per chunk: ``(id_col, chunk_idx, token_start,
+    n_chunk_tokens, chunk_text)`` — ``token_start`` is the 1-based
+    token offset so downstream spans map back into the source doc.
+
+    Plan: tokens bound once per doc, then a pure Column-HOF sequence →
+    slice explode — narrow fan-out riding the scan, zero shuffle, zero
+    Python; stream-legal (stateless).  At 100 TB chunking is the cheap
+    step; write chunks to their own table before the embedding GEMM
+    touches them."""
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        size: int = 128,
+        overlap: int = 0,
+        label: str | None = None,
+    ):
+        if size < 1:
+            raise ValueError("size must be >= 1")
+        if not 0 <= overlap < size:
+            raise ValueError("overlap must be in [0, size)")
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.text_col = text_col
+        self.size = int(size)
+        self.overlap = int(overlap)
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        from ..functions import text as TXT
+
+        df = flow[self.input]
+        stride = self.size - self.overlap
+        toks = df.filter(F.col(self.text_col).isNotNull()).select(
+            F.col(self.id_col), TXT.tokens(self.text_col).alias("__t")
+        )
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size("__t"), F.lit(1)), F.lit(stride)
+        )
+        out = (
+            toks.select(
+                self.id_col,
+                F.size("__t").alias("__n"),
+                F.col("__t"),
+                F.explode(starts).alias("token_start"),
+            )
+            .select(
+                self.id_col,
+                ((F.col("token_start") - 1) / stride).cast("bigint").alias(
+                    "chunk_idx"
+                ),
+                F.col("token_start").cast("bigint"),
+                F.least(
+                    F.lit(self.size),
+                    F.col("__n") - F.col("token_start") + 1,
+                ).cast("bigint").alias("n_chunk_tokens"),
+                F.concat_ws(
+                    " ", F.slice(F.col("__t"), F.col("token_start"), self.size)
+                ).alias("chunk_text"),
+            )
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -256,3 +256,29 @@ def test_lloyd_kmeans_empty_cluster_keeps_centroid(spark):
     )["o"].collect()
     got = {r.vid: r.cluster for r in out}
     assert got[1] == 1 and got[0] == 0 and all(got[i] == 0 for i in range(2, 12))
+
+
+def test_chunk_documents_sliding_window(spark):
+    """ChunkDocuments: stride = size-overlap starts, truncated tail,
+    offsets map back into the doc; stream-legal (stateless)."""
+    from strom_spark import ChunkDocuments, Flow
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 11))), (2, "a b"), (3, "x")],
+        "doc_id bigint, text string",
+    )
+    out = ChunkDocuments("d", size=4, overlap=2)(Flow({"d": df}))["d"]
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.token_start, r.n_chunk_tokens, r.chunk_text)
+         for r in out.collect())
+    )
+    # doc 1: 10 tokens, stride 2 -> starts 1,3,5,7,9
+    doc1 = [r for r in rows if r[0] == 1]
+    assert [r[2] for r in doc1] == [1, 3, 5, 7, 9]
+    assert doc1[0][4] == "t1 t2 t3 t4"
+    assert doc1[-1] == (1, 4, 9, 2, "t9 t10")  # truncated tail
+    assert rows[-2][4] == "a b" and rows[-1][4] == "x"  # short docs: 1 chunk
+    # adjacent chunks share exactly `overlap` tokens
+    assert doc1[0][4].split()[-2:] == doc1[1][4].split()[:2]
+    with pytest.raises(ValueError, match="overlap"):
+        ChunkDocuments("d", size=4, overlap=4)
