@@ -4260,7 +4260,7 @@ def curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization anywhere.  min/max rep_ratio are identical IEEE
     divisions on both engines (order-independent); total_pii is an
     integer sum."""
-    from strom_spark import Decontaminate, HashSplit
+    from strom_spark import Decontaminate, HashSplit, PhraseBlocklist
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     fp = docs.withColumn("fp", TXT.fingerprint("text"))
@@ -4310,10 +4310,17 @@ cont AS (
   WHERE s.doc_id % 29 <> 0
   GROUP BY s.doc_id HAVING count(*) >= 5
 ),
+blk AS (
+  SELECT n.doc_id FROM norm n
+  WHERE ' ' || n.ntext || ' ' LIKE '% table scan %'
+     OR ' ' || n.ntext || ' ' LIKE '% fast merge batch %'
+     OR ' ' || n.ntext || ' ' LIKE '% big vector %'
+),
 base AS (
   SELECT d.doc_id FROM dd d
   WHERE d.doc_id % 29 <> 0
     AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+    AND d.doc_id NOT IN (SELECT doc_id FROM blk)
 ),
 feats AS (
   SELECT t.doc_id,
@@ -4386,6 +4393,9 @@ def curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
       raw scan — cheap derived key, wide payload: the adjudicated
       ExactDedup shape) → benchmark DECONTAMINATION (drop docs sharing
       ≥5 shingles with the held-out doc_id % 29 eval slice) →
+      BLOCKLIST compliance drop (PhraseBlocklist, whole-word phrase
+      matching — round-5 extension; the oracle runs the equivalent
+      LIKE predicates over the shared normalized-text CTE) →
       language-ID gate (en) + quality gate (q ≥ 0.4) → repetition gate
       (most-frequent-3-gram share ≤ 0.5) → PII audit → deterministic
       hash split → per-split report.
@@ -4398,7 +4408,7 @@ def curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyway: a contaminated doc is contaminated regardless of quality.)
     Report aggregates are order-independent (count, integer sum,
     min/max) so the hash is engine-stable."""
-    from strom_spark import Decontaminate, HashSplit
+    from strom_spark import Decontaminate, HashSplit, PhraseBlocklist
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     fp = docs.withColumn("fp", TXT.fingerprint("text"))
@@ -4409,6 +4419,13 @@ def curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = Decontaminate(
         "train", "eval", "clean", k=3, min_overlap=5, mode="drop"
     )(Flow({"train": train, "eval": ev}))["clean"]
+    deny = spark.createDataFrame(
+        [("table scan",), ("fast merge batch",), ("big vector",)],
+        "phrase string",
+    )
+    clean = PhraseBlocklist("docs", "deny", "ok", mode="drop")(
+        Flow({"docs": clean, "deny": deny})
+    )["ok"]
     gated = (
         clean.select(
             "doc_id",
