@@ -4161,7 +4161,7 @@ def blocklist_flag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("table scan",), ("fast merge batch",), ("big vector",)],
         "phrase string",
     )
-    out = PhraseBlocklist("docs", "deny", "flagged")(
+    out = PhraseBlocklist("docs", "deny", "flagged", max_inline=0)(
         Flow({"docs": docs, "deny": phrases})
     )["flagged"]
     return out.select("doc_id", "n_blocklisted", "blocked")
@@ -4262,12 +4262,28 @@ def curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sum."""
     from strom_spark import Decontaminate, HashSplit, PhraseBlocklist
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    raw = spread(load_table(spark, sf_dir, "documents"))
+    # Blocklist FIRST, on the raw scan: PhraseBlocklist consumes its
+    # input three times (one shingle explode per phrase length + the
+    # anti-join back), so its input must be the cheap parquet scan,
+    # not the composed dedup/decontaminate subtree (placing it after
+    # decontamination tripled the whole plan: 22 -> 64 exchanges).
+    # Matching is content-based on the SAME normalized text as the
+    # dedup fingerprint, so every copy of a blocked content blocks and
+    # the drop commutes exactly with min-id dedup — the oracle keeps
+    # its order-independent formulation (blk excluded at base).
+    deny = spark.createDataFrame(
+        [("table scan",), ("fast merge batch",), ("big vector",)],
+        "phrase string",
+    )
+    docs = PhraseBlocklist("docs", "deny", "ok", mode="drop")(
+        Flow({"docs": raw, "deny": deny})
+    )["ok"]
     fp = docs.withColumn("fp", TXT.fingerprint("text"))
     keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     deduped = docs.join(keep, "doc_id", "left_semi")
     train = deduped.filter(F.col("doc_id") % 29 != 0)
-    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    ev = raw.filter(F.col("doc_id") % 29 == 0)
     clean = Decontaminate(
         "train", "eval", "clean", k=3, min_overlap=5, mode="drop"
     )(Flow({"train": train, "eval": ev}))["clean"]
@@ -4410,22 +4426,31 @@ def curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max) so the hash is engine-stable."""
     from strom_spark import Decontaminate, HashSplit, PhraseBlocklist
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    fp = docs.withColumn("fp", TXT.fingerprint("text"))
-    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    deduped = docs.join(keep, "doc_id", "left_semi")
-    train = deduped.filter(F.col("doc_id") % 29 != 0)
-    ev = docs.filter(F.col("doc_id") % 29 == 0)
-    clean = Decontaminate(
-        "train", "eval", "clean", k=3, min_overlap=5, mode="drop"
-    )(Flow({"train": train, "eval": ev}))["clean"]
+    raw = spread(load_table(spark, sf_dir, "documents"))
+    # Blocklist FIRST, on the raw scan: PhraseBlocklist consumes its
+    # input three times (one shingle explode per phrase length + the
+    # anti-join back), so its input must be the cheap parquet scan,
+    # not the composed dedup/decontaminate subtree (placing it after
+    # decontamination tripled the whole plan: 22 -> 64 exchanges).
+    # Matching is content-based on the SAME normalized text as the
+    # dedup fingerprint, so every copy of a blocked content blocks and
+    # the drop commutes exactly with min-id dedup — the oracle keeps
+    # its order-independent formulation (blk excluded at base).
     deny = spark.createDataFrame(
         [("table scan",), ("fast merge batch",), ("big vector",)],
         "phrase string",
     )
-    clean = PhraseBlocklist("docs", "deny", "ok", mode="drop")(
-        Flow({"docs": clean, "deny": deny})
+    docs = PhraseBlocklist("docs", "deny", "ok", mode="drop")(
+        Flow({"docs": raw, "deny": deny})
     )["ok"]
+    fp = docs.withColumn("fp", TXT.fingerprint("text"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    deduped = docs.join(keep, "doc_id", "left_semi")
+    train = deduped.filter(F.col("doc_id") % 29 != 0)
+    ev = raw.filter(F.col("doc_id") % 29 == 0)
+    clean = Decontaminate(
+        "train", "eval", "clean", k=3, min_overlap=5, mode="drop"
+    )(Flow({"train": train, "eval": ev}))["clean"]
     gated = (
         clean.select(
             "doc_id",

@@ -1084,6 +1084,17 @@ class PhraseBlocklist(Component):
     doc set away.  Reference analog: none (training-data superset,
     sibling of :class:`Decontaminate` — same inverted-match shape
     with a curated list standing in for the eval corpus).
+
+    ADAPTIVE lowering: when the phrase table is small enough to be
+    driver-known (``<= max_inline`` phrases, the typical curated
+    blocklist), matching compiles to a pure Column predicate chain
+    over the normalized text — ZERO extra scans, zero shuffle, and
+    STREAM-legal, which also keeps composed pipelines narrow (the
+    join lowering scans its input per distinct phrase length, which
+    multiplies through a composed subtree).  Larger tables use the
+    shingle-join lowering above.  Set ``max_inline=0`` to force the
+    join path (the registered query does, so the oracle certifies
+    the inverted lowering, not the predicate chain).
     """
 
     def __init__(
@@ -1096,10 +1107,13 @@ class PhraseBlocklist(Component):
         text_col: str = "text",
         phrase_col: str = "phrase",
         mode: str = "flag",
+        max_inline: int = 64,
         label: str | None = None,
     ):
         if mode not in ("flag", "drop"):
             raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+        if max_inline < 0:
+            raise ValueError("max_inline must be >= 0")
         self.docs = docs
         self.phrases = phrases
         self.output = output
@@ -1107,6 +1121,7 @@ class PhraseBlocklist(Component):
         self.text_col = text_col
         self.phrase_col = phrase_col
         self.mode = mode
+        self.max_inline = int(max_inline)
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
@@ -1117,6 +1132,34 @@ class PhraseBlocklist(Component):
         require_batch(
             phrases, "PhraseBlocklist", "phrase lengths drive the plan"
         )
+        if self.max_inline > 0:
+            inline = [
+                r[0]
+                for r in phrases.select(
+                    TXT.normalize(self.phrase_col).alias("__p")
+                )
+                .filter(F.length("__p") > 0)
+                .distinct()
+                .limit(self.max_inline + 1)
+                .collect()
+            ]
+            if len(inline) <= self.max_inline:
+                padded = F.concat(
+                    F.lit(" "), TXT.normalize(self.text_col), F.lit(" ")
+                )
+                matched = [
+                    padded.contains(f" {p} ").cast("int") for p in sorted(inline)
+                ]
+                n_hits = sum(matched[1:], matched[0]) if matched else F.lit(0)
+                if self.mode == "drop":
+                    out = docs.filter(n_hits == 0)
+                else:
+                    out = docs.withColumn(
+                        "n_blocklisted", n_hits.cast("bigint")
+                    ).withColumn("blocked", F.col("n_blocklisted") > 0)
+                return flow.without(self.docs, self.phrases).with_stream(
+                    self.output, out
+                )
         require_batch(
             docs, "PhraseBlocklist", "per-doc match counts re-aggregate"
         )

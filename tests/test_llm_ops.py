@@ -950,5 +950,17 @@ def test_phrase_blocklist_word_boundary_semantics(spark):
     )["o"]
     assert sorted(r.doc_id for r in kept.collect()) == [2, 4]
 
+    # the inline predicate lowering (small driver-known list) and the
+    # shingle-join lowering (max_inline=0) must agree exactly
+    joined = {
+        r.doc_id: (r.n_blocklisted, r.blocked)
+        for r in PhraseBlocklist("d", "p", "o", max_inline=0)(
+            Flow({"d": docs, "p": deny})
+        )["o"].collect()
+    }
+    assert joined == out
+
     with pytest.raises(ValueError, match="mode"):
         PhraseBlocklist("d", "p", "o", mode="scan")
+    with pytest.raises(ValueError, match="max_inline"):
+        PhraseBlocklist("d", "p", "o", max_inline=-1)

@@ -392,9 +392,15 @@ def test_streaming_mixture_sample_matches_batch(spark, sf_dir):
         with pytest.raises(TypeError, match="LineDedup is batch-only"):
             LineDedup("docs")(Flow({"docs": stream}))
         deny = spark.createDataFrame([("x y",)], "phrase string")
+        # small driver-known blocklists compile to pure predicates and
+        # are STREAM-legal; forcing the join lowering must still raise
+        flagged = PhraseBlocklist("docs", "p", "o")(
+            Flow({"docs": stream, "p": deny})
+        )["o"]
+        assert flagged.isStreaming
         with pytest.raises(TypeError, match="PhraseBlocklist is batch-only"):
-            PhraseBlocklist("docs", "p", "o")(
-                Flow({"docs": stream, "p": deny})
+            PhraseBlocklist("docs", "p", "o", max_inline=0)(
+                Flow({"docs": _read_stream(spark, d), "p": deny})
             )
     finally:
         shutil.rmtree(d, ignore_errors=True)
