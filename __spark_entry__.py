@@ -4260,30 +4260,14 @@ def curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization anywhere.  min/max rep_ratio are identical IEEE
     divisions on both engines (order-independent); total_pii is an
     integer sum."""
-    from strom_spark import Decontaminate, HashSplit, PhraseBlocklist
+    from strom_spark import Decontaminate, HashSplit
 
-    raw = spread(load_table(spark, sf_dir, "documents"))
-    # Blocklist FIRST, on the raw scan: PhraseBlocklist consumes its
-    # input three times (one shingle explode per phrase length + the
-    # anti-join back), so its input must be the cheap parquet scan,
-    # not the composed dedup/decontaminate subtree (placing it after
-    # decontamination tripled the whole plan: 22 -> 64 exchanges).
-    # Matching is content-based on the SAME normalized text as the
-    # dedup fingerprint, so every copy of a blocked content blocks and
-    # the drop commutes exactly with min-id dedup — the oracle keeps
-    # its order-independent formulation (blk excluded at base).
-    deny = spark.createDataFrame(
-        [("table scan",), ("fast merge batch",), ("big vector",)],
-        "phrase string",
-    )
-    docs = PhraseBlocklist("docs", "deny", "ok", mode="drop")(
-        Flow({"docs": raw, "deny": deny})
-    )["ok"]
+    docs = spread(load_table(spark, sf_dir, "documents"))
     fp = docs.withColumn("fp", TXT.fingerprint("text"))
     keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     deduped = docs.join(keep, "doc_id", "left_semi")
     train = deduped.filter(F.col("doc_id") % 29 != 0)
-    ev = raw.filter(F.col("doc_id") % 29 == 0)
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
     clean = Decontaminate(
         "train", "eval", "clean", k=3, min_overlap=5, mode="drop"
     )(Flow({"train": train, "eval": ev}))["clean"]
