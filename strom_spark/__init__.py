@@ -12,7 +12,7 @@ from .flow import Flow, as_flow
 from .component import Component, Pipeline
 from .session import get_spark
 from .io import load_table, load_flow, spread, TABLES
-from .scale import compact_write, salted_join, write_bucketed
+from .scale import compact_write, salted_join, write_bucketed, zorder_key
 from .sources.source import IOGets, Source, SourceOrigin, Read, ReadLines, ReadStream
 from .sources.sink import Sink, SinkOrigin, Write, Console, Null, Memory
 from .operators.transformer import (
@@ -150,6 +150,7 @@ __all__ = [
     "MixtureSample",
     "TemperatureMix",
     "compact_write",
+    "zorder_key",
     "MediaFeatures",
     "MediaResize",
     "FrameSample",

@@ -139,3 +139,39 @@ def compact_write(
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     return n_files
+
+
+def zorder_key(cols: Sequence, bits: int = 16):
+    """Z-ORDER (Morton) interleave of two or more non-negative integer
+    columns — the multi-column clustering key for :func:`compact_write`
+    ``sort_by``: sorting by the interleaved key keeps rows that are
+    close in EVERY dimension inside the same parquet row group, so
+    range predicates on ANY of the columns prune row groups via their
+    min/max stats (sorting by one column alone leaves the others
+    spanning their full domain in every row group — verified against
+    real footers in tests/test_scale_utils.py).
+
+    Callers supply columns already normalized to ``[0, 2**bits)`` —
+    days-since-epoch, bucketed ids, quantized measures; values beyond
+    ``bits`` low bits are masked (high bits ignored), which degrades
+    clustering, not correctness.  Pure Column arithmetic (codegen);
+    the key is deterministic, so layouts replay identically.
+    """
+    if bits < 1 or bits * 1 > 62:
+        raise ValueError("bits must be in [1, 62]")
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs at least two columns")
+    if bits * n > 62:
+        raise ValueError(f"{n} columns x {bits} bits exceeds a bigint key")
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lc = c.cast("long")
+        for b in range(bits):
+            bit = F.when(
+                lc.bitwiseAND(F.lit(1 << b)) != 0,
+                F.lit(1 << (b * n + i)),
+            ).otherwise(F.lit(0))
+            key = key + bit
+    return key

@@ -258,3 +258,66 @@ def test_compact_write_sort_by_tightens_row_group_stats(spark, sf_dir, tmp_path)
     # sorted row groups cover disjoint slices; unsorted ones each span
     # ~the whole domain
     assert s_sorted < 0.25 * s_unsorted
+
+
+def test_zorder_key_clusters_both_dimensions(spark, tmp_path):
+    """zorder_key: sorting by the Morton interleave keeps BOTH columns'
+    per-row-group min/max spans bounded, where a single-column sort
+    leaves the other column spanning ~its whole domain in every row
+    group — real footers via pyarrow."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from strom_spark import compact_write, zorder_key
+
+    df = spark.range(40_000).select(
+        (F.xxhash64("id") % 1024).cast("long").alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 1024).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    ).withColumn("x", F.abs("x")).withColumn("y", F.abs("y"))
+
+    def spans(path, col):
+        total, groups = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += st.max - st.min
+                groups += 1
+        return total, groups
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(16 * 1024))
+    try:
+        d_z = str(tmp_path / "zorder")
+        d_x = str(tmp_path / "xsort")
+        z = df.withColumn("zk", zorder_key(["x", "y"], bits=10))
+        compact_write(z, d_z, target_file_bytes=1024**3, sort_by=["zk"])
+        compact_write(df, d_x, target_file_bytes=1024**3, sort_by=["x"])
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+    zx, gz = spans(d_z, "x")
+    zy, _ = spans(d_z, "y")
+    xx, gx = spans(d_x, "x")
+    xy, _ = spans(d_x, "y")
+    assert gz > 4 and gx > 4
+    # x-sort: tight x, but y spans ~the whole domain per row group
+    assert xx < 0.25 * xy
+    # z-order: BOTH dimensions bounded — y dramatically tighter than
+    # the x-sort's y, while x stays far below full-domain-every-group
+    assert zy < 0.5 * xy
+    assert zx < 0.5 * xy
+
+    with pytest.raises(ValueError, match="two columns"):
+        zorder_key(["x"])
+    with pytest.raises(ValueError, match="bigint"):
+        zorder_key(["x", "y", "payload"], bits=21)
