@@ -2208,7 +2208,7 @@ b AS (
   SELECT d.source,
     ('0x' || substring(md5('tmix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS bucket,
     r.thresh
-  FROM documents d JOIN r USING (source)
+  FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
 )
 SELECT source, COUNT(*) AS n_kept
 FROM b WHERE bucket < thresh
@@ -4750,14 +4750,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # order as the tie-break.
 
 
-def _row_green(row: dict) -> bool:
+def _row_green(name: str, row: dict) -> bool:
     """A driver row counts as 'signed' only when it is its best
-    possible outcome: hash-matched for oracle-backed queries, or a
-    successful rows-only run (err == 'no_oracle') for queries that
-    deliberately register no SQL oracle."""
+    possible outcome TODAY: hash-matched for queries that currently
+    register a SQL oracle, or a successful rows-only run
+    (err == 'no_oracle') for queries that deliberately register none.
+
+    The oracle check is against the CURRENT registry, not the round
+    the row was recorded: a query that gained (or changed) its oracle
+    after an old rows-only signature must sort as never-signed, so it
+    re-enters the export window and gets driver-checked under the
+    real oracle (this is how approx_distinct_users sat unsampled for
+    two rounds after its r4 oracle fix)."""
     err = row.get("err")
     if err == "no_oracle":
-        return row.get("spark_rows") is not None
+        return name not in _ORACLES and row.get("spark_rows") is not None
     if err:
         return False
     return (
@@ -4785,7 +4792,7 @@ def _export_order() -> list[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and _row_green(row):
+            if isinstance(row, dict) and _row_green(name, row):
                 last_signed[name] = max(last_signed.get(name, 0), rnd)
     names = list(_QUERIES)
     reg_pos = {n: i for i, n in enumerate(names)}

@@ -1151,6 +1151,11 @@ class PhraseBlocklist(Component):
                     padded.contains(f" {p} ").cast("int") for p in sorted(inline)
                 ]
                 n_hits = sum(matched[1:], matched[0]) if matched else F.lit(0)
+                # NULL text: contains() propagates NULL, which would
+                # make drop mode silently DELETE null-text docs while
+                # the join lowering keeps them (0 hits).  Coalesce so
+                # both lowerings agree: null text ⇒ 0 hits, kept.
+                n_hits = F.coalesce(n_hits, F.lit(0))
                 if self.mode == "drop":
                     out = docs.filter(n_hits == 0)
                 else:

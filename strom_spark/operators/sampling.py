@@ -304,10 +304,15 @@ class TemperatureMix(Component):
             )
             .select(self.group_col, "__thresh")
         )
+        # NULL-safe join: groupBy above already counts NULL as its own
+        # group, so a plain equi-join would silently DROP NULL-group
+        # rows (alpha=1 would not be the identity for them, unlike
+        # MixtureSample's CASE-threshold).  eqNullSafe routes them to
+        # their own group's rate instead.
+        r = rates.withColumnRenamed(self.group_col, "__g")
         out = (
-            df.join(rates, self.group_col)
+            df.join(r, F.col(self.group_col).eqNullSafe(F.col("__g")))
             .filter(bucket_of(self.key_col, self.salt) < F.col("__thresh"))
-            .drop("__thresh")
             .select(*df.columns)
         )
         return flow.without(self.input).with_stream(self.output, out)

@@ -18,6 +18,7 @@ AQE does automatically:
 
 from __future__ import annotations
 
+import warnings
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -121,13 +122,33 @@ def compact_write(
     est_bytes = int(
         jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
+    # Plans without estimates (LogicalRDD from createDataFrame, some
+    # streaming sinks) report the unknown-stats sentinel
+    # (spark.sql.defaultSizeInBytes = Long.MaxValue); dividing that by
+    # the target would ask for ~1.7e10 files.  Fall back to the
+    # current partition count — compacting an estimate-less frame is
+    # a no-op by file count, which is the safe direction.
+    sentinel = int(
+        df.sparkSession.conf.get(
+            "spark.sql.defaultSizeInBytes", str(2**63 - 1)
+        )
+    )
+    if est_bytes >= sentinel:
+        n_files = max(1, df.rdd.getNumPartitions())
+        warnings.warn(
+            "compact_write: no size estimate for this plan "
+            "(non-file-scan lineage); keeping "
+            f"{n_files} files instead of sizing to target_file_bytes",
+            stacklevel=2,
+        )
+    else:
+        n_files = max(1, -(-est_bytes // target_file_bytes))
     # For a bare scan, Catalyst's sizeInBytes IS the on-disk file size
     # (fileCompressionFactor defaults to 1.0), so the estimate maps to
     # output bytes ~1:1 when re-writing with the same codec; derived
     # plans inflate it (row-width products), which only errs toward
     # MORE files of smaller size — the benign direction for split
     # planning.
-    n_files = max(1, -(-est_bytes // target_file_bytes))
     if partition_by:
         out = df.repartition(n_files, *[F.col(c) for c in partition_by])
     else:
@@ -157,7 +178,7 @@ def zorder_key(cols: Sequence, bits: int = 16):
     clustering, not correctness.  Pure Column arithmetic (codegen);
     the key is deterministic, so layouts replay identically.
     """
-    if bits < 1 or bits * 1 > 62:
+    if not 1 <= bits <= 62:
         raise ValueError("bits must be in [1, 62]")
     cols = [F.col(c) if isinstance(c, str) else c for c in cols]
     n = len(cols)

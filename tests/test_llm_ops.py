@@ -911,6 +911,24 @@ def test_temperature_mix_flattens_toward_small_groups(spark):
     with pytest.raises(ValueError, match="alpha"):
         TemperatureMix("d", key_col="doc_id", group_col="source", alpha=1.5)
 
+    # NULL group: treated as its own group (null-safe join), so
+    # alpha=1 is the identity for NULL-group rows too — they are not
+    # silently dropped by the rates join.
+    with_null = df.union(
+        spark.createDataFrame(
+            [(30_000 + i, None) for i in range(50)],
+            "doc_id bigint, source string",
+        )
+    )
+    ident = TemperatureMix(
+        "d", key_col="doc_id", group_col="source", alpha=1.0
+    )(Flow({"d": with_null}))["d"]
+    by_group = {
+        r.source: r.n
+        for r in ident.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_group == {"big": 6400, "mid": 1600, "small": 100, None: 50}
+
 
 def test_phrase_blocklist_word_boundary_semantics(spark):
     """PhraseBlocklist: whole-word-sequence matching on normalized
@@ -926,6 +944,7 @@ def test_phrase_blocklist_word_boundary_semantics(spark):
             (3, "the winner takes it all"),
             (4, "winner takes nothing"),  # partial phrase: no hit
             (5, "click here to unsubscribe and the winner takes it"),
+            (6, None),  # NULL text: 0 hits, kept — both lowerings
         ],
         "doc_id bigint, text string",
     )
@@ -944,11 +963,12 @@ def test_phrase_blocklist_word_boundary_semantics(spark):
     assert out[3] == (1, True)
     assert out[4] == (0, False)
     assert out[5] == (2, True)
+    assert out[6] == (0, False)  # NULL text must not flag (nor NULL out)
 
     kept = PhraseBlocklist("d", "p", "o", mode="drop")(
         Flow({"d": docs, "p": deny})
     )["o"]
-    assert sorted(r.doc_id for r in kept.collect()) == [2, 4]
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 4, 6]
 
     # the inline predicate lowering (small driver-known list) and the
     # shingle-join lowering (max_inline=0) must agree exactly

@@ -203,6 +203,31 @@ def test_compact_write_targets_file_size(spark, sf_dir, tmp_path):
         compact_write(li, d2, target_file_bytes=0)
 
 
+def test_compact_write_survives_unknown_size_estimate(spark, tmp_path):
+    """compact_write on a plan with NO Catalyst size estimate (a
+    LogicalRDD from createDataFrame reports the Long.MaxValue
+    unknown-stats sentinel): must not ask for ~1.7e10 files — it
+    falls back to the input partition count with a warning and still
+    writes correctly."""
+    import os
+    import warnings as _w
+
+    from strom_spark import compact_write
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1000)], "id bigint, v string"
+    ).repartition(3)
+    d = str(tmp_path / "compact_sentinel")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        n = compact_write(df, d, target_file_bytes=512 * 1024 * 1024)
+    assert n == 3  # fell back to current partition count
+    assert any("no size estimate" in str(w.message) for w in rec)
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) == n
+    assert spark.read.parquet(d).count() == 1000
+
+
 def test_compact_write_sort_by_tightens_row_group_stats(spark, sf_dir, tmp_path):
     """sort_by clusters rows so parquet row-group min/max ranges are
     near-disjoint — REAL footers via pyarrow, not plan text: the
