@@ -354,6 +354,42 @@ def main() -> None:
         == results["ops"]["line_dedup_1x"]["state_bound"]
     ), "distinct-line state must not grow with corpus copies"
 
+    # Winnow posting-size histogram: the overlap self-join's cost is
+    # sum(docs_per_fp²) over fingerprints under the hot-fp cap —
+    # data-dependent, so after every testdata regeneration this probe
+    # tells whether a wall-time change is the DATA (fatter postings)
+    # or the ENGINE.  Run on the real sf0.1 documents (not the
+    # duplicated corpus: duplication saturates every posting at the
+    # cap and measures nothing).
+    from strom_spark.operators.dedup import WinnowFingerprints
+
+    fps = WinnowFingerprints("docs", "fps", k=3, window=4)(
+        Flow({"docs": docs})
+    )["fps"]
+    h = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_fps"),
+            F.sum("n").alias("n_postings"),
+            F.max("n").alias("max_docs_per_fp"),
+            F.expr(
+                "percentile_approx(n, array(0.5, 0.9, 0.99, 0.999), 10000)"
+            ).alias("pcts"),
+            F.sum(
+                F.when(F.col("n") <= 50, F.col("n") * F.col("n")).otherwise(0)
+            ).alias("join_work_cap50"),
+            F.sum(F.col("n") * F.col("n")).alias("join_work_uncapped"),
+            F.sum(F.when(F.col("n") > 50, 1).otherwise(0)).alias("fps_over_cap"),
+        )
+        .collect()[0]
+    )
+    results["ops"]["winnow_posting_histogram"] = {
+        k: (list(v) if isinstance(v, list) else v)
+        for k, v in h.asDict().items()
+    }
+
     print(json.dumps(results))
     spark.stop()
 
