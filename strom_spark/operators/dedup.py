@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -867,6 +868,19 @@ class Decontaminate(Component):
     tiny, but "usually" is not a bound) — AQE broadcasts it when
     runtime stats allow.  At 100 TB the train side shuffles once on
     the shingle key and once on the doc id, both high-cardinality.
+
+    STREAMING: a streaming TRAIN side lowers to a narrow per-row
+    filter instead — the contamination decision is row-local once
+    eval-shingle membership is known (a doc's count of distinct
+    shingles hitting the eval set needs no cross-doc state), so the
+    DISTINCT eval shingle set (eval must be batch; bounded by
+    ``max_broadcast_shingles``) is collected once, broadcast, and an
+    Arrow-batched pandas UDF counts membership over each doc's
+    shingle array.  Zero shuffle, zero streaming state — every
+    delivery mode Structured Streaming has is legal.  The shingle
+    array itself is built by the SAME Column expressions as the batch
+    postings, so the two lowerings agree exactly
+    (differentially tested in tests/test_streaming.py).
     """
 
     def __init__(
@@ -881,12 +895,15 @@ class Decontaminate(Component):
         k: int = 3,
         min_overlap: int = 1,
         mode: str = "flag",
+        max_broadcast_shingles: int = 1_000_000,
         label: str | None = None,
     ):
         if mode not in ("flag", "drop"):
             raise ValueError("mode must be 'flag' or 'drop'")
         if min_overlap < 1:
             raise ValueError("min_overlap must be >= 1")
+        if max_broadcast_shingles < 1:
+            raise ValueError("max_broadcast_shingles must be >= 1")
         self.train, self.eval, self.output = train, eval, output
         self.id_col = id_col
         self.text_col = text_col
@@ -894,7 +911,83 @@ class Decontaminate(Component):
         self.k = int(k)
         self.min_overlap = int(min_overlap)
         self.mode = mode
+        self.max_broadcast_shingles = int(max_broadcast_shingles)
         self.label = label
+
+    def _eval_grams(self, ev: DataFrame) -> DataFrame:
+        ev_slim = _spread(ev.select(F.col(self.eval_text_col).alias("__text")))
+        ev_toks = ev_slim.select(TXT.tokens("__text").alias("__toks"))
+        return (
+            ev_toks.select(
+                F.explode(
+                    TXT.shingles_of_tokens(F.col("__toks"), self.k)
+                ).alias("shingle")
+            )
+            .distinct()
+        )
+
+    def _transform_streaming(self, flow: Flow, train: DataFrame, ev: DataFrame) -> Flow:
+        from ..component import require_batch
+
+        require_batch(
+            ev,
+            "Decontaminate (eval side)",
+            "the broadcast membership set is the full distinct eval "
+            "shingle vocabulary",
+        )
+        shingles = [
+            r[0]
+            for r in self._eval_grams(ev)
+            .limit(self.max_broadcast_shingles + 1)
+            .collect()
+        ]
+        if len(shingles) > self.max_broadcast_shingles:
+            raise ValueError(
+                "Decontaminate: eval shingle set exceeds "
+                f"max_broadcast_shingles={self.max_broadcast_shingles}; "
+                "raise the bound or run the batch join lowering per "
+                "micro-batch via foreachBatch"
+            )
+        bset = train.sparkSession.sparkContext.broadcast(frozenset(shingles))
+        min_overlap = self.min_overlap
+
+        @F.pandas_udf("long")
+        def _n_in_eval(arrs: pd.Series) -> pd.Series:
+            s = bset.value
+            return arrs.apply(
+                lambda a: 0 if a is None else sum(1 for g in a if g in s)
+            )
+
+        # bind the token array to a real column before shingling (HOF
+        # lambdas re-evaluate derived subtrees per element — see
+        # shingles_of_tokens's docstring); shingles_of_tokens is
+        # already distinct, matching the batch postings' unit set
+        scored = (
+            train.withColumn("__toks", TXT.tokens(self.text_col))
+            .withColumn(
+                "__n_raw",
+                _n_in_eval(TXT.shingles_of_tokens(F.col("__toks"), self.k)),
+            )
+            .withColumn(
+                # batch parity: the join lowering filters the overlap
+                # agg to >= min_overlap BEFORE the left join, so
+                # sub-threshold counts surface as 0 there — mirror that
+                "n_contaminated",
+                F.when(F.col("__n_raw") >= min_overlap, F.col("__n_raw"))
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
+            .drop("__toks", "__n_raw")
+        )
+        if self.mode == "drop":
+            out = scored.filter(
+                F.col("n_contaminated") < min_overlap
+            ).drop("n_contaminated")
+        else:
+            out = scored.withColumn(
+                "contaminated", F.col("n_contaminated") >= min_overlap
+            )
+        return flow.without(self.train, self.eval).with_stream(self.output, out)
 
     def transform(self, flow: Flow) -> Flow:
         train, ev = flow[self.train], flow[self.eval]
@@ -904,17 +997,10 @@ class Decontaminate(Component):
                     f"Decontaminate: train column {reserved!r} clashes with an "
                     "output column — rename it first"
                 )
+        if train.isStreaming:
+            return self._transform_streaming(flow, train, ev)
         postings = _shingle_postings(train, self.id_col, self.text_col, self.k)
-        ev_slim = _spread(ev.select(F.col(self.eval_text_col).alias("__text")))
-        ev_toks = ev_slim.select(TXT.tokens("__text").alias("__toks"))
-        ev_grams = (
-            ev_toks.select(
-                F.explode(
-                    TXT.shingles_of_tokens(F.col("__toks"), self.k)
-                ).alias("shingle")
-            )
-            .distinct()
-        )
+        ev_grams = self._eval_grams(ev)
         overlap = (
             postings.join(ev_grams, "shingle")
             .groupBy("id")

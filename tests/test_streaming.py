@@ -404,3 +404,75 @@ def test_streaming_mixture_sample_matches_batch(spark, sf_dir):
             )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_decontaminate_matches_batch(spark, sf_dir):
+    """Streaming Decontaminate: the contamination decision is row-local
+    once eval-shingle membership is broadcast, so the streaming
+    lowering (narrow pandas-UDF membership count, zero shuffle, zero
+    state) must drain availableNow to EXACTLY the batch join
+    lowering's result — flag columns AND drop kept-set — including
+    the batch quirk that sub-threshold counts surface as 0."""
+    import shutil
+    import tempfile
+
+    from strom_spark import Decontaminate, Flow, load_table
+
+    d = tempfile.mkdtemp(prefix="strom_decon_stream_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.write.mode("overwrite").parquet(d)
+        # eval corpus: 20 real docs (guaranteed overlap) + one novel
+        ev = (
+            docs.filter(F.col("doc_id") % 25 == 0)
+            .select("text")
+            .union(spark.createDataFrame([("zz qq vv ww xx yy",)], "text string"))
+        )
+
+        def decon(df, mode):
+            return Decontaminate(
+                "train", "eval", "o", k=3, min_overlap=3, mode=mode
+            )(Flow({"train": df, "eval": ev}))["o"]
+
+        out = decon(_read_stream(spark, d), "flag")
+        assert out.isStreaming
+        run_available(out, query_name="t_stream_decon")
+        got = sorted(
+            (r.doc_id, r.n_contaminated, r.contaminated)
+            for r in spark.sql(
+                "SELECT doc_id, n_contaminated, contaminated FROM t_stream_decon"
+            ).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.n_contaminated, r.contaminated)
+            for r in decon(spark.read.parquet(d), "flag").collect()
+        )
+        assert got == want and len(want) > 0
+        assert any(c for (_, _, c) in want)  # the overlap docs flag
+        assert any(not c for (_, _, c) in want)
+
+        out_drop = decon(_read_stream(spark, d), "drop")
+        assert out_drop.isStreaming
+        run_available(out_drop, query_name="t_stream_decon_drop")
+        got_kept = sorted(
+            r.doc_id
+            for r in spark.sql("SELECT doc_id FROM t_stream_decon_drop").collect()
+        )
+        want_kept = sorted(
+            r.doc_id for r in decon(spark.read.parquet(d), "drop").collect()
+        )
+        assert got_kept == want_kept and 0 < len(want_kept) < docs.count()
+
+        # eval side must be batch (it IS the broadcast membership set)
+        with pytest.raises(TypeError, match="Decontaminate \\(eval side\\)"):
+            Decontaminate("train", "eval", "o")(
+                Flow({"train": _read_stream(spark, d), "eval": _read_stream(spark, d)})
+            )
+        # bounded driver materialization: a too-large eval vocabulary
+        # refuses loudly instead of OOMing the driver
+        with pytest.raises(ValueError, match="max_broadcast_shingles"):
+            Decontaminate(
+                "train", "eval", "o", max_broadcast_shingles=5
+            )(Flow({"train": _read_stream(spark, d), "eval": ev}))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
