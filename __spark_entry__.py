@@ -23,6 +23,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1035,6 +1037,119 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     flow = Flow({"assets": assets})
     out = MediaFeatures("assets", "features")(flow)["features"]
     return out.select("asset_id", "media_type", "n_bytes", "content_hash")
+
+
+@_q(
+    "audio_features",
+    """
+SELECT doc_id AS asset_id,
+  1.0 AS n_channels,
+  8000.0 AS sample_rate,
+  CAST(160 + (doc_id % 50) * 2 AS DOUBLE) AS n_frames,
+  CAST(160 + (doc_id % 50) * 2 AS DOUBLE) / 8.0 AS duration_ms,
+  CAST(1000 + (doc_id % 20) * 100 AS DOUBLE) AS peak_abs,
+  0.0 AS mean_amp,
+  CAST(1000 + (doc_id % 20) * 100 AS DOUBLE) AS rms,
+  CAST(160 + (doc_id % 50) * 2 - 1 AS DOUBLE) AS zero_crossings
+FROM documents
+""",
+)
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (operators/multimodal.py
+    wav_decode — stdlib ``wave``+``struct``, no native codecs): one
+    synthetic square-wave PCM-16 WAV per document id is generated
+    executor-side (wav_synth), decoded through the MediaFeatures
+    mapInPandas pipeline, and every decoded feature — channel count,
+    sample rate, frame count, duration, peak, mean, RMS, zero
+    crossings — is hash-checked against its CLOSED-FORM value in the
+    oracle (the square wave makes them all exact: see wav_synth's
+    docstring).  A header-parse or PCM-unpack regression flips the
+    row red.  Fills the brief's 'multimodal columns' with a real
+    decode path, not plumbing: no reference analog."""
+    from strom_spark import wav_decode, wav_synth
+
+    @F.pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda i: wav_synth(int(i)))
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        _synth("doc_id").alias("content"),
+    )
+    out = MediaFeatures("assets", "features", decode_fn=wav_decode)(
+        Flow({"assets": assets})
+    )["features"]
+    f = F.col("feat")
+    return out.select(
+        "asset_id",
+        F.element_at(f, 1).alias("n_channels"),
+        F.element_at(f, 2).alias("sample_rate"),
+        F.element_at(f, 3).alias("n_frames"),
+        F.element_at(f, 4).alias("duration_ms"),
+        F.element_at(f, 5).alias("peak_abs"),
+        F.element_at(f, 6).alias("mean_amp"),
+        F.element_at(f, 7).alias("rms"),
+        F.element_at(f, 8).alias("zero_crossings"),
+    )
+
+
+@_q(
+    "bmp_features",
+    """
+SELECT doc_id AS asset_id,
+  CAST(5 + (doc_id % 6) AS DOUBLE) AS width,
+  CAST(3 + (doc_id % 4) AS DOUBLE) AS height,
+  CAST((5 + (doc_id % 6)) * (3 + (doc_id % 4)) AS DOUBLE) AS n_pixels,
+  CAST(5 + (doc_id % 6) - 1 AS DOUBLE) / 2.0 AS mean_r,
+  CAST(doc_id % 256 AS DOUBLE) AS mean_g,
+  CAST(3 + (doc_id % 4) - 1 AS DOUBLE) / 2.0 AS mean_b,
+  0.587 * CAST(doc_id % 256 AS DOUBLE) AS topleft_luma,
+  0.299 * (CAST(5 + (doc_id % 6) - 1 AS DOUBLE) / 2.0)
+    + 0.587 * CAST(doc_id % 256 AS DOUBLE)
+    + 0.114 * (CAST(3 + (doc_id % 4) - 1 AS DOUBLE) / 2.0) AS mean_luma
+FROM documents
+""",
+)
+def bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end #2 (operators/multimodal.py
+    bmp_decode — stdlib ``struct``, no native codecs): one synthetic
+    24-bit BI_RGB BMP per document id, generated executor-side
+    (bmp_synth) with per-axis gradients, decoded through the same
+    MediaFeatures mapInPandas pipeline as audio/PPM, every feature
+    hash-checked against its closed form.  The BMP quirks are the
+    point: ``topleft_luma`` goes red if the decoder forgets the
+    bottom-up row flip, and widths of 5..10 make most rows carry
+    4-byte stride padding, so an off-by-stride parse corrupts the
+    channel means.  No reference analog (training-data superset)."""
+    from strom_spark import bmp_decode, bmp_synth
+
+    @F.pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda i: bmp_synth(int(i)))
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        _synth("doc_id").alias("content"),
+    )
+    out = MediaFeatures("assets", "features", decode_fn=bmp_decode)(
+        Flow({"assets": assets})
+    )["features"]
+    f = F.col("feat")
+    return out.select(
+        "asset_id",
+        F.element_at(f, 1).alias("width"),
+        F.element_at(f, 2).alias("height"),
+        F.element_at(f, 3).alias("n_pixels"),
+        F.element_at(f, 4).alias("mean_r"),
+        F.element_at(f, 5).alias("mean_g"),
+        F.element_at(f, 6).alias("mean_b"),
+        F.element_at(f, 7).alias("topleft_luma"),
+        F.element_at(f, 8).alias("mean_luma"),
+    )
 
 
 # --------------------------------------------------------------------------

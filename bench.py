@@ -104,6 +104,10 @@ HEADLINE = [
     "temperature_mix_counts",
     # round 5: banned-phrase compliance filtering — TOTAL covers 48
     "blocklist_flag_docs",
+    # round 6: real stdlib media decodes (WAV + BMP synth→decode
+    # through the mapInPandas pipeline) — TOTAL covers 50 from here
+    "audio_features",
+    "bmp_features",
 ]
 
 

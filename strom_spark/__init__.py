@@ -60,11 +60,14 @@ from .operators.multimodal import (
     FrameSample,
     MediaFeatures,
     MediaResize,
+    bmp_decode,
+    bmp_synth,
     ppm_decode,
     ppm_parse,
     ppm_resize,
     synthetic_assets,
     wav_decode,
+    wav_synth,
 )
 
 __all__ = [
@@ -158,6 +161,9 @@ __all__ = [
     "ppm_parse",
     "synthetic_assets",
     "wav_decode",
+    "wav_synth",
+    "bmp_decode",
+    "bmp_synth",
     "ppm_decode",
 ]
 

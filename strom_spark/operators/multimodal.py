@@ -479,6 +479,140 @@ class FrameSample(Component):
         return (self.output,)
 
 
+def bmp_decode(content: bytes, media_type: str = "image") -> list[float]:
+    """REAL decoder for 24-bit uncompressed BMP (BI_RGB) — stdlib-only
+    (``struct``).  Parses the BITMAPFILEHEADER/BITMAPINFOHEADER, honors
+    the bottom-up row order and the 4-byte row stride padding, and
+    returns 8 deterministic image features:
+
+    [width, height, n_pixels, mean_r, mean_g, mean_b,
+     topleft_luma, mean_luma]
+
+    ``topleft_luma`` is the luma of the LOGICAL top-left pixel — BMP
+    stores rows bottom-up, so this feature certifies the row flip (a
+    decoder that forgets it reads the bottom-left pixel there); the
+    stride padding is certified by any width not divisible by 4.
+    Raises on other bit depths / compressions — pass a real decode_fn
+    (PIL) for those in production.
+    """
+    import struct
+
+    if not content or content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(content) < 54:
+        raise ValueError("truncated BMP header")
+    (pixel_offset,) = struct.unpack_from("<I", content, 10)
+    (hdr_size,) = struct.unpack_from("<I", content, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw, _planes, bpp, comp = struct.unpack_from("<iiHHI", content, 18)
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only 24-bit BI_RGB BMP supported (bpp={bpp}, compression={comp})"
+        )
+    bottom_up = h_raw > 0
+    h = abs(h_raw)
+    if w <= 0 or h == 0:
+        raise ValueError(f"degenerate BMP dimensions {w}x{h_raw}")
+    stride = (w * 3 + 3) & ~3
+    if len(content) < pixel_offset + stride * h:
+        raise ValueError("truncated BMP raster")
+    sr = sg = sb = 0
+    tl = (0, 0, 0)
+    for y_out in range(h):  # logical top-to-bottom
+        y_src = (h - 1 - y_out) if bottom_up else y_out
+        base = pixel_offset + y_src * stride
+        row = content[base : base + w * 3]
+        sb += sum(row[0::3])
+        sg += sum(row[1::3])
+        sr += sum(row[2::3])
+        if y_out == 0:
+            tl = (row[2], row[1], row[0])  # stored as B,G,R
+    n_px = w * h
+    mr, mg, mb = sr / n_px, sg / n_px, sb / n_px
+    return [
+        float(w),
+        float(h),
+        float(n_px),
+        mr,
+        mg,
+        mb,
+        0.299 * tl[0] + 0.587 * tl[1] + 0.114 * tl[2],
+        0.299 * mr + 0.587 * mg + 0.114 * mb,
+    ]
+
+
+def bmp_synth(asset_id: int) -> bytes:
+    """Deterministic 24-bit BI_RGB BMP for an id, with gradients chosen
+    so every :func:`bmp_decode` feature has an exact closed form an
+    external oracle can state without decoding:
+
+      width  = 5 + (id % 6)   (5..10 — most NOT divisible by 4, so the
+                               row stride padding is exercised)
+      height = 3 + (id % 4)
+      pixel (x, y): R = x, G = id % 256, B = y   (x, y from the
+      LOGICAL top-left; rows are stored bottom-up as the format
+      requires, so a decoder that skips the flip reads B = height-1
+      at the top-left)
+
+    ⇒ mean_r = (w-1)/2, mean_g = id % 256, mean_b = (h-1)/2,
+    topleft_luma = 0.587 * (id % 256) — all exact in IEEE doubles.
+    Used by the oracle-checked ``bmp_features`` query."""
+    import struct
+
+    w = 5 + (asset_id % 6)
+    h = 3 + (asset_id % 4)
+    g = asset_id % 256
+    pad = b"\x00" * ((-(w * 3)) % 4)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(w):
+            row += bytes((y, g, x))  # B, G, R
+        rows.append(bytes(row) + pad)
+    raster = b"".join(rows)
+    pixel_offset = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", pixel_offset + len(raster), 0, 0, pixel_offset
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return header + info + raster
+
+
+def wav_synth(asset_id: int) -> bytes:
+    """Deterministic mono PCM-16 WAV for an id — a SQUARE wave chosen
+    so every :func:`wav_decode` feature has an exact closed form an
+    external oracle can state without decoding:
+
+      nf        = 160 + (id % 50) * 2   frames (EVEN → mean is 0.0)
+      amplitude = 1000 + (id % 20) * 100, samples alternate +A, -A
+      sample_rate 8000 Hz, 1 channel
+
+    ⇒ peak_abs = rms = A (|s| is constant and sqrt(A²) is exact in
+    IEEE), mean = 0.0, zero_crossings = nf - 1, duration_ms = nf / 8
+    (exact: /8 is a power of two).  Used by the oracle-checked
+    ``audio_features`` query to certify the REAL stdlib WAV decode
+    path end-to-end."""
+    import io
+    import struct
+    import wave
+
+    nf = 160 + (asset_id % 50) * 2
+    amp = 1000 + (asset_id % 20) * 100
+    frames = struct.pack(
+        f"<{nf}h", *[amp if j % 2 == 0 else -amp for j in range(nf)]
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
 def synthetic_assets(spark, n: int = 100, seed: int = 7):
     """Deterministic synthetic asset table for tests (binary payloads
     derived from the id — no media libs involved)."""

@@ -248,6 +248,78 @@ def test_wav_decode_real_format(spark):
         assert abs(got[i][7] - expect_zc) <= 8
 
 
+def test_bmp_decode_real_format(spark):
+    """bmp_decode is a REAL decoder: parse genuine 24-bit BI_RGB BMP
+    bytes (bottom-up rows, 4-byte stride padding), check the decoded
+    features against closed forms, certify the row flip via the
+    top-left pixel, and reject malformed/unsupported payloads."""
+    import struct
+
+    from strom_spark import bmp_decode, bmp_synth
+
+    for i in (0, 3, 7, 123):
+        w, h, g = 5 + (i % 6), 3 + (i % 4), i % 256
+        feats = bmp_decode(bmp_synth(i))
+        assert feats == [
+            float(w), float(h), float(w * h),
+            (w - 1) / 2, float(g), (h - 1) / 2,
+            0.587 * g,
+            0.299 * ((w - 1) / 2) + 0.587 * g + 0.114 * ((h - 1) / 2),
+        ]
+
+    # top-down BMP (negative height) decodes with NO flip: build one by
+    # flipping the header sign and reordering rows, features identical
+    blob = bmp_synth(3)
+    w, h = 5 + 3, 3 + 3
+    stride = (w * 3 + 3) & ~3
+    rows = [blob[54 + y * stride : 54 + (y + 1) * stride] for y in range(h)]
+    topdown = (
+        blob[:22] + struct.pack("<i", -h) + blob[26:54] + b"".join(reversed(rows))
+    )
+    assert bmp_decode(topdown) == bmp_decode(blob)
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        bmp_decode(b"PNG....")
+    with pytest.raises(ValueError, match="truncated BMP header"):
+        bmp_decode(b"BM" + b"\x00" * 10)
+    with pytest.raises(ValueError, match="only 24-bit"):
+        # rewrite bpp to 8
+        bad = bytearray(bmp_synth(0))
+        struct.pack_into("<H", bad, 28, 8)
+        bmp_decode(bytes(bad))
+    with pytest.raises(ValueError, match="truncated BMP raster"):
+        bmp_decode(bmp_synth(0)[:-4])
+
+    # through the Spark pipeline, batched
+    rows = [
+        {"asset_id": i, "media_type": "image", "content": bmp_synth(i)}
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="asset_id bigint, media_type string, content binary"
+    )
+    out = MediaFeatures("a", "f", decode_fn=bmp_decode)(Flow({"a": df}))["f"]
+    got = {r.asset_id: r.feat for r in out.collect()}
+    assert len(got) == 8
+    for i in range(8):
+        assert got[i] == bmp_decode(bmp_synth(i))
+
+
+def test_wav_synth_closed_forms():
+    """wav_synth's square wave hits wav_decode's features exactly at
+    their closed forms (the contract the audio_features oracle
+    states)."""
+    from strom_spark import wav_decode, wav_synth
+
+    for i in (0, 1, 19, 49, 499):
+        nf = 160 + (i % 50) * 2
+        amp = 1000 + (i % 20) * 100
+        assert wav_decode(wav_synth(i)) == [
+            1.0, 8000.0, float(nf), nf / 8.0,
+            float(amp), 0.0, float(amp), float(nf - 1),
+        ]
+
+
 def test_winnowing_guarantee_and_edges(spark):
     """Winnowing (SIGMOD'03) guarantee: any contiguous shared span of
     >= w+k-1 tokens leaves at least one shared fingerprint.  Here
