@@ -2015,6 +2015,77 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ann_recall_floor",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST(10 AS BIGINT) AS k,
+  CAST(1 AS BIGINT) AS probe8_recall_ok,
+  CAST(1 AS BIGINT) AS full_probe_exact
+FROM embeddings WHERE vec_id < 20
+""",
+)
+def ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval QUALITY as a driver-checked flag row (the
+    determinism rows ann_ivf/knn_topk can't see a recall regression):
+
+    - ``probe8_recall_ok``: recall@10 of IVF (16 lists, probe 8) vs
+      brute-force CosineTopK ground truth must be >= 0.70.  The floor
+      is calibrated to the synthetic corpus, which is near-RANDOM
+      vectors — the IVF worst case (no cluster structure, neighbors
+      spread uniformly over lists, recall ≈ fraction of lists probed);
+      measured 0.81 at both sf0.01 and sf0.1, ~4σ above the floor
+      under regeneration (binomial sd ≈ 0.028 over 200 gt pairs).
+      Real embedding corpora cluster, which only raises recall.  The
+      full n_probe sweep lives in tools/scale_probe.py / SCALE.md.
+    - ``full_probe_exact``: n_probe == n_centroids must degrade to
+      EXACT search — zero symmetric difference against ground truth
+      on (query_id, neighbor_id, cosine, rank).
+
+    Both flags recompute per run, so the oracle's constant 1s flip
+    red on any regression in centroid training, probe assignment, or
+    the rerank join (similarity.py:133)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def queries():
+        return emb.filter(F.col("vec_id") < 20)
+
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    gt = CosineTopK("c", "q", "o", k=10)(
+        Flow({"c": emb, "q": queries()})
+    )["o"].select(*cols)
+    probe8 = IVFTopK("c", "q", "o", k=10, n_centroids=16, n_probe=8)(
+        Flow({"c": emb, "q": queries()})
+    )["o"]
+    full = IVFTopK("c", "q", "o", k=10, n_centroids=16, n_probe=16)(
+        Flow({"c": emb, "q": queries()})
+    )["o"].select(*cols)
+
+    marked = gt.join(
+        probe8.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    stats = marked.groupBy(F.lit(1).alias("__k")).agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        (
+            F.sum(F.coalesce("__hit", F.lit(0))) / F.count(F.lit(1))
+        ).alias("__recall"),
+    )
+    sym_diff = gt.exceptAll(full).unionAll(full.exceptAll(gt))
+    diff_n = sym_diff.groupBy(F.lit(1).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__n_diff")
+    )
+    return stats.join(diff_n, "__k", "left").select(
+        F.col("n_queries").cast("bigint"),
+        F.lit(10).cast("bigint").alias("k"),
+        (F.col("__recall") >= 0.70).cast("bigint").alias("probe8_recall_ok"),
+        (F.coalesce("__n_diff", F.lit(0)) == 0)
+        .cast("bigint")
+        .alias("full_probe_exact"),
+    )
+
+
+@_q(
     "approx_distinct_users",
     """
 SELECT event_type,
@@ -4062,6 +4133,77 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("excess"),
         )
+    )
+
+
+@_q(
+    "bucketed_join_revenue",
+    """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+       AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage layer proven END-TO-END, not just unit-tested
+    (scale.write_bucketed + zorder_key): lineitem and orders are
+    written as tables bucketed 8 ways ON THE JOIN KEY — lineitem
+    additionally z-order-clustered within buckets on (partkey,
+    suppkey), so row-group min/max stats stay tight for BOTH part- and
+    supplier-range scans of the same physical copy — then re-read and
+    joined.  Because both sides' bucketing matches the join key, the
+    sort-merge join requires NO Exchange: the fn ASSERTS zero Exchange
+    operators in the join's physical plan before returning, so a
+    bucketing regression flips this row red rather than silently
+    reintroducing the shuffle.  The aggregate result is hash-checked
+    against the plain-parquet oracle — identical answers off the
+    optimized layout.  This is the pre-shuffled layout a 100 TB fact
+    table should live in: the per-query shuffle of the biggest table
+    is paid ONCE at write time, every subsequent keyed join/agg rides
+    it for free.  Decimal revenue sum: exact and order-independent, so
+    Spark (bucketed) and DuckDB (flat scan) agree bit-for-bit."""
+    from strom_spark import write_bucketed, zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "zkey", zorder_key(["l_partkey", "l_suppkey"], bits=16)
+    )
+    write_bucketed(
+        li, "strom_li_bucketed",
+        bucket_by=["l_orderkey"], num_buckets=8, sort_by=["zkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), "strom_ord_bucketed",
+        bucket_by=["o_orderkey"], num_buckets=8,
+    )
+    lib = spark.table("strom_li_bucketed").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ob = spark.table("strom_ord_bucketed").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = lib.hint("merge").join(ob, lib.l_orderkey == ob.o_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError(
+            "bucketed join plan contains an Exchange — bucketing is not "
+            "being used:\n" + plan
+        )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 

@@ -108,6 +108,10 @@ HEADLINE = [
     # through the mapInPandas pipeline) — TOTAL covers 50 from here
     "audio_features",
     "bmp_features",
+    # round 6: storage layout end-to-end (bucketed write + zero-Exchange
+    # join) and ANN recall floor — TOTAL covers 52 from here
+    "bucketed_join_revenue",
+    "ann_recall_floor",
 ]
 
 

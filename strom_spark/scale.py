@@ -18,6 +18,8 @@ AQE does automatically:
 
 from __future__ import annotations
 
+import os
+import shutil
 import warnings
 from typing import Sequence
 
@@ -36,7 +38,24 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) table.
     Joins/aggs between tables bucketed the same way on the same key
-    run exchange-free (verified in tests/test_scale_utils.py)."""
+    run exchange-free (verified in tests/test_scale_utils.py).
+
+    Orphaned-location guard: with the in-memory catalog, a managed
+    table written by a PREVIOUS session leaves its warehouse directory
+    behind while the new session's catalog has no entry for it —
+    saveAsTable then fails with LOCATION_ALREADY_EXISTS even in
+    overwrite mode.  If the table is absent from the catalog but its
+    default warehouse location exists on the local filesystem, the
+    stale directory is removed first."""
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if wh.scheme in ("", "file") and wh.path:
+            loc = os.path.join(wh.path, table.split(".")[-1].lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
     if sort_by:
         w = w.sortBy(*sort_by)

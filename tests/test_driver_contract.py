@@ -14,9 +14,10 @@ import __spark_entry__ as entry
 
 
 def test_row_green_classification():
-    """Green = hash-matched, or a successful rows-only run for
-    oracle-less queries; anything else (hash mismatch, schema mismatch,
-    a real error) is NOT signed."""
+    """Green = hash-matched, or a successful rows-only run for queries
+    that CURRENTLY register no oracle; anything else (hash mismatch,
+    schema mismatch, a real error, or a stale no_oracle row for a
+    query that has since gained an oracle) is NOT signed."""
     green = {"rows_match": True, "schema_match": True, "hash_match": True,
              "spark_rows": 5, "oracle_rows": 5, "err": None}
     red_hash = dict(green, hash_match=False)
@@ -25,12 +26,18 @@ def test_row_green_classification():
     rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
                  "spark_rows": 5, "oracle_rows": None, "err": "no_oracle"}
     rows_only_dead = dict(rows_only, spark_rows=None)
-    assert entry._row_green(green)
-    assert not entry._row_green(red_hash)
-    assert not entry._row_green(red_schema)
-    assert not entry._row_green(red_err)
-    assert entry._row_green(rows_only)
-    assert not entry._row_green(rows_only_dead)
+    oracled = next(iter(entry._ORACLES))  # any query with a SQL oracle
+    no_oracle_name = "__definitely_not_registered__"
+    assert no_oracle_name not in entry._ORACLES
+    assert entry._row_green(oracled, green)
+    assert not entry._row_green(oracled, red_hash)
+    assert not entry._row_green(oracled, red_schema)
+    assert not entry._row_green(oracled, red_err)
+    assert entry._row_green(no_oracle_name, rows_only)
+    assert not entry._row_green(no_oracle_name, rows_only_dead)
+    # the r1-r3 approx_distinct_users trap: a no_oracle-era signature
+    # must NOT count once the query registers a real oracle
+    assert not entry._row_green(oracled, rows_only)
 
 
 def test_export_order_contract():
@@ -53,7 +60,9 @@ def test_export_order_contract():
             rows = json.load(f)
         for name, row in rows.items():
             ok = (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and name not in entry._ORACLES
             ) or (
                 not row.get("err")
                 and row.get("rows_match") is True

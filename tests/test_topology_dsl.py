@@ -178,6 +178,7 @@ def test_no_quadratic_join_sweep(spark, sf_dir):
         "tfidf_top_terms": "corpus doc-count attach — 1-row side",
         "lm_quality_scores": "corpus total/vocab attach — 1-row side",
         "knn_topk": "CosineTopK != join — broadcast side bounded by max_broadcast_rows",
+        "ann_recall_floor": "CosineTopK ground truth — same guard-bounded broadcast scan as knn_topk",
         "curation_v2": "corpus stats attach inside quality scoring — 1-row side",
         "q11_important_part_value": "global value total attach — 1-row side",
         "slice_divergence": "corpus grand-total attach — 1-row side",

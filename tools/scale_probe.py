@@ -390,6 +390,70 @@ def main() -> None:
         for k, v in h.asDict().items()
     }
 
+    # ANN retrieval QUALITY, not just determinism: recall@10 of IVF
+    # vs brute-force ground truth across the n_probe sweep (sf0.1
+    # embeddings — near-random synthetic vectors, the IVF WORST case:
+    # no cluster structure, so neighbors spread evenly over lists and
+    # recall ≈ fraction of lists probed).  n_probe == n_centroids must
+    # degrade to EXACT search (recall 1.0) — asserted.
+    from strom_spark.operators.similarity import CosineTopK as _BF
+
+    emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    q20 = emb01.filter(F.col("vec_id") < 20)
+    gt = (
+        _BF("c", "q", "o", k=10)(Flow({"c": emb01, "q": q20}))["o"]
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    n_gt = gt.count()
+    sweep = {}
+    for n_probe in (1, 2, 4, 8, 16):
+        approx = IVFTopK(
+            "c", "q", "o", k=10, n_centroids=16, n_probe=n_probe
+        )(Flow({"c": emb01, "q": q20}))["o"]
+        hits = gt.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        sweep[f"n_probe_{n_probe}"] = round(hits / n_gt, 4)
+    assert sweep["n_probe_16"] == 1.0, (
+        f"full probe must be exact, got {sweep['n_probe_16']}"
+    )
+    results["ops"]["ivf_recall_at_10"] = {"n_gt": n_gt, **sweep}
+    gt.unpersist()
+    emb01.unpersist()
+
+    # LSH pair recall on a corpus that HAS near-dup structure (the
+    # base sf0.1 embeddings top out at cosine ~0.6, so the θ=0.9
+    # truth set there is empty — that registered query certifies
+    # PRECISION; recall needs planted near-dups): the perturbed
+    # `bige` copies are cosine ≈ 1 pairs by construction.
+    from strom_spark.operators.dedup import EmbeddingNearDupPairs
+    from strom_spark.operators.similarity import CosineLSHJoin
+
+    sub = bige.filter(F.col("vec_id") % 100000 < 600).cache()  # 600×copies vecs
+    exact = (
+        EmbeddingNearDupPairs(
+            "e", "o", id_col="vec_id", vec_col="embedding", threshold=0.9
+        )(Flow({"e": sub}))["o"]
+        .select("d1", "d2")
+        .cache()
+    )
+    n_exact = exact.count()
+    lsh = CosineLSHJoin(
+        "e", "o", dim=64, threshold=0.9, n_tables=8, bits_per_table=12,
+        id_col="vec_id", vec_col="embedding",
+    )(Flow({"e": sub}))["o"].select("d1", "d2")
+    n_found = exact.join(lsh, ["d1", "d2"], "left_semi").count()
+    results["ops"]["lsh_pair_recall_theta09"] = {
+        "exact_pairs": n_exact,
+        "lsh_found": n_found,
+        "recall": round(n_found / max(n_exact, 1), 4),
+    }
+    exact.unpersist()
+    sub.unpersist()
+
     print(json.dumps(results))
     spark.stop()
 
