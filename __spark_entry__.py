@@ -1096,6 +1096,63 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "video_frame_stats",
+    """
+WITH f AS (SELECT doc_id, 8 + (doc_id % 5) AS total FROM documents),
+fi AS (SELECT doc_id, total, CAST(t.i AS INT) AS i FROM f, range(0, 4) t(i))
+SELECT doc_id AS asset_id,
+  i AS frame_idx,
+  CAST((total * 40 * i) // 4 AS BIGINT) AS frame_ts_ms,
+  CAST((doc_id * 7 + ((i * total) // 4) * 11) % 256 AS DOUBLE) AS mean_y
+FROM fi
+""",
+)
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end (operators/multimodal.py
+    y4m_parse/y4m_frames — YUV4MPEG2, the uncompressed interchange
+    format every ffmpeg pipeline can emit, stdlib-only): one synthetic
+    Y4M clip per document id (8x6 C420, 8..12 frames, each frame's Y
+    plane a distinct constant), fed through FrameSample's mapInPandas
+    explode with frame_fn=y4m_frames (4 evenly spaced frames per
+    clip), then each sampled frame's mean luma is computed from its Y
+    plane.  The oracle states every row in closed form: the sampled
+    source index is i*total//4, its luma constant is
+    (id*7 + j*11) % 256, and the frame timestamp is dur*i//4 — so a
+    regression in the Y4M header parse, FRAME walking, even-spacing
+    arithmetic, or the timestamp math flips the row red.  This retires
+    FrameSample's 'codec is a documented fake' residue: the fake
+    remains only as the decode_fn=None fallback for formats that
+    genuinely need native codecs.  No reference analog."""
+    from strom_spark import FrameSample, y4m_frames, y4m_synth
+
+    @F.pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda i: y4m_synth(int(i)))
+
+    y_plane = 8 * 6  # synth geometry: Y plane is the first 48 bytes
+
+    @F.pandas_udf("double")
+    def _mean_y(frames: pd.Series) -> pd.Series:
+        return frames.apply(lambda b: sum(b[:y_plane]) / float(y_plane))
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        _synth("doc_id").alias("content"),
+        ((8 + F.col("doc_id") % 5) * 40).cast("bigint").alias("duration_ms"),
+    )
+    out = FrameSample(
+        "assets", "frames", n_frames=4, frame_fn=y4m_frames
+    )(Flow({"assets": assets}))["frames"]
+    return out.select(
+        "asset_id",
+        "frame_idx",
+        "frame_ts_ms",
+        _mean_y("frame").alias("mean_y"),
+    )
+
+
+@_q(
     "bmp_features",
     """
 SELECT doc_id AS asset_id,

@@ -112,6 +112,9 @@ HEADLINE = [
     # join) and ANN recall floor — TOTAL covers 52 from here
     "bucketed_join_revenue",
     "ann_recall_floor",
+    # round 6: real Y4M video decode through the FrameSample explode —
+    # TOTAL covers 53 from here
+    "video_frame_stats",
 ]
 
 

@@ -68,6 +68,9 @@ from .operators.multimodal import (
     synthetic_assets,
     wav_decode,
     wav_synth,
+    y4m_frames,
+    y4m_parse,
+    y4m_synth,
 )
 
 __all__ = [
@@ -164,6 +167,9 @@ __all__ = [
     "wav_synth",
     "bmp_decode",
     "bmp_synth",
+    "y4m_parse",
+    "y4m_frames",
+    "y4m_synth",
     "ppm_decode",
 ]
 

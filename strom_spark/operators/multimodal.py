@@ -479,6 +479,92 @@ class FrameSample(Component):
         return (self.output,)
 
 
+def y4m_parse(content: bytes):
+    """REAL parser for YUV4MPEG2 (.y4m) — the uncompressed video
+    interchange format every ffmpeg pipeline can emit, stdlib-only.
+    Returns (width, height, fps_num, fps_den, frames) where each frame
+    is the raw planar YUV payload (Y plane first).  Supports C420*
+    (default) and C444 chroma; raises on anything else, on missing
+    W/H, on a corrupt FRAME marker, and on a truncated frame."""
+    if not content or not content.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = content.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M stream header")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    chroma = "420jpeg"
+    for p in content[9:nl].split():
+        tag, val = p[:1], p[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            a, b = val.split(b":")
+            fps_num, fps_den = int(a), int(b)
+        elif tag == b"C":
+            chroma = val.decode("ascii")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if chroma.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError(f"odd dimensions {w}x{h} invalid for C420")
+        frame_size = w * h + 2 * ((w // 2) * (h // 2))
+    elif chroma.startswith("444"):
+        frame_size = 3 * w * h
+    else:
+        raise ValueError(f"unsupported Y4M chroma subsampling C{chroma}")
+    frames = []
+    pos = nl + 1
+    while pos < len(content):
+        if content[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M FRAME marker")
+        fnl = content.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated Y4M frame header")
+        start = fnl + 1
+        if start + frame_size > len(content):
+            raise ValueError("truncated Y4M frame payload")
+        frames.append(content[start : start + frame_size])
+        pos = start + frame_size
+    return w, h, fps_num, fps_den, frames
+
+
+def y4m_frames(content: bytes, n_frames: int) -> list:
+    """``frame_fn`` for :class:`FrameSample` backed by the REAL
+    :func:`y4m_parse`: returns ``n_frames`` evenly spaced raw YUV
+    frames (source index ``i * total // n_frames``), or every frame
+    when the clip is shorter than the ask."""
+    _, _, _, _, frames = y4m_parse(content)
+    n = len(frames)
+    if n == 0 or n_frames >= n:
+        return frames
+    return [frames[i * n // n_frames] for i in range(n_frames)]
+
+
+def y4m_synth(asset_id: int) -> bytes:
+    """Deterministic Y4M clip for an id, built so per-frame statistics
+    have exact closed forms an external oracle can state:
+
+      8x6 C420jpeg, 25 fps, total = 8 + (id % 5) frames;
+      frame j's Y plane is the CONSTANT (id*7 + j*11) % 256, chroma
+      planes constant 128 ⇒ mean luma of frame j = that constant,
+      exactly.
+
+    Used by the oracle-checked ``video_frame_stats`` query to certify
+    the FrameSample explode + real Y4M decode end-to-end."""
+    w, h = 8, 6
+    total = 8 + (asset_id % 5)
+    chroma = b"\x80" * (2 * ((w // 2) * (h // 2)))
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode("ascii")]
+    for j in range(total):
+        y = (asset_id * 7 + j * 11) % 256
+        out.append(b"FRAME\n")
+        out.append(bytes([y]) * (w * h) + chroma)
+    return b"".join(out)
+
+
 def bmp_decode(content: bytes, media_type: str = "image") -> list[float]:
     """REAL decoder for 24-bit uncompressed BMP (BI_RGB) — stdlib-only
     (``struct``).  Parses the BITMAPFILEHEADER/BITMAPINFOHEADER, honors

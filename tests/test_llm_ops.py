@@ -305,6 +305,62 @@ def test_bmp_decode_real_format(spark):
         assert got[i] == bmp_decode(bmp_synth(i))
 
 
+def test_y4m_parse_real_format(spark):
+    """y4m_parse is a REAL YUV4MPEG2 parser: header tags, FRAME
+    walking, C420 frame sizing, even-spacing sampling; malformed
+    payloads raise typed errors; FrameSample explodes one row per
+    sampled frame with correct timestamps."""
+    from strom_spark import Flow, FrameSample, y4m_frames, y4m_parse, y4m_synth
+
+    blob = y4m_synth(3)
+    w, h, fn, fd, frames = y4m_parse(blob)
+    assert (w, h, fn, fd, len(frames)) == (8, 6, 25, 1, 11)
+    assert all(len(fr) == 48 + 24 for fr in frames)
+    assert [fr[0] for fr in frames] == [(3 * 7 + j * 11) % 256 for j in range(11)]
+
+    # C444 sizing and explicit fps tag
+    c444 = b"YUV4MPEG2 W2 H2 F30:1 C444\n" + b"FRAME\n" + bytes(range(12))
+    w, h, fn, fd, frames = y4m_parse(c444)
+    assert (w, h, fn, fd) == (2, 2, 30, 1) and frames == [bytes(range(12))]
+
+    # even-spacing: source index i * total // k
+    sampled = y4m_frames(blob, 4)
+    assert [s[0] for s in sampled] == [
+        (3 * 7 + ((i * 11) // 4) * 11) % 256 for i in range(4)
+    ]
+    assert len(y4m_frames(blob, 100)) == 11  # short clip: every frame
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        y4m_parse(b"RIFF....")
+    with pytest.raises(ValueError, match="missing W/H"):
+        y4m_parse(b"YUV4MPEG2 F25:1\nFRAME\n")
+    with pytest.raises(ValueError, match="odd dimensions"):
+        y4m_parse(b"YUV4MPEG2 W3 H2\n")
+    with pytest.raises(ValueError, match="unsupported Y4M chroma"):
+        y4m_parse(b"YUV4MPEG2 W2 H2 C422\n")
+    with pytest.raises(ValueError, match="corrupt Y4M FRAME"):
+        y4m_parse(b"YUV4MPEG2 W2 H2\nBOGUS\n" + b"\x00" * 6)
+    with pytest.raises(ValueError, match="truncated Y4M frame payload"):
+        y4m_parse(y4m_synth(0)[:-10])
+
+    # through FrameSample: one row per sampled frame, ts = dur*i//n
+    df = spark.createDataFrame(
+        [{"asset_id": 7, "content": y4m_synth(7), "duration_ms": 480}],
+        schema="asset_id bigint, content binary, duration_ms bigint",
+    )
+    rows = sorted(
+        (r.frame_idx, r.frame_ts_ms, r.frame[0])
+        for r in FrameSample("a", "f", n_frames=4, frame_fn=y4m_frames)(
+            Flow({"a": df})
+        )["f"].collect()
+    )
+    total = 8 + (7 % 5)
+    assert rows == [
+        (i, 480 * i // 4, (7 * 7 + ((i * total) // 4) * 11) % 256)
+        for i in range(4)
+    ]
+
+
 def test_wav_synth_closed_forms():
     """wav_synth's square wave hits wav_decode's features exactly at
     their closed forms (the contract the audio_features oracle
