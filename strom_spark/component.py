@@ -42,6 +42,28 @@ def require_batch(df: DataFrame, component: str, why: str) -> None:
         )
 
 
+def rechunk_batches(batches: Iterable, chunk: "int | None"):
+    """Split incoming Arrow batches into ``<= chunk``-row slices — the
+    PER-COMPONENT analog of the reference's per-operator ``chunk`` opt
+    (``lib/gen_mix.ex:7``: events-per-message flowing through one
+    component).  The session-level Arrow batch size bounds the JVM→
+    Python TRANSFER globally; this bounds one component's per-batch
+    working set (e.g. decode fan-out memory on large media blobs)
+    without touching global config.  ``None``/0 passes batches
+    through untouched."""
+    if not chunk:
+        yield from batches
+        return
+    if chunk < 0:
+        raise ValueError(f"chunk must be >= 1 or None, got {chunk}")
+    for pdf in batches:
+        if len(pdf) <= chunk:
+            yield pdf
+        else:
+            for i in range(0, len(pdf), chunk):
+                yield pdf.iloc[i : i + chunk]
+
+
 class Component:
     """Base class: a named, pure ``Flow -> Flow`` transformation."""
 

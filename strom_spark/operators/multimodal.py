@@ -153,6 +153,12 @@ class MediaFeatures(Component):
     None, a deterministic byte-statistics fake is used (container has
     no media libs).  To make the stub explicit, ``strict=True`` raises
     NotImplementedError instead of faking.
+
+    ``chunk`` bounds how many blobs one decode loop holds at once
+    (re-slicing Arrow batches) — the per-component analog of the
+    reference's per-operator ``chunk`` opt (``lib/gen_mix.ex:7``),
+    for when a global Arrow batch size sized for row tables is too
+    coarse for multi-MB media blobs.
     """
 
     def __init__(
@@ -165,8 +171,11 @@ class MediaFeatures(Component):
         media_type_col: str = "media_type",
         decode_fn: Callable[[bytes, str], list] | None = None,
         strict: bool = False,
+        chunk: "int | None" = None,
         label: str | None = None,
     ):
+        if chunk is not None and chunk < 1:
+            raise ValueError(f"chunk must be >= 1 or None, got {chunk}")
         self.input = input
         self.output = output or input
         self.id_col = id_col
@@ -174,6 +183,7 @@ class MediaFeatures(Component):
         self.media_type_col = media_type_col
         self.decode_fn = decode_fn
         self.strict = strict
+        self.chunk = chunk
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
@@ -198,8 +208,12 @@ class MediaFeatures(Component):
             F.col(content_col).alias("__content"),
         )
 
+        from ..component import rechunk_batches
+
+        chunk = self.chunk
+
         def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
+            for pdf in rechunk_batches(batches, chunk):
                 feats = [
                     decode(c, m)
                     for c, m in zip(pdf["__content"], pdf["media_type"])
@@ -301,10 +315,13 @@ class MediaResize(Component):
         media_type_col: str = "media_type",
         resize_fn: Callable[[bytes, int, int], bytes] | None = None,
         strict: bool = False,
+        chunk: "int | None" = None,
         label: str | None = None,
     ):
         if target_w <= 0 or target_h <= 0:
             raise ValueError("target dimensions must be positive")
+        if chunk is not None and chunk < 1:
+            raise ValueError(f"chunk must be >= 1 or None, got {chunk}")
         self.input = input
         self.output = output or input
         self.target_w, self.target_h = int(target_w), int(target_h)
@@ -313,13 +330,17 @@ class MediaResize(Component):
         self.media_type_col = media_type_col
         self.resize_fn = resize_fn
         self.strict = strict
+        self.chunk = chunk
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
+        from ..component import rechunk_batches
+
         df = flow[self.input]
         tw, th = self.target_w, self.target_h
         fn = self.resize_fn or ppm_resize
         strict = self.strict
+        chunk = self.chunk
 
         prepared = df.select(
             F.col(self.id_col).alias("asset_id"),
@@ -328,7 +349,7 @@ class MediaResize(Component):
         )
 
         def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
+            for pdf in rechunk_batches(batches, chunk):
                 contents, flags = [], []
                 for c in pdf["__content"]:
                     try:
@@ -395,7 +416,11 @@ class FrameSample(Component):
     At 100 TB: frames fan OUT of the blob scan (rows multiply by
     every_n), so the component is a linear mapInPandas with bounded
     Arrow batches and no shuffle; write sampled frames to their own
-    table before any wide op touches them."""
+    table before any wide op touches them.  ``chunk`` bounds how many
+    videos one sampling loop holds at once (per-component analog of
+    the reference's ``chunk`` opt, ``lib/gen_mix.ex:7``) — with a
+    k-frame fan-out per video, peak batch memory is
+    chunk × k × frame_bytes."""
 
     def __init__(
         self,
@@ -408,10 +433,13 @@ class FrameSample(Component):
         duration_col: str = "duration_ms",
         frame_fn: "Callable[[bytes, int], list] | None" = None,
         strict: bool = False,
+        chunk: "int | None" = None,
         label: str | None = None,
     ):
         if n_frames <= 0:
             raise ValueError("n_frames must be positive")
+        if chunk is not None and chunk < 1:
+            raise ValueError(f"chunk must be >= 1 or None, got {chunk}")
         self.input = input
         self.output = output or input
         self.n_frames = int(n_frames)
@@ -420,11 +448,15 @@ class FrameSample(Component):
         self.duration_col = duration_col
         self.frame_fn = frame_fn
         self.strict = strict
+        self.chunk = chunk
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
+        from ..component import rechunk_batches
+
         df = flow[self.input]
         k = self.n_frames
+        chunk = self.chunk
         fn = self.frame_fn
         if self.strict and fn is None:
             raise NotImplementedError(
@@ -441,7 +473,7 @@ class FrameSample(Component):
         )
 
         def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
+            for pdf in rechunk_batches(batches, chunk):
                 ids, idxs, ts, frames = [], [], [], []
                 for aid, dur, c in zip(
                     pdf["asset_id"], pdf["__dur"], pdf["__content"]

@@ -167,7 +167,12 @@ class PandasMap(_PerStream):
     path when built-ins can't express the logic.  ``fn`` is
     ``pandas.DataFrame -> pandas.DataFrame`` applied per batch via
     ``mapInPandas`` (constant memory, streams batches, scales with
-    partitions)."""
+    partitions).
+
+    ``chunk`` re-slices Arrow batches to at most that many rows before
+    ``fn`` sees them — the per-component analog of the reference's
+    per-operator ``chunk`` opt (``lib/gen_mix.ex:7``); the session
+    Arrow setting stays the global transfer bound."""
 
     def __init__(
         self,
@@ -175,17 +180,24 @@ class PandasMap(_PerStream):
         fn: Callable,
         schema: Any,
         *,
+        chunk: "int | None" = None,
         label: str | None = None,
     ):
         super().__init__(name_or_names, label=label)
+        if chunk is not None and chunk < 1:
+            raise ValueError(f"chunk must be >= 1 or None, got {chunk}")
         self.fn = fn
         self.schema = schema
+        self.chunk = chunk
 
     def transform_df(self, df: DataFrame) -> DataFrame:
+        from ..component import rechunk_batches
+
         fn = self.fn
+        chunk = self.chunk
 
         def mapper(batches):
-            for pdf in batches:
+            for pdf in rechunk_batches(batches, chunk):
                 out = fn(pdf)
                 if out is not None and len(out):
                     yield out

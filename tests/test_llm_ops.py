@@ -361,6 +361,50 @@ def test_y4m_parse_real_format(spark):
     ]
 
 
+def test_per_component_chunk_knob(spark):
+    """Per-component ``chunk`` (reference lib/gen_mix.ex:7: events per
+    message through ONE component): Arrow batches are re-sliced to at
+    most chunk rows before the Python fn sees them — observable as a
+    batch-size column — and the output data is IDENTICAL to the
+    unchunked run; invalid chunk values raise."""
+    from strom_spark import Flow, MediaFeatures, PandasMap, wav_decode, wav_synth
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(40)], "id bigint"
+    ).coalesce(1)
+
+    def tag_batch(pdf):
+        return pdf.assign(bs=len(pdf))
+
+    chunked = PandasMap("d", tag_batch, "id bigint, bs int", chunk=3)(
+        Flow({"d": df})
+    )["d"].collect()
+    assert max(r.bs for r in chunked) <= 3
+    assert sorted(r.id for r in chunked) == list(range(40))
+    unchunked = PandasMap("d", tag_batch, "id bigint, bs int")(
+        Flow({"d": df})
+    )["d"].collect()
+    assert max(r.bs for r in unchunked) > 3  # the knob actually changed things
+
+    # MediaFeatures: chunked decode == unchunked decode, row for row
+    assets = spark.createDataFrame(
+        [{"asset_id": i, "media_type": "audio", "content": wav_synth(i)} for i in range(10)],
+        schema="asset_id bigint, media_type string, content binary",
+    ).coalesce(1)
+    feats = lambda c: sorted(
+        (r.asset_id, tuple(r.feat))
+        for r in MediaFeatures("a", "f", decode_fn=wav_decode, chunk=c)(
+            Flow({"a": assets})
+        )["f"].collect()
+    )
+    assert feats(2) == feats(None) and len(feats(2)) == 10
+
+    with pytest.raises(ValueError, match="chunk"):
+        PandasMap("d", tag_batch, "id bigint", chunk=0)
+    with pytest.raises(ValueError, match="chunk"):
+        MediaFeatures("a", "f", chunk=-1)
+
+
 def test_wav_synth_closed_forms():
     """wav_synth's square wave hits wav_decode's features exactly at
     their closed forms (the contract the audio_features oracle
