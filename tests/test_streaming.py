@@ -476,3 +476,46 @@ def test_streaming_decontaminate_matches_batch(spark, sf_dir):
             )(Flow({"train": _read_stream(spark, d), "eval": ev}))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_media_features_matches_batch(spark):
+    """MediaFeatures is a narrow mapInPandas (no shuffle, no state), so
+    the SAME component with a REAL decoder runs unmodified over a
+    stream of binary assets and must drain availableNow to EXACTLY the
+    batch features — the multimodal pipeline is stream-legal end to
+    end, not just batch-tested."""
+    import shutil
+    import tempfile
+
+    from strom_spark import Flow, MediaFeatures, wav_decode, wav_synth
+
+    d = tempfile.mkdtemp(prefix="strom_media_stream_")
+    try:
+        assets = spark.createDataFrame(
+            [
+                {"asset_id": i, "media_type": "audio", "content": wav_synth(i)}
+                for i in range(24)
+            ],
+            schema="asset_id bigint, media_type string, content binary",
+        )
+        assets.write.mode("overwrite").parquet(d)
+
+        def features(df):
+            return MediaFeatures("a", "f", decode_fn=wav_decode, chunk=4)(
+                Flow({"a": df})
+            )["f"]
+
+        out = features(_read_stream(spark, d))
+        assert out.isStreaming
+        run_available(out, query_name="t_stream_media")
+        got = sorted(
+            (r.asset_id, r.n_bytes, r.content_hash, tuple(r.feat))
+            for r in spark.sql("SELECT * FROM t_stream_media").collect()
+        )
+        want = sorted(
+            (r.asset_id, r.n_bytes, r.content_hash, tuple(r.feat))
+            for r in features(spark.read.parquet(d)).collect()
+        )
+        assert got == want and len(want) == 24
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
