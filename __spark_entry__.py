@@ -1043,12 +1043,12 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audio_features",
     """
 SELECT doc_id AS asset_id,
-  1.0 AS n_channels,
-  8000.0 AS sample_rate,
+  CAST(1 AS DOUBLE) AS n_channels,
+  CAST(8000 AS DOUBLE) AS sample_rate,
   CAST(160 + (doc_id % 50) * 2 AS DOUBLE) AS n_frames,
   CAST(160 + (doc_id % 50) * 2 AS DOUBLE) / 8.0 AS duration_ms,
   CAST(1000 + (doc_id % 20) * 100 AS DOUBLE) AS peak_abs,
-  0.0 AS mean_amp,
+  CAST(0 AS DOUBLE) AS mean_amp,
   CAST(1000 + (doc_id % 20) * 100 AS DOUBLE) AS rms,
   CAST(160 + (doc_id % 50) * 2 - 1 AS DOUBLE) AS zero_crossings
 FROM documents
@@ -2107,15 +2107,28 @@ def ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return emb.filter(F.col("vec_id") < 20)
 
     cols = ["query_id", "neighbor_id", "cosine", "rank"]
-    gt = CosineTopK("c", "q", "o", k=10)(
-        Flow({"c": emb, "q": queries()})
-    )["o"].select(*cols)
+    # gt feeds the recall join AND both sides of the exceptAll
+    # symmetric difference, full feeds both sides — localCheckpoint
+    # pins each tiny (n_queries x k) result so the full-corpus GEMM
+    # scan and the IVF rerank run ONCE, not 3x/2x (same pattern
+    # CosineTopK uses for its query side internally).
+    gt = (
+        CosineTopK("c", "q", "o", k=10)(Flow({"c": emb, "q": queries()}))[
+            "o"
+        ]
+        .select(*cols)
+        .localCheckpoint(eager=True)
+    )
     probe8 = IVFTopK("c", "q", "o", k=10, n_centroids=16, n_probe=8)(
         Flow({"c": emb, "q": queries()})
     )["o"]
-    full = IVFTopK("c", "q", "o", k=10, n_centroids=16, n_probe=16)(
-        Flow({"c": emb, "q": queries()})
-    )["o"].select(*cols)
+    full = (
+        IVFTopK("c", "q", "o", k=10, n_centroids=16, n_probe=16)(
+            Flow({"c": emb, "q": queries()})
+        )["o"]
+        .select(*cols)
+        .localCheckpoint(eager=True)
+    )
 
     marked = gt.join(
         probe8.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),

@@ -140,7 +140,9 @@ def _testdata_fingerprint(sf_dir: str) -> dict:
             with open(path, "rb") as f:
                 head_md5 = hashlib.md5(f.read(65536)).hexdigest()[:12]
             fp[t] = {"rows": rows, "head_md5": head_md5}
-        except OSError:
+        except Exception:  # corrupt/truncated file (pyarrow raises
+            # ArrowInvalid, not OSError) must not lose the artifact
+            # after every query already ran
             fp[t] = {"rows": None, "head_md5": None}
     return fp
 

@@ -991,11 +991,15 @@ class Decontaminate(Component):
 
     def transform(self, flow: Flow) -> Flow:
         train, ev = flow[self.train], flow[self.eval]
-        for reserved in ("n_contaminated", "contaminated"):
+        # __toks/__n_raw are the streaming lowering's scratch columns:
+        # withColumn would silently CLOBBER same-named train columns
+        # there (the batch lowering preserves every train column), so
+        # the clash check covers them for both lowerings.
+        for reserved in ("n_contaminated", "contaminated", "__toks", "__n_raw"):
             if reserved in train.columns:
                 raise ValueError(
                     f"Decontaminate: train column {reserved!r} clashes with an "
-                    "output column — rename it first"
+                    "output or scratch column — rename it first"
                 )
         if train.isStreaming:
             return self._transform_streaming(flow, train, ev)

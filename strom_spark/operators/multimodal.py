@@ -539,11 +539,14 @@ def y4m_parse(content: bytes):
             chroma = val.decode("ascii")
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
-    if chroma.startswith("420"):
+    # exact 8-bit variants only: C420p10/p12 (2 bytes/sample) and
+    # C444alpha (4 planes) would silently compute the wrong frame size
+    # and fail mid-stream with a misleading FRAME-marker error
+    if chroma in ("420", "420jpeg", "420mpeg2", "420paldv"):
         if w % 2 or h % 2:
             raise ValueError(f"odd dimensions {w}x{h} invalid for C420")
         frame_size = w * h + 2 * ((w // 2) * (h // 2))
-    elif chroma.startswith("444"):
+    elif chroma == "444":
         frame_size = 3 * w * h
     else:
         raise ValueError(f"unsupported Y4M chroma subsampling C{chroma}")

@@ -46,14 +46,21 @@ def write_bucketed(
     saveAsTable then fails with LOCATION_ALREADY_EXISTS even in
     overwrite mode.  If the table is absent from the catalog but its
     default warehouse location exists on the local filesystem, the
-    stale directory is removed first."""
+    stale directory is removed first.  The guard applies ONLY to
+    unqualified (default-database) names: a qualified ``db.tbl`` lives
+    under ``<warehouse>/db.db/tbl``, and naively mapping its bare name
+    to ``<warehouse>/tbl`` could rmtree a LIVE default-db table."""
     spark = df.sparkSession
-    if mode == "overwrite" and not spark.catalog.tableExists(table):
+    if (
+        mode == "overwrite"
+        and "." not in table
+        and not spark.catalog.tableExists(table)
+    ):
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
         if wh.scheme in ("", "file") and wh.path:
-            loc = os.path.join(wh.path, table.split(".")[-1].lower())
+            loc = os.path.join(wh.path, table.lower())
             if os.path.isdir(loc):
                 shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
@@ -107,6 +114,7 @@ def compact_write(
     sort_by: Sequence[str] | None = None,
     partition_by: Sequence[str] | None = None,
     mode: str = "overwrite",
+    max_files: int = 1_000_000,
 ) -> int:
     """Write ``df`` as parquet with a TARGET FILE SIZE instead of
     whatever file count the upstream partitioning happens to leave —
@@ -133,10 +141,15 @@ def compact_write(
     Returns the file count it targeted.  Estimates are estimates:
     actual sizes land within a small factor of the target, which is
     all split planning needs (128 MB vs 5 MB matters; 380 MB vs
-    512 MB does not).
+    512 MB does not).  ``max_files`` is the absurdity bound: a
+    computed count above it means the estimate is garbage (sentinel
+    or scaled-sentinel lineage) and the input partition count is kept
+    instead.
     """
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
+    if max_files < 1:
+        raise ValueError("max_files must be >= 1")
     jdf = df._jdf
     est_bytes = int(
         jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -144,24 +157,28 @@ def compact_write(
     # Plans without estimates (LogicalRDD from createDataFrame, some
     # streaming sinks) report the unknown-stats sentinel
     # (spark.sql.defaultSizeInBytes = Long.MaxValue); dividing that by
-    # the target would ask for ~1.7e10 files.  Fall back to the
-    # current partition count — compacting an estimate-less frame is
-    # a no-op by file count, which is the safe direction.
+    # the target would ask for ~1.7e10 files.  A DERIVED plan over
+    # estimate-less lineage is worse: Catalyst SCALES the sentinel by
+    # column-width ratios (a Project can land it anywhere below
+    # Long.MaxValue), so the sentinel equality test alone is not
+    # enough — any absurd file count means "no usable estimate".
+    # Fall back to the current partition count in both cases:
+    # compacting an estimate-less frame is a no-op by file count,
+    # which is the safe direction.
     sentinel = int(
         df.sparkSession.conf.get(
             "spark.sql.defaultSizeInBytes", str(2**63 - 1)
         )
     )
-    if est_bytes >= sentinel:
+    n_files = max(1, -(-est_bytes // target_file_bytes))
+    if est_bytes >= sentinel or n_files > max_files:
         n_files = max(1, df.rdd.getNumPartitions())
         warnings.warn(
-            "compact_write: no size estimate for this plan "
-            "(non-file-scan lineage); keeping "
+            "compact_write: no usable size estimate for this plan "
+            f"(est_bytes={est_bytes}; non-file-scan lineage); keeping "
             f"{n_files} files instead of sizing to target_file_bytes",
             stacklevel=2,
         )
-    else:
-        n_files = max(1, -(-est_bytes // target_file_bytes))
     # For a bare scan, Catalyst's sizeInBytes IS the on-disk file size
     # (fileCompressionFactor defaults to 1.0), so the estimate maps to
     # output bytes ~1:1 when re-writing with the same codec; derived

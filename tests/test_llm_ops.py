@@ -338,6 +338,13 @@ def test_y4m_parse_real_format(spark):
         y4m_parse(b"YUV4MPEG2 W3 H2\n")
     with pytest.raises(ValueError, match="unsupported Y4M chroma"):
         y4m_parse(b"YUV4MPEG2 W2 H2 C422\n")
+    # 10/12-bit 4:2:0 and 444alpha have different bytes-per-sample /
+    # plane counts: must refuse upfront, not half-consume a frame and
+    # blame the FRAME marker
+    with pytest.raises(ValueError, match="unsupported Y4M chroma"):
+        y4m_parse(b"YUV4MPEG2 W2 H2 C420p10\n")
+    with pytest.raises(ValueError, match="unsupported Y4M chroma"):
+        y4m_parse(b"YUV4MPEG2 W2 H2 C444alpha\n")
     with pytest.raises(ValueError, match="corrupt Y4M FRAME"):
         y4m_parse(b"YUV4MPEG2 W2 H2\nBOGUS\n" + b"\x00" * 6)
     with pytest.raises(ValueError, match="truncated Y4M frame payload"):
@@ -967,6 +974,13 @@ def test_decontaminate_differential(spark):
     with pytest.raises(ValueError, match="clashes"):
         Decontaminate("t", "e", "o")(
             Flow({"t": T.withColumn("contaminated", F.lit(True)), "e": E})
+        )
+    # the streaming lowering's scratch columns are reserved too: a
+    # train __toks would be silently clobbered+dropped there while the
+    # batch lowering preserves it — refuse in BOTH lowerings
+    with pytest.raises(ValueError, match="clashes"):
+        Decontaminate("t", "e", "o")(
+            Flow({"t": T.withColumn("__toks", F.lit(1)), "e": E})
         )
 
 

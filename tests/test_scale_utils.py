@@ -222,10 +222,21 @@ def test_compact_write_survives_unknown_size_estimate(spark, tmp_path):
         _w.simplefilter("always")
         n = compact_write(df, d, target_file_bytes=512 * 1024 * 1024)
     assert n == 3  # fell back to current partition count
-    assert any("no size estimate" in str(w.message) for w in rec)
+    assert any("no usable size estimate" in str(w.message) for w in rec)
     files = [f for f in os.listdir(d) if f.endswith(".parquet")]
     assert len(files) == n
     assert spark.read.parquet(d).count() == 1000
+
+    # a DERIVED plan over the same lineage SCALES the sentinel by
+    # column-width ratios — below Long.MaxValue but still absurd; the
+    # max_files bound must catch it too
+    d2 = str(tmp_path / "compact_sentinel_derived")
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        n2 = compact_write(df.select("id"), d2, target_file_bytes=64 * 1024)
+    assert n2 == 3
+    assert any("no usable size estimate" in str(w.message) for w in rec2)
+    assert spark.read.parquet(d2).count() == 1000
 
 
 def test_compact_write_sort_by_tightens_row_group_stats(spark, sf_dir, tmp_path):
