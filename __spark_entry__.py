@@ -4624,9 +4624,10 @@ def curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "curation_v3",
-    rf"""
+#: curation_v3's full CTE chain through `kept` (the audited survivor
+#: set) — shared verbatim by the curation_v3 and curation_v4 oracles,
+#: so the two reports can never drift on the doc set they describe.
+_CURATION_V3_KEPT = rf"""
 WITH {_NORM_DOCS},
 {_SHINGLES},
 fp AS (SELECT doc_id, md5(ntext) AS fp FROM norm),
@@ -4699,7 +4700,13 @@ kept AS (
     ('0x' || substring(md5('cur' || CAST(b.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS bucket
   FROM gated b JOIN rep r USING (doc_id) JOIN pii p USING (doc_id)
   WHERE r.rep_ratio <= 0.5
-)
+)"""
+
+
+@_q(
+    "curation_v3",
+    _CURATION_V3_KEPT
+    + """
 SELECT CASE WHEN bucket < 9000 THEN 'train'
             WHEN bucket < 9500 THEN 'val'
             ELSE 'test' END AS split,
@@ -4735,6 +4742,26 @@ def curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyway: a contaminated doc is contaminated regardless of quality.)
     Report aggregates are order-independent (count, integer sum,
     min/max) so the hash is engine-stable."""
+    split = _curation_v3_split(spark, sf_dir)
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pii").cast("bigint").alias("total_pii"),
+            F.min("rep_ratio").alias("min_rep"),
+            F.max("rep_ratio").alias("max_rep"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+        .orderBy("split")
+    )
+
+
+def _curation_v3_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_v3's pipeline through the hash split (shared with
+    curation_v4, which continues into sequence packing): returns the
+    audited survivor set with (doc_id, text, q, rep_ratio, n_pii,
+    split)."""
     from strom_spark import Decontaminate, HashSplit, PhraseBlocklist
 
     raw = spread(load_table(spark, sf_dir, "documents"))
@@ -4781,21 +4808,77 @@ def curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             counts["n_email"] + counts["n_ipv4"] + counts["n_phone"],
         )
     )
-    split = HashSplit(
+    return HashSplit(
         "docs", "out", key_col="doc_id",
         splits={"train": 0.9, "val": 0.05, "test": 0.05}, salt="cur",
     )(Flow({"docs": audited}))["out"]
+
+
+@_q(
+    "curation_v4",
+    _CURATION_V3_KEPT
+    + """,
+sp AS (
+  SELECT doc_id,
+    CASE WHEN bucket < 9000 THEN 'train'
+         WHEN bucket < 9500 THEN 'val'
+         ELSE 'test' END AS split
+  FROM kept
+),
+ptc AS (
+  SELECT s.doc_id, s.split,
+    CAST(len(list_filter(t.w, x -> x != '')) AS BIGINT) AS n_tok,
+    CAST((('0x' || substring(md5('pack' || CAST(s.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000) % 4 AS INTEGER) AS pack_bucket
+  FROM sp s JOIN toks t ON s.doc_id = t.doc_id
+),
+pk AS (
+  SELECT split, pack_bucket, doc_id, n_tok,
+    SUM(n_tok) OVER (PARTITION BY split, pack_bucket ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tok AS prev
+  FROM ptc
+)
+SELECT split, pack_bucket,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT prev // 512) AS n_seqs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM pk GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_v3 carried one stage further — all the way to
+    TRAINING-READY PACKED SEQUENCES, still as ONE Catalyst plan vs one
+    monolithic composed oracle: the complete curation pipeline (dedup →
+    decontaminate → blocklist → langid/quality gates → repetition gate
+    → PII audit → hash split) feeds PackSequences with
+    ``partition_by=['split']`` (round-6 extension), so concat-then-cut
+    512-token windows are packed WITHIN each split across 4
+    deterministic lanes — a sequence can never straddle the train/val
+    boundary.  The report is per (split, lane): docs packed, sequences
+    produced, tokens filled — the numbers a training job's data loader
+    needs.  The oracle reuses curation_v3's CTE chain verbatim
+    (shared constant) and replays the packing as a per-(split, lane)
+    window cumsum, so the two composites can never drift on the doc
+    set.  At 100 TB: the split column only refines the packing
+    window's shuffle key; no stage was added to the plan, one keyed
+    window shuffle beyond v3."""
+    from strom_spark import PackSequences
+    from strom_spark.functions import text as TX
+
+    split = _curation_v3_split(spark, sf_dir).select(
+        "doc_id", "split", TX.token_count("text").alias("n_tok")
+    )
+    packed = PackSequences(
+        "docs", "packed", id_col="doc_id", tokens_col="n_tok",
+        budget=512, n_buckets=4, partition_by=["split"],
+    )(Flow({"docs": split}))["packed"]
     return (
-        split.groupBy("split")
+        packed.groupBy("split", "pack_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_pii").cast("bigint").alias("total_pii"),
-            F.min("rep_ratio").alias("min_rep"),
-            F.max("rep_ratio").alias("max_rep"),
-            F.min("q").alias("min_q"),
-            F.max("q").alias("max_q"),
+            F.count_distinct("seq_id").alias("n_seqs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
         )
-        .orderBy("split")
+        .orderBy("split", "pack_bucket")
     )
 
 

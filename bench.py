@@ -115,6 +115,9 @@ HEADLINE = [
     # round 6: real Y4M video decode through the FrameSample explode —
     # TOTAL covers 53 from here
     "video_frame_stats",
+    # round 6: the complete pipeline extended to split-isolated packed
+    # sequences — TOTAL covers 54 from here
+    "curation_v4",
 ]
 
 

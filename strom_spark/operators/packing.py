@@ -50,7 +50,13 @@ class PackSequences(Component):
 
     ``tokens_col`` must hold the per-document token count (compute it
     with ``functions.text.token_count``/``bpe_token_count`` upstream —
-    packing is tokenizer-agnostic by design)."""
+    packing is tokenizer-agnostic by design).
+
+    ``partition_by`` packs WITHIN each group of those columns (e.g.
+    per train/val/test split, per source): lanes never mix groups, so
+    a sequence can't straddle a split boundary.  Each (group, lane)
+    pair is its own window partition — at 100 TB this only refines
+    the shuffle key, it doesn't add a shuffle."""
 
     def __init__(
         self,
@@ -62,6 +68,7 @@ class PackSequences(Component):
         budget: int,
         n_buckets: int = 64,
         salt: str = "pack",
+        partition_by: Sequence[str] | None = None,
         label: str | None = None,
     ):
         if budget <= 0:
@@ -75,6 +82,7 @@ class PackSequences(Component):
         self.budget = budget
         self.n_buckets = n_buckets
         self.salt = salt
+        self.partition_by = list(partition_by or [])
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
@@ -87,7 +95,7 @@ class PackSequences(Component):
         )
         lane = F.pmod(bucket_of(self.id_col, self.salt), F.lit(self.n_buckets))
         w = (
-            Window.partitionBy("pack_bucket")
+            Window.partitionBy("pack_bucket", *self.partition_by)
             .orderBy(F.col(self.id_col))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )

@@ -46,6 +46,31 @@ def test_pack_sequences_semantics(spark):
     assert got == expect
 
 
+def test_pack_sequences_partition_by_isolates_groups(spark):
+    """partition_by packs WITHIN each group: a (group, lane) window
+    never mixes groups — packing one group alone yields the identical
+    assignment, so sequences cannot straddle a split boundary."""
+    rows = [
+        (i, 100 + (i * 37) % 400, "train" if i % 3 else "val")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint, split string")
+
+    def assignments(frame, partition_by):
+        out = PackSequences(
+            "d", "o", id_col="doc_id", tokens_col="n_tok",
+            budget=512, n_buckets=4, partition_by=partition_by,
+        )(Flow({"d": frame}))["o"]
+        return {r.doc_id: (r.pack_bucket, r.seq_id, r.tok_offset) for r in out.collect()}
+
+    both = assignments(df, ["split"])
+    for grp in ("train", "val"):
+        alone = assignments(df.filter(F.col("split") == grp), [])
+        assert {d: v for d, v in both.items() if d in alone} == alone
+    # without partition_by the groups share lanes: assignments differ
+    assert assignments(df, []) != both
+
+
 def test_pack_sequences_doc_longer_than_budget_spans(spark):
     df = spark.createDataFrame(
         [(1, 50), (2, 3000), (3, 10)], "doc_id bigint, n_tok bigint"
