@@ -2156,6 +2156,86 @@ def ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ivf_index_search",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST(10 AS BIGINT) AS k,
+  CAST(1 AS BIGINT) AS pruned_ok,
+  CAST(1 AS BIGINT) AS matches_inmemory
+FROM embeddings WHERE vec_id < 8
+""",
+)
+def ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF index path proven end-to-end (similarity.py
+    IVFIndex + ivf_search) — the layout that makes IVF pay at 100 TB:
+    assignment is written ONCE, parquet-partitioned by centroid_id,
+    and every later query load opens only its probed partitions.
+
+    The fn builds the index over the embeddings table, searches it
+    (8 queries, n_probe=2 of 16 lists), and asserts two things that
+    flip the row red on regression: (a) the index scan's plan carries
+    a PartitionFilters entry on centroid_id naming FEWER than all 16
+    lists — actual partition pruning, not a full scan; (b) the pruned
+    search returns EXACTLY the in-memory IVFTopK result for the same
+    (seed, centroids, probes) — zero symmetric difference on
+    (query_id, neighbor_id, cosine, rank).  Both are deterministic:
+    training is seeded, the normalized vectors round-trip parquet
+    float64 exactly, ranks tie-break on neighbor_id."""
+    import re as _re
+
+    from strom_spark import IVFIndex
+    from strom_spark.operators.similarity import ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sf_tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = f"/tmp/strom_spark_ivf_index_{sf_tag}"
+    IVFIndex("corpus", path, n_centroids=16)(Flow({"corpus": emb}))
+
+    def queries():
+        return emb.filter(F.col("vec_id") < 8)
+
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    pruned = ivf_search(
+        spark, path, queries(), k=10, n_probe=2
+    ).select(*cols)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    if not m or "centroid_id" not in m.group(1):
+        raise AssertionError(
+            "index scan carries no centroid_id partition filter:\n" + plan
+        )
+    n_listed = len(_re.findall(r"\d+", m.group(1)))
+    if not 0 < n_listed < 16:
+        raise AssertionError(
+            f"probe list covers {n_listed} of 16 partitions — nothing "
+            "was pruned:\n" + m.group(1)
+        )
+    pruned = pruned.localCheckpoint(eager=True)
+    mem = (
+        IVFTopK("c", "q", "o", k=10, n_centroids=16, n_probe=2)(
+            Flow({"c": emb, "q": queries()})
+        )["o"]
+        .select(*cols)
+        .localCheckpoint(eager=True)
+    )
+    diff = pruned.exceptAll(mem).unionAll(mem.exceptAll(pruned))
+    diff_n = diff.groupBy(F.lit(1).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__n_diff")
+    )
+    stats = pruned.groupBy(F.lit(1).alias("__k")).agg(
+        F.count_distinct("query_id").alias("n_queries")
+    )
+    return stats.join(diff_n, "__k", "left").select(
+        F.col("n_queries").cast("bigint"),
+        F.lit(10).cast("bigint").alias("k"),
+        F.lit(1).cast("bigint").alias("pruned_ok"),
+        (F.coalesce("__n_diff", F.lit(0)) == 0)
+        .cast("bigint")
+        .alias("matches_inmemory"),
+    )
+
+
+@_q(
     "approx_distinct_users",
     """
 SELECT event_type,

@@ -118,6 +118,9 @@ HEADLINE = [
     # round 6: the complete pipeline extended to split-isolated packed
     # sequences — TOTAL covers 54 from here
     "curation_v4",
+    # round 6: persisted IVF index with partition-pruned probes —
+    # TOTAL covers 55 from here
+    "ivf_index_search",
 ]
 
 
