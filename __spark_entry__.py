@@ -2108,16 +2108,17 @@ def ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ["query_id", "neighbor_id", "cosine", "rank"]
     # gt feeds the recall join AND both sides of the exceptAll
-    # symmetric difference, full feeds both sides — localCheckpoint
-    # pins each tiny (n_queries x k) result so the full-corpus GEMM
-    # scan and the IVF rerank run ONCE, not 3x/2x (same pattern
-    # CosineTopK uses for its query side internally).
+    # symmetric difference, full feeds both sides — LAZY
+    # localCheckpoints pin each tiny (n_queries x k) result so the
+    # full-corpus GEMM scan and the IVF rerank run ONCE, not 3x/2x,
+    # while plan_report/the topology sweep still see the real
+    # pre-checkpoint plan (eager would execute at construction time).
     gt = (
         CosineTopK("c", "q", "o", k=10)(Flow({"c": emb, "q": queries()}))[
             "o"
         ]
         .select(*cols)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     probe8 = IVFTopK("c", "q", "o", k=10, n_centroids=16, n_probe=8)(
         Flow({"c": emb, "q": queries()})
@@ -2127,7 +2128,7 @@ def ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             Flow({"c": emb, "q": queries()})
         )["o"]
         .select(*cols)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     marked = gt.join(
@@ -2186,37 +2187,45 @@ def ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strom_spark import IVFIndex
     from strom_spark.operators.similarity import ivf_search
 
+    N_CENTROIDS = 16
     emb = load_table(spark, sf_dir, "embeddings")
     sf_tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    path = f"/tmp/strom_spark_ivf_index_{sf_tag}"
-    IVFIndex("corpus", path, n_centroids=16)(Flow({"corpus": emb}))
+    # pid-scoped: concurrent benches/tests on one box must not race on
+    # each other's index files (the dir must OUTLIVE this fn — the
+    # returned lazy plan scans it at action time — so no mkdtemp+rm)
+    path = f"/tmp/strom_spark_ivf_index_{sf_tag}_{os.getpid()}"
+    IVFIndex("corpus", path, n_centroids=N_CENTROIDS)(Flow({"corpus": emb}))
 
     def queries():
         return emb.filter(F.col("vec_id") < 8)
 
     cols = ["query_id", "neighbor_id", "cosine", "rank"]
-    pruned = ivf_search(
-        spark, path, queries(), k=10, n_probe=2
-    ).select(*cols)
+    pruned, probed = ivf_search(
+        spark, path, queries(), k=10, n_probe=2, return_probed=True
+    )
+    pruned = pruned.select(*cols)
+    if not 0 < len(probed) < N_CENTROIDS:
+        raise AssertionError(
+            f"probe list covers {len(probed)} of {N_CENTROIDS} index "
+            f"partitions — nothing was pruned: {probed}"
+        )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     if not m or "centroid_id" not in m.group(1):
         raise AssertionError(
             "index scan carries no centroid_id partition filter:\n" + plan
         )
-    n_listed = len(_re.findall(r"\d+", m.group(1)))
-    if not 0 < n_listed < 16:
-        raise AssertionError(
-            f"probe list covers {n_listed} of 16 partitions — nothing "
-            "was pruned:\n" + m.group(1)
-        )
-    pruned = pruned.localCheckpoint(eager=True)
+    # lazy checkpoints: computed once at first action (both exceptAll
+    # branches reuse the persisted blocks), but nothing executes at
+    # plan-construction time — plan_report/the topology sweep still
+    # see (and audit) the real pre-checkpoint plan.
+    pruned = pruned.localCheckpoint(eager=False)
     mem = (
-        IVFTopK("c", "q", "o", k=10, n_centroids=16, n_probe=2)(
+        IVFTopK("c", "q", "o", k=10, n_centroids=N_CENTROIDS, n_probe=2)(
             Flow({"c": emb, "q": queries()})
         )["o"]
         .select(*cols)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     diff = pruned.exceptAll(mem).unionAll(mem.exceptAll(pruned))
     diff_n = diff.groupBy(F.lit(1).alias("__k")).agg(

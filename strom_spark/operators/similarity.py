@@ -417,7 +417,8 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_rows: int = 1_000_000,
-) -> DataFrame:
+    return_probed: bool = False,
+):
     """Search a persisted :class:`IVFIndex`: per query pick the
     ``n_probe`` nearest centroids, scan ONLY those partitions
     (partition pruning on ``centroid_id``), exact-rerank.  Output
@@ -426,7 +427,10 @@ def ivf_search(
     Probe assignment is distributed (``_probe_assign``); the only
     driver-side materialization is the DISTINCT probed centroid ids —
     bounded by n_centroids, never by query count — which drive the
-    partition-pruning filter on the index scan."""
+    partition-pruning filter on the index scan.  With
+    ``return_probed=True`` returns ``(df, probed_centroid_ids)`` so a
+    caller can assert how much of the index was pruned without
+    parsing plan text."""
     import json
 
     with open(f"{index_path}/_centroids.json") as f:
@@ -443,7 +447,8 @@ def ivf_search(
         .select("query_id", "neighbor_id", "cosine")
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    out = sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (out, needed) if return_probed else out
 
 
 def _hyperplanes(dim: int, n: int, seed: int) -> list[list[float]]:

@@ -46,14 +46,20 @@ def write_bucketed(
     saveAsTable then fails with LOCATION_ALREADY_EXISTS even in
     overwrite mode.  If the table is absent from the catalog but its
     default warehouse location exists on the local filesystem, the
-    stale directory is removed first.  The guard applies ONLY to
-    unqualified (default-database) names: a qualified ``db.tbl`` lives
-    under ``<warehouse>/db.db/tbl``, and naively mapping its bare name
-    to ``<warehouse>/tbl`` could rmtree a LIVE default-db table."""
+    stale directory is removed first.  The guard applies ONLY when the
+    name is unqualified AND the session's current database is
+    ``default``: a qualified ``db.tbl`` lives under
+    ``<warehouse>/db.db/tbl``, and with a non-default current database
+    ``tableExists`` resolves against THAT database while the path
+    below is the default-db layout — either mismatch could rmtree a
+    LIVE table's data, so those cases skip cleanup (worst case:
+    saveAsTable fails loudly with LOCATION_ALREADY_EXISTS and the
+    operator removes the orphan by hand)."""
     spark = df.sparkSession
     if (
         mode == "overwrite"
         and "." not in table
+        and spark.catalog.currentDatabase() == "default"
         and not spark.catalog.tableExists(table)
     ):
         from urllib.parse import urlparse
@@ -141,10 +147,11 @@ def compact_write(
     Returns the file count it targeted.  Estimates are estimates:
     actual sizes land within a small factor of the target, which is
     all split planning needs (128 MB vs 5 MB matters; 380 MB vs
-    512 MB does not).  ``max_files`` is the absurdity bound: a
-    computed count above it means the estimate is garbage (sentinel
-    or scaled-sentinel lineage) and the input partition count is kept
-    instead.
+    512 MB does not).  Two guards: an estimate at/above the
+    unknown-stats sentinel (or implausibly above an exbibyte — a
+    scaled sentinel) is GARBAGE and the input partition count is kept;
+    a plausible estimate whose implied count exceeds ``max_files`` is
+    clamped to ``max_files`` with a warning naming the real cause.
     """
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
@@ -171,7 +178,10 @@ def compact_write(
         )
     )
     n_files = max(1, -(-est_bytes // target_file_bytes))
-    if est_bytes >= sentinel or n_files > max_files:
+    if est_bytes >= sentinel or est_bytes > 2**60:
+        # exact sentinel, or a scaled sentinel (a Project over
+        # estimate-less lineage lands anywhere below Long.MaxValue —
+        # nothing real is an exbibyte): the estimate is garbage
         n_files = max(1, df.rdd.getNumPartitions())
         warnings.warn(
             "compact_write: no usable size estimate for this plan "
@@ -179,6 +189,18 @@ def compact_write(
             f"{n_files} files instead of sizing to target_file_bytes",
             stacklevel=2,
         )
+    elif n_files > max_files:
+        # the estimate is plausible but the caller's target implies an
+        # absurd file count — honor the SPIRIT of the target by
+        # clamping, and say so (a 'no estimate' message here would
+        # send the operator debugging the wrong thing)
+        warnings.warn(
+            f"compact_write: target_file_bytes={target_file_bytes} "
+            f"implies {n_files} files for an estimated {est_bytes} "
+            f"bytes; clamping to max_files={max_files}",
+            stacklevel=2,
+        )
+        n_files = max_files
     # For a bare scan, Catalyst's sizeInBytes IS the on-disk file size
     # (fileCompressionFactor defaults to 1.0), so the estimate maps to
     # output bytes ~1:1 when re-writing with the same codec; derived
