@@ -2190,10 +2190,19 @@ def ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_CENTROIDS = 16
     emb = load_table(spark, sf_dir, "embeddings")
     sf_tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    # pid-scoped: concurrent benches/tests on one box must not race on
-    # each other's index files (the dir must OUTLIVE this fn — the
-    # returned lazy plan scans it at action time — so no mkdtemp+rm)
-    path = f"/tmp/strom_spark_ivf_index_{sf_tag}_{os.getpid()}"
+    # ONE fixed per-sf path, overwritten each run (IVFIndex writes
+    # mode=overwrite): growth across bench/correctness processes is
+    # bounded at one directory per sf, vs the r6 pid-scoped scheme
+    # that accumulated a dir per process.  The dir must OUTLIVE this
+    # fn — the returned lazy plan scans it at action time — so no
+    # mkdtemp+rm.  Concurrent same-sf runs would race on the rewrite;
+    # bench and driver runs are sequential per-round, documented.
+    path = f"/tmp/strom_spark_ivf_index_{sf_tag}"
+    import glob as _glob
+    import shutil as _shutil
+
+    for legacy in _glob.glob(f"{path}_[0-9]*"):  # r6 pid-scoped leftovers
+        _shutil.rmtree(legacy, ignore_errors=True)
     IVFIndex("corpus", path, n_centroids=N_CENTROIDS)(Flow({"corpus": emb}))
 
     def queries():
@@ -4323,24 +4332,43 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     table should live in: the per-query shuffle of the biggest table
     is paid ONCE at write time, every subsequent keyed join/agg rides
     it for free.  Decimal revenue sum: exact and order-independent, so
-    Spark (bucketed) and DuckDB (flat scan) agree bit-for-bit."""
+    Spark (bucketed) and DuckDB (flat scan) agree bit-for-bit.
+
+    Round 7: the writes are now idempotent-cheap and sf-scoped.  A
+    source-file fingerprint (size+mtime of the parquet inputs) is
+    passed to write_bucketed, so WARM reruns (bench warm passes,
+    repeated driver runs over unchanged testdata) skip both table
+    rewrites and measure the exchange-free JOIN — the steady-state a
+    100 TB deployment actually lives in, where the layout was paid
+    for long ago.  Table names carry the sf tag so benches at
+    different scale factors never race on one physical directory."""
+    import re as _re
+
     from strom_spark import write_bucketed, zorder_key
 
+    def _fp(table: str) -> str:
+        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+        return f"{os.path.realpath(sf_dir)}:{table}:{st.st_size}:{st.st_mtime_ns}"
+
+    sf_tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    li_tbl, ord_tbl = f"strom_li_bucketed_{sf_tag}", f"strom_ord_bucketed_{sf_tag}"
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "zkey", zorder_key(["l_partkey", "l_suppkey"], bits=16)
     )
     write_bucketed(
-        li, "strom_li_bucketed",
+        li, li_tbl,
         bucket_by=["l_orderkey"], num_buckets=8, sort_by=["zkey"],
+        fingerprint=_fp("lineitem"),
     )
     write_bucketed(
-        load_table(spark, sf_dir, "orders"), "strom_ord_bucketed",
+        load_table(spark, sf_dir, "orders"), ord_tbl,
         bucket_by=["o_orderkey"], num_buckets=8,
+        fingerprint=_fp("orders"),
     )
-    lib = spark.table("strom_li_bucketed").select(
+    lib = spark.table(li_tbl).select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    ob = spark.table("strom_ord_bucketed").select(
+    ob = spark.table(ord_tbl).select(
         "o_orderkey", "o_orderpriority"
     )
     joined = lib.hint("merge").join(ob, lib.l_orderkey == ob.o_orderkey)

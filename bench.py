@@ -187,19 +187,50 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
 
     total = round(sum(timings.values()), 3)
+
+    # Round-7 artifact contract fix: the driver captures only a ~2.2 KB
+    # TAIL of stdout and parses the FINAL line as JSON.  Round 6 printed
+    # one giant line (warm + cold + fingerprint); its head — including
+    # "value" — fell outside the captured window and the official bench
+    # signal was lost (BENCH_r06.json parsed: null).  Now the detail
+    # payload (cold runs, per-table testdata fingerprint) goes to a side
+    # file AND an early stdout line, and the final line is a compact
+    # summary guaranteed to fit the tail window.
+    detail = {
+        "cold": cold,
+        "warm_runs": n_warm,
+        "testdata_fingerprint": _testdata_fingerprint(sf_dir),
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as f:
+            json.dump({"value": total, "queries": timings, "sf": sf,
+                       **detail, **({"errors": errors} if errors else {})},
+                      f, indent=1)
+    except OSError:
+        pass  # read-only checkout must not lose the stdout artifact
+    print(json.dumps({"detail": detail}, separators=(",", ":")))
+
     payload = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "cold": cold,
-        "warm_runs": n_warm,
-        "testdata_fingerprint": _testdata_fingerprint(sf_dir),
+        "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
     }
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1400:  # degrade precision before ever risking truncation
+        payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:  # last resort: keep the headline metric parseable
+        payload.pop("queries")
+        payload["queries_in"] = "BENCH_DETAIL.json"
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

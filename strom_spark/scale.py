@@ -27,6 +27,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: marker dropped inside every write_bucketed table directory.  The
+#: leading underscore makes Spark's file listing skip it (same rule as
+#: ``_SUCCESS``), so it is invisible to scans; its presence scopes the
+#: orphan guard to OUR tables, and its content (fingerprint + bucket
+#: spec) lets a later call skip an identical rewrite.
+_MARKER = "_strom_bucketed.json"
+
+
+def _default_location(spark, table: str) -> str | None:
+    """Default-warehouse directory for an unqualified table name in the
+    ``default`` database, or None when the layout can't be trusted
+    (qualified name, non-default current db, non-local warehouse)."""
+    if "." in table or spark.catalog.currentDatabase() != "default":
+        return None
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme not in ("", "file") or not wh.path:
+        return None
+    return os.path.join(wh.path, table.lower())
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -35,44 +57,123 @@ def write_bucketed(
     num_buckets: int,
     sort_by: Sequence[str] | None = None,
     mode: str = "overwrite",
-) -> None:
+    fingerprint: str | None = None,
+) -> bool:
     """Persist ``df`` as a bucketed (and optionally sorted) table.
     Joins/aggs between tables bucketed the same way on the same key
     run exchange-free (verified in tests/test_scale_utils.py).
+    Returns True when data was written, False when an identical
+    existing layout was reused (see ``fingerprint``).
+
+    ``fingerprint`` (opt-in) makes the write idempotent-cheap: a
+    caller-supplied content stamp (e.g. source-file size+mtime) is
+    stored in a ``_strom_bucketed.json`` marker inside the table
+    directory.  When a later call presents the same fingerprint AND
+    the same bucket spec, the rewrite is skipped — within a session
+    the catalog entry is reused as-is; across sessions (in-memory
+    catalog lost, files still on disk) the table is re-registered as
+    an EXTERNAL table over the existing files via ``CREATE TABLE …
+    CLUSTERED BY … LOCATION``, preserving the bucket spec so joins
+    stay exchange-free.  This is the write-once-ride-free contract at
+    100 TB: the fact-table shuffle is paid once, every later session
+    rides the layout.
 
     Orphaned-location guard: with the in-memory catalog, a managed
     table written by a PREVIOUS session leaves its warehouse directory
     behind while the new session's catalog has no entry for it —
     saveAsTable then fails with LOCATION_ALREADY_EXISTS even in
-    overwrite mode.  If the table is absent from the catalog but its
-    default warehouse location exists on the local filesystem, the
-    stale directory is removed first.  The guard applies ONLY when the
-    name is unqualified AND the session's current database is
-    ``default``: a qualified ``db.tbl`` lives under
-    ``<warehouse>/db.db/tbl``, and with a non-default current database
-    ``tableExists`` resolves against THAT database while the path
-    below is the default-db layout — either mismatch could rmtree a
-    LIVE table's data, so those cases skip cleanup (worst case:
-    saveAsTable fails loudly with LOCATION_ALREADY_EXISTS and the
-    operator removes the orphan by hand)."""
+    overwrite mode.  When the table is absent from the catalog but its
+    default warehouse location exists, the stale directory is MOVED
+    ASIDE to ``<loc>.stale`` (replacing any previous ``.stale`` — so
+    leftovers are bounded at one per table name, and a mis-identified
+    LIVE table fails loudly in its owning session instead of silently
+    losing data — this guard used to rmtree, which with two concurrent
+    sessions sharing a warehouse could delete the other session's live
+    table).  The guard only touches directories carrying OUR marker
+    file; a foreign directory at the location is left alone and
+    saveAsTable fails loudly with LOCATION_ALREADY_EXISTS for the
+    operator to resolve by hand.  Known residual race: two sessions
+    concurrently writing the SAME table name with DIFFERENT content
+    still conflict — same-content concurrent runs converge via the
+    fingerprint skip instead."""
+    import json
+
     spark = df.sparkSession
+    loc = _default_location(spark, table)
+    spec = {
+        "bucket_by": list(bucket_by),
+        "num_buckets": num_buckets,
+        "sort_by": list(sort_by) if sort_by else [],
+    }
+
+    if fingerprint is not None and mode == "overwrite" and loc:
+        marker = os.path.join(loc, _MARKER)
+        try:
+            with open(marker) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = None
+        if prev == {**spec, "fingerprint": fingerprint}:
+            if not spark.catalog.tableExists(table):
+                # new session, files intact: re-declare the bucket spec
+                # over the existing location (external table — DROP
+                # must never delete the shared files)
+                sort_clause = (
+                    f"SORTED BY ({', '.join(spec['sort_by'])}) "
+                    if spec["sort_by"]
+                    else ""
+                )
+                spark.sql(
+                    f"CREATE TABLE {table} ({df.schema.toDDL()}) "
+                    f"USING PARQUET "
+                    f"CLUSTERED BY ({', '.join(spec['bucket_by'])}) "
+                    f"{sort_clause}INTO {num_buckets} BUCKETS "
+                    f"LOCATION '{loc}'"
+                )
+            return False
+    if mode == "overwrite" and loc and spark.catalog.tableExists(table):
+        # an EXTERNAL entry (the re-registration above, from this or an
+        # earlier call) can't be overwritten in place by saveAsTable —
+        # drop the catalog entry (files stay; the orphan guard below
+        # moves them aside).  Managed entries take the normal
+        # saveAsTable overwrite path untouched.
+        try:
+            typ = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+                .filter(F.col("col_name") == "Type")
+                .first()
+            )
+            if typ and str(typ[1]).strip().upper() == "EXTERNAL":
+                spark.sql(f"DROP TABLE {table}")
+        except Exception:
+            pass  # metadata probe failure: fall through, write decides
+
     if (
         mode == "overwrite"
-        and "." not in table
-        and spark.catalog.currentDatabase() == "default"
+        and loc
         and not spark.catalog.tableExists(table)
+        and os.path.isdir(loc)
     ):
-        from urllib.parse import urlparse
+        if os.path.exists(os.path.join(loc, _MARKER)):
+            stale = loc + ".stale"
+            shutil.rmtree(stale, ignore_errors=True)
+            try:
+                os.rename(loc, stale)
+            except OSError:
+                pass  # lost a concurrent race; saveAsTable reports it
+        # else: foreign directory — leave it; saveAsTable fails loudly
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
-        if wh.scheme in ("", "file") and wh.path:
-            loc = os.path.join(wh.path, table.lower())
-            if os.path.isdir(loc):
-                shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
     if sort_by:
         w = w.sortBy(*sort_by)
     w.format("parquet").saveAsTable(table)
+    if loc:
+        try:
+            with open(os.path.join(loc, _MARKER), "w") as f:
+                json.dump({**spec, "fingerprint": fingerprint}, f)
+        except OSError:
+            pass  # marker is an optimization; the table itself is live
+    return True
 
 
 def salted_join(
