@@ -2254,6 +2254,91 @@ def ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "lsh_recall_floor",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+  CAST(1 AS BIGINT) AS recall_ok,
+  CAST(1 AS BIGINT) AS precision_ok
+FROM embeddings WHERE vec_id < 50
+""",
+)
+def lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CosineLSHJoin retrieval QUALITY at the PRODUCTION config (θ=0.9,
+    8 tables × 12 bits — the config `cosine_lsh_prod` benches) as a
+    driver-checked flag row, mirroring `ann_recall_floor` for IVF.
+    The prod config's registered oracle row can only test PRECISION
+    (the corpus has no natural pair above cosine ~0.6, so truth is
+    empty); this row PLANTS 50 near-duplicates so recall is measured
+    on a non-empty truth set every round:
+
+    - each corpus vector with vec_id < 50 gets a copy (id + 1_000_000)
+      perturbed by a DETERMINISTIC pseudo-noise direction d with
+      d_i = sin(131·vec_id + 17·i), scaled to 0.2·‖v‖ — true cosine
+      (1+εc)/√(1+2εc+ε²) ≈ 0.98 for ε=0.2, |c|≲0.3, far above θ.
+      Pure Column HOFs (sequence/transform/zip_with/aggregate), no
+      Python in the plant.
+    - ``recall_ok``: ≥ 0.80 of the 50 planted pairs must surface.  At
+      cosine 0.98 the sign-LSH collision probability is ~0.99 per pair
+      (p_bit = 1-θ_angle/π ≈ 0.936, 1-(1-p_bit^12)^8), so expected
+      misses ≈ 0.4/50 on ANY regenerated corpus — the floor is ~10
+      binomial σ below the mean, failing only on a real regression in
+      hyperplane seeding, signature packing, or the bucket join.
+    - ``precision_ok``: zero emitted pairs outside the planted set.
+      The operator exact-verifies candidates, so an extra pair means
+      either a verify regression or a natural ≥0.9 pair (max natural
+      cross-similarity vs a planted copy is ≈(0.6+ε)/√(1+ε²) ≈ 0.78).
+
+    The oracle's constants flip the row red on any regression; only
+    n_planted is data-derived (count of vec_id < 50)."""
+    N_PLANT, EPS, DIM = 50, 0.2, 64
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    d = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: F.sin(
+            F.col("vec_id").cast("double") * F.lit(131.0)
+            + i.cast("double") * F.lit(17.0)
+        ),
+    )
+    sq = lambda acc, x: acc + x * x  # noqa: E731
+    scale = (
+        F.lit(EPS)
+        * F.sqrt(F.aggregate("embedding", F.lit(0.0), sq))
+        / F.sqrt(F.aggregate(d, F.lit(0.0), sq))
+    )
+    planted = emb.filter(F.col("vec_id") < N_PLANT).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.zip_with("embedding", d, lambda x, e: x + scale * e).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(planted)
+    pairs = CosineLSHJoin(
+        "c", "pairs", dim=DIM, threshold=0.9, n_tables=8, bits_per_table=12
+    )(Flow({"c": corpus}))["pairs"]
+    is_planted = (F.col("d2") == F.col("d1") + 1_000_000) & (
+        F.col("d1") < N_PLANT
+    )
+    pair_stats = pairs.groupBy(F.lit(1).alias("__k")).agg(
+        F.sum(is_planted.cast("int")).alias("__hits"),
+        F.sum((~is_planted).cast("int")).alias("__extra"),
+    )
+    planted_n = planted.groupBy(F.lit(1).alias("__k")).agg(
+        F.count(F.lit(1)).alias("n_planted")
+    )
+    return planted_n.join(pair_stats, "__k", "left").select(
+        F.col("n_planted").cast("bigint"),
+        (F.coalesce("__hits", F.lit(0)) >= int(0.80 * N_PLANT))
+        .cast("bigint")
+        .alias("recall_ok"),
+        (F.coalesce("__extra", F.lit(0)) == 0)
+        .cast("bigint")
+        .alias("precision_ok"),
+    )
+
+
+@_q(
     "approx_distinct_users",
     """
 SELECT event_type,

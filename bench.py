@@ -121,6 +121,9 @@ HEADLINE = [
     # round 6: persisted IVF index with partition-pruned probes —
     # TOTAL covers 55 from here
     "ivf_index_search",
+    # round 7: production-config LSH recall floor (50 planted
+    # near-dups through θ=0.9, 8×12) — TOTAL covers 56 from here
+    "lsh_recall_floor",
 ]
 
 
