@@ -68,43 +68,71 @@ class BM25Score(Component):
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
+        # Round-7 plan diet (was: explode -> groupBy(doc,term) ->
+        # groupBy(term) -> join-back -> groupBy(doc), 4 wide shuffles +
+        # a second corpus tokenize for N/avgdl).  The query bag is
+        # SMALL by construction (a search query, not the vocabulary),
+        # so per-(doc,term) rows never need to exist: each doc carries
+        # a fixed-width tf VECTOR (one int per query term, computed
+        # with size/filter HOFs inside the single tokenize pass), and
+        # N, avgdl, AND every per-term df collapse into ONE single-row
+        # aggregate broadcast back to the scoring scan.  ZERO wide
+        # shuffles — the whole operator is two narrow passes over a
+        # lazily-checkpointed (id, dl, tfs) frame (~O(|terms|) ints per
+        # doc; at 100 TB this pins row-count-sized state instead of
+        # re-tokenizing the corpus for the stats branch).  Per-term
+        # contributions are still rounded then summed as DECIMAL in
+        # fixed term order, preserving the cross-engine hash contract.
         df = flow[self.input]
         require_batch(df, "BM25Score", "corpus-wide N/avgdl/df statistics need the whole corpus")
+        terms = list(dict.fromkeys(self.terms))
         toks = df.select(
             F.col(self.id_col).alias("__id"),
             F.filter(TXT.tokens(self.text_col), lambda x: x != F.lit("")).alias("__w"),
         )
-        # single-row corpus stats; broadcast to every contribution row
-        stats = toks.agg(
+        def _count_of(t):
+            # single-arg lambda, built per term: a two-parameter lambda
+            # with a default would be treated as filter's (value, index)
+            # form, binding the term to the INDEX column
+            return F.size(F.filter("__w", lambda x: x == F.lit(t)))
+
+        slim = toks.select(
+            "__id",
+            F.size("__w").alias("__dl"),
+            F.array(*[_count_of(t) for t in terms]).alias("__tfs"),
+        ).localCheckpoint(eager=False)
+        stats = slim.agg(
             F.count(F.lit(1)).alias("__n"),
-            F.avg(F.size("__w")).alias("__avgdl"),
+            F.avg("__dl").alias("__avgdl"),
+            *[
+                F.sum((F.col("__tfs")[i] > 0).cast("long")).alias(f"__df{i}")
+                for i in range(len(terms))
+            ],
         )
-        # one explode pass: doc length rides along as a grouping column
-        # (functionally dependent on __id — no extra key cardinality,
-        # no second join against a full-corpus length table)
-        tf = (
-            toks.select("__id", F.size("__w").alias("__dl"), F.explode("__w").alias("__t"))
-            .filter(F.col("__t").isin(self.terms))
-            .groupBy("__id", "__dl", "__t")
-            .agg(F.count(F.lit(1)).alias("__tf"))
+        scored = slim.filter(
+            F.exists("__tfs", lambda v: v > F.lit(0))
+        ).crossJoin(F.broadcast(stats))
+        norm = F.lit(1.0 - self.b) + F.lit(self.b) * F.col("__dl") / F.col(
+            "__avgdl"
         )
-        dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
-        scored = tf.join(F.broadcast(dfreq), "__t").crossJoin(F.broadcast(stats))
-        idf = F.log(
-            (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
-            + F.lit(1.0)
-        )
-        norm = F.lit(1.0 - self.b) + F.lit(self.b) * F.col("__dl") / F.col("__avgdl")
-        contrib = idf * (F.col("__tf") * F.lit(self.k1 + 1.0)) / (
-            F.col("__tf") + F.lit(self.k1) * norm
-        )
-        out = (
-            scored.select(
-                "__id", F.round(contrib, 6).cast("decimal(18,6)").alias("__c")
+        total = F.lit(0).cast("decimal(18,6)")
+        for i in range(len(terms)):
+            tf = F.col("__tfs")[i].cast("double")
+            idf = F.log(
+                (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5))
+                / (F.col(f"__df{i}") + F.lit(0.5))
+                + F.lit(1.0)
             )
-            .groupBy("__id")
-            .agg(F.sum("__c").cast("double").alias(self.score_col))
-            .withColumnRenamed("__id", self.id_col)
+            contrib = idf * (tf * F.lit(self.k1 + 1.0)) / (
+                tf + F.lit(self.k1) * norm
+            )
+            # absent terms contribute an exact 0 (tf=0 numerator), so
+            # no per-term guard is needed; rounding keeps parity with
+            # the per-(doc,term) oracle formulation
+            total = total + F.round(contrib, 6).cast("decimal(18,6)")
+        out = scored.select(
+            F.col("__id").alias(self.id_col),
+            total.cast("double").alias(self.score_col),
         )
         return flow.without(self.input).with_stream(self.output, out)
 
@@ -154,18 +182,29 @@ class TfIdfTopTerms(Component):
                 lambda x: F.length(x) >= F.lit(self.min_token_len),
             ).alias("__w"),
         )
-        n_docs = toks.agg(F.count(F.lit(1)).alias("__n"))
+        # corpus size: a count over the RAW input (no tokenize — every
+        # doc counts, tokenized-empty or not), so the stats branch
+        # never re-runs the tokenizer
+        n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
         tf = (
             toks.select("__id", F.explode("__w").alias("__t"))
             .groupBy("__id", "__t")
             .agg(F.count(F.lit(1)).alias("__tf"))
         )
-        dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+        # document frequency as a WINDOW over the term (round 7): the
+        # old groupBy(term) + join-back needed the vocab aggregated on
+        # __t AND tf re-exchanged on __t — two wide shuffles where one
+        # suffices.  count(*) over partitionBy(__t) computes df with a
+        # single exchange of the (doc,term) frame; hot-term skew is
+        # identical to what the join's __t exchange already had.
+        wt = Window.partitionBy("__t")
         # rank on the ROUNDED score: raw doubles from ln() can differ
         # in the last ulp across engines, which would flip the order of
         # near-equal terms; rounding first makes near-ties exact ties,
         # which the term text then breaks deterministically
-        scored = tf.join(dfreq, "__t").crossJoin(F.broadcast(n_docs)).select(
+        scored = tf.withColumn(
+            "__df", F.count(F.lit(1)).over(wt)
+        ).crossJoin(F.broadcast(n_docs)).select(
             "__id",
             "__t",
             F.round(
