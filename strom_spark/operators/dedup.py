@@ -881,6 +881,19 @@ class Decontaminate(Component):
     array itself is built by the SAME Column expressions as the batch
     postings, so the two lowerings agree exactly
     (differentially tested in tests/test_streaming.py).
+
+    Broadcast lifetime: the eval-shingle set is FROZEN at
+    plan-construction time — a restarted stream re-runs transform and
+    re-collects it, but a long-RUNNING query never sees eval-side
+    changes (restart to pick them up).  The broadcast variable lives
+    as long as the plan that references it; it is deliberately not
+    destroyed on query termination (the lazily-executed plan may be
+    re-triggered), so a long-lived session instantiating MANY
+    Decontaminate components accumulates one eval-set broadcast per
+    instantiation — reuse the component/plan, or call
+    ``spark.sparkContext._jsc.sc().cleaner()``-driven GC by dropping
+    references, rather than re-instantiating per micro-batch.  (Same
+    contract for :class:`PhraseBlocklist`'s streaming phrase set.)
     """
 
     def __init__(
@@ -1185,6 +1198,18 @@ class PhraseBlocklist(Component):
     shingle-join lowering above.  Set ``max_inline=0`` to force the
     join path (the registered query does, so the oracle certifies
     the inverted lowering, not the predicate chain).
+
+    STREAMING docs with a beyond-inline phrase table (round 7) lower
+    the same way streaming :class:`Decontaminate` does: the normalized
+    phrase set (bounded by ``max_broadcast_phrases``, typed error
+    beyond — a blocklist is curated, not corpus-sized) is collected
+    once, grouped by word length, broadcast, and per-doc distinct
+    matches count in an Arrow-batched pandas UDF over the token
+    array — no stream-side shuffle, no per-micro-batch phrase scan.
+    Differential-tested against the batch join lowering in
+    tests/test_streaming_ops.py.  Like Decontaminate, the phrase set
+    is FROZEN at plan-construction time; restart the query to pick up
+    blocklist changes.
     """
 
     def __init__(
@@ -1198,12 +1223,15 @@ class PhraseBlocklist(Component):
         phrase_col: str = "phrase",
         mode: str = "flag",
         max_inline: int = 64,
+        max_broadcast_phrases: int = 1_000_000,
         label: str | None = None,
     ):
         if mode not in ("flag", "drop"):
             raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
         if max_inline < 0:
             raise ValueError("max_inline must be >= 0")
+        if max_broadcast_phrases < 1:
+            raise ValueError("max_broadcast_phrases must be >= 1")
         self.docs = docs
         self.phrases = phrases
         self.output = output
@@ -1212,7 +1240,65 @@ class PhraseBlocklist(Component):
         self.phrase_col = phrase_col
         self.mode = mode
         self.max_inline = int(max_inline)
+        self.max_broadcast_phrases = int(max_broadcast_phrases)
         self.label = label
+
+    def _transform_streaming(self, flow: Flow, docs, p) -> Flow:
+        """Broadcast-membership lowering for streaming docs (the
+        streaming Decontaminate pattern, dedup.py:930): ``p`` is the
+        normalized distinct phrase frame."""
+        import pandas as pd
+
+        rows = p.limit(self.max_broadcast_phrases + 1).collect()
+        if len(rows) > self.max_broadcast_phrases:
+            raise ValueError(
+                "PhraseBlocklist: phrase table exceeds "
+                f"max_broadcast_phrases={self.max_broadcast_phrases} on a "
+                "streaming input; raise the bound or run the batch join "
+                "lowering per micro-batch via foreachBatch"
+            )
+        by_len: dict[int, frozenset] = {}
+        for (ph,) in rows:
+            by_len.setdefault(len(ph.split(" ")), set()).add(ph)
+        by_len = {L: frozenset(s) for L, s in by_len.items()}
+        b = docs.sparkSession.sparkContext.broadcast(by_len)
+
+        @F.pandas_udf("long")
+        def _n_hits(toks: pd.Series) -> pd.Series:
+            bl = b.value
+
+            def count(a):
+                if a is None:
+                    return 0
+                n = 0
+                for L, s in bl.items():
+                    if len(a) >= L:
+                        # distinct L-shingles present in the blocklist
+                        # (batch parity: count_distinct of matched
+                        # phrases; join with " " matches concat_ws)
+                        n += len(
+                            {
+                                g
+                                for i in range(len(a) - L + 1)
+                                if (g := " ".join(a[i : i + L])) in s
+                            }
+                        )
+                return n
+
+            return toks.apply(count)
+
+        scored = docs.withColumn(
+            "n_blocklisted", _n_hits(TXT.tokens(self.text_col))
+        )
+        if self.mode == "drop":
+            out = scored.filter(F.col("n_blocklisted") == 0).drop(
+                "n_blocklisted"
+            )
+        else:
+            out = scored.withColumn("blocked", F.col("n_blocklisted") > 0)
+        return flow.without(self.docs, self.phrases).with_stream(
+            self.output, out
+        )
 
     def transform(self, flow: Flow) -> Flow:
         from ..component import require_batch
@@ -1255,14 +1341,13 @@ class PhraseBlocklist(Component):
                 return flow.without(self.docs, self.phrases).with_stream(
                     self.output, out
                 )
-        require_batch(
-            docs, "PhraseBlocklist", "per-doc match counts re-aggregate"
-        )
         p = (
             phrases.select(TXT.normalize(self.phrase_col).alias("__p"))
             .filter(F.length("__p") > 0)
             .distinct()
         )
+        if docs.isStreaming:
+            return self._transform_streaming(flow, docs, p)
         lengths = sorted(
             r[0]
             for r in p.select(

@@ -393,15 +393,92 @@ def test_streaming_mixture_sample_matches_batch(spark, sf_dir):
             LineDedup("docs")(Flow({"docs": stream}))
         deny = spark.createDataFrame([("x y",)], "phrase string")
         # small driver-known blocklists compile to pure predicates and
-        # are STREAM-legal; forcing the join lowering must still raise
+        # are STREAM-legal; the join form (max_inline=0) now lowers to
+        # broadcast membership on streams (round 7) — but must refuse
+        # loudly when the phrase set exceeds its broadcast bound
         flagged = PhraseBlocklist("docs", "p", "o")(
             Flow({"docs": stream, "p": deny})
         )["o"]
         assert flagged.isStreaming
-        with pytest.raises(TypeError, match="PhraseBlocklist is batch-only"):
-            PhraseBlocklist("docs", "p", "o", max_inline=0)(
-                Flow({"docs": _read_stream(spark, d), "p": deny})
+        two = spark.createDataFrame([("x y",), ("q r",)], "phrase string")
+        with pytest.raises(ValueError, match="max_broadcast_phrases"):
+            PhraseBlocklist(
+                "docs", "p", "o", max_inline=0, max_broadcast_phrases=1
+            )(Flow({"docs": _read_stream(spark, d), "p": two}))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_phrase_blocklist_join_form_matches_batch(spark, sf_dir):
+    """The JOIN-form PhraseBlocklist (max_inline=0 — the beyond-inline
+    phrase-table path) on a stream: once the normalized phrase set is
+    broadcast, the match count is row-local, so the streaming lowering
+    (pandas-UDF shingle membership, zero shuffle, zero state) must
+    drain availableNow to EXACTLY the batch shingle-join lowering —
+    flag counts AND drop kept-set, across phrase lengths 1 and 2,
+    including docs with zero matches (count 0, kept)."""
+    import shutil
+    import tempfile
+
+    from strom_spark import Flow, PhraseBlocklist, load_table
+
+    d = tempfile.mkdtemp(prefix="strom_blocklist_stream_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.write.mode("overwrite").parquet(d)
+        # phrases harvested from real docs (guaranteed hits): the first
+        # two tokens of every 20th doc (length-2) + one length-1 word +
+        # one phrase that matches nothing
+        harvested = (
+            docs.filter(F.col("doc_id") % 20 == 0)
+            .select(
+                F.concat_ws(
+                    " ", F.slice(F.split(F.lower("text"), r"\s+"), 1, 2)
+                ).alias("phrase")
             )
+        )
+        deny = harvested.union(
+            spark.createDataFrame(
+                [("the",), ("zz qq vv never occurs",)], "phrase string"
+            )
+        )
+
+        def block(df, mode):
+            return PhraseBlocklist(
+                "docs", "p", "o", mode=mode, max_inline=0
+            )(Flow({"docs": df, "p": deny}))["o"]
+
+        out = block(_read_stream(spark, d), "flag")
+        assert out.isStreaming
+        run_available(out, query_name="t_stream_blocklist")
+        got = sorted(
+            (r.doc_id, r.n_blocklisted, r.blocked)
+            for r in spark.sql(
+                "SELECT doc_id, n_blocklisted, blocked FROM t_stream_blocklist"
+            ).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.n_blocklisted, r.blocked)
+            for r in block(spark.read.parquet(d), "flag").collect()
+        )
+        assert got == want and len(want) > 0
+        assert any(b for (_, _, b) in want)  # harvested phrases hit
+        assert any(not b for (_, _, b) in want)
+        assert any(n > 1 for (_, n, _) in want)  # multi-phrase docs
+
+        out_drop = block(_read_stream(spark, d), "drop")
+        assert out_drop.isStreaming
+        run_available(out_drop, query_name="t_stream_blocklist_drop")
+        got_kept = sorted(
+            r.doc_id
+            for r in spark.sql(
+                "SELECT doc_id FROM t_stream_blocklist_drop"
+            ).collect()
+        )
+        want_kept = sorted(
+            r.doc_id for r in block(spark.read.parquet(d), "drop").collect()
+        )
+        assert got_kept == want_kept and 0 < len(got_kept) < docs.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
