@@ -32,7 +32,9 @@ def get_spark(app_name: str = "strom_spark", shuffle_partitions: int | None = No
             os.environ.get("STROM_SPARK_ARROW_BATCH", "10000"),
         )
         .config("spark.driver.memory", os.environ.get("STROM_SPARK_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
+        # off by default (test/bench noise); tools/scale_probe.py turns
+        # it on to read per-stage shuffle volumes from the REST API
+        .config("spark.ui.enabled", os.environ.get("STROM_SPARK_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # InferFiltersFromGenerate turns explode(f(x)) into a pushed-down
         # `size(f(x)) > 0` filter; predicate pushdown then drags the WHOLE

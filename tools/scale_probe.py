@@ -31,7 +31,116 @@ from strom_spark.operators.dedup import (
 )
 
 
+def _completed_stages() -> list[dict]:
+    """Per-stage metrics from the live UI REST API (requires
+    STROM_SPARK_UI=true before get_spark)."""
+    import json as _json
+    import urllib.request
+
+    base = "http://localhost:4040/api/v1"
+    apps = _json.load(urllib.request.urlopen(f"{base}/applications"))
+    app_id = apps[0]["id"]
+    return _json.load(
+        urllib.request.urlopen(
+            f"{base}/applications/{app_id}/stages?status=complete"
+        )
+    )
+
+
+def curation_main() -> None:
+    """Round-7 probe (VERDICT r6 #7): does the curation_v4 composite —
+    the complete pipeline to packed training sequences — scale
+    near-linearly?  Runs the REGISTERED query unmodified over a 1× and
+    a 10× corpus (sf0.1 documents, copies tag-perturbed so every doc
+    is distinct and EVERY stage carries 10× load, laid out as a temp
+    sf-dir), recording wall time plus per-stage shuffle volume from
+    the UI REST API: total shuffle write, the PEAK single stage, and
+    the top stages — the numbers that say whether one stage
+    concentrates the data at 100 TB."""
+    import shutil
+
+    os.environ["STROM_SPARK_UI"] = "true"
+    spark = get_spark("curation_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(2_000_000).selectExpr("sum(id*2)").collect()  # JIT warmup
+
+    import __spark_entry__ as entrymod
+
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    out: dict = {"probe": "curation_v4_scaling", "runs": {}}
+    for copies in (1, 10):
+        d = f"/tmp/strom_curation_probe_c{copies}"
+        shutil.rmtree(d, ignore_errors=True)
+        others = [c for c in base.columns if c not in ("doc_id", "text")]
+        # the id offset must be ≡ 0 (mod 29): the pipeline derives its
+        # EVAL set as doc_id % 29 == 0, and a non-multiple offset would
+        # spread each doc family over 10 eval residues — the eval set
+        # then contains a near-copy of EVERY doc and Decontaminate
+        # (correctly) drops the whole corpus, leaving downstream stages
+        # with zero load.  A multiple keeps eval membership per family,
+        # so the survivor FRACTION stays ~constant and every stage
+        # carries ~copies× data — the scaling question being asked.
+        parts = [
+            base.select(
+                (F.col("doc_id") + F.lit(i * 29_000_000)).alias("doc_id"),
+                (
+                    F.concat(F.col("text"), F.lit(f" v{i}tag"))
+                    if i
+                    else F.col("text")
+                ).alias("text"),
+                *others,
+            )
+            for i in range(copies)
+        ]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.repartition(32).write.parquet(f"{d}/documents.parquet")
+
+        n_survivors = entrymod._curation_v3_split(spark, d).count()
+        times = []
+        rows = 0
+        for _ in range(2):  # 1 cold + 1 warm; headline = warm
+            before = {s["stageId"] for s in _completed_stages()}
+            t0 = time.time()
+            rows = entrymod._QUERIES["curation_v4"](spark, d).count()
+            times.append(round(time.time() - t0, 1))
+            stages = [
+                s
+                for s in _completed_stages()
+                if s["stageId"] not in before
+            ]
+        writes = sorted(
+            (s["shuffleWriteBytes"] for s in stages), reverse=True
+        )
+        out["runs"][f"{copies}x"] = {
+            "n_docs": base.count() * copies,
+            "n_survivors": n_survivors,
+            "result_rows": rows,
+            "sec_cold": times[0],
+            "sec_warm": times[-1],
+            "n_stages": len(stages),
+            "shuffle_write_total_mb": round(sum(writes) / 1e6, 1),
+            "shuffle_write_peak_stage_mb": round(
+                (writes[0] if writes else 0) / 1e6, 1
+            ),
+            "shuffle_write_top5_mb": [round(w / 1e6, 1) for w in writes[:5]],
+        }
+        shutil.rmtree(d, ignore_errors=True)
+    r1, r10 = out["runs"]["1x"], out["runs"]["10x"]
+    out["warm_time_ratio_10x"] = round(r10["sec_warm"] / r1["sec_warm"], 2)
+    out["shuffle_total_ratio_10x"] = round(
+        r10["shuffle_write_total_mb"] / max(r1["shuffle_write_total_mb"], 0.1),
+        2,
+    )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "curation":
+        curation_main()
+        return
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
