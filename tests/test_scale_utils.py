@@ -357,3 +357,128 @@ def test_zorder_key_clusters_both_dimensions(spark, tmp_path):
         zorder_key(["x"])
     with pytest.raises(ValueError, match="bigint"):
         zorder_key(["x", "y", "payload"], bits=21)
+
+
+def test_write_bucketed_fingerprint_skip_and_reregister(spark, sf_dir):
+    """Round-7 idempotency contract: same fingerprint + bucket spec =
+    NO rewrite (in-session: catalog reuse; cross-session emulated by
+    dropping the catalog entry while files stay: EXTERNAL
+    re-registration that keeps the join exchange-free); changed
+    fingerprint = rewrite.  The orphan guard renames marker-stamped
+    stale dirs aside instead of deleting them."""
+    import os
+    from urllib.parse import urlparse
+
+    from strom_spark.scale import _MARKER
+
+    t = "b_fp_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, t)
+
+    assert write_bucketed(
+        orders, t, bucket_by=["o_orderkey"], num_buckets=4, fingerprint="fp1"
+    ) is True
+    assert os.path.exists(os.path.join(loc, _MARKER))
+    files1 = sorted(os.listdir(loc))
+
+    # same fingerprint, catalog entry live: skipped, files untouched
+    assert write_bucketed(
+        orders, t, bucket_by=["o_orderkey"], num_buckets=4, fingerprint="fp1"
+    ) is False
+    assert sorted(os.listdir(loc)) == files1
+
+    # changed fingerprint: rewrite happens (marker updated); the
+    # cross-session re-registration branch is covered by
+    # test_write_bucketed_external_reregistration_exchange_free
+    assert write_bucketed(
+        orders.limit(100), t,
+        bucket_by=["o_orderkey"], num_buckets=4, fingerprint="fp2",
+    ) is True
+    import json
+
+    with open(os.path.join(loc, _MARKER)) as f:
+        assert json.load(f)["fingerprint"] == "fp2"
+    assert spark.table(t).count() == 100
+
+    # orphan guard: no catalog entry + marker-stamped dir -> renamed
+    # aside to <loc>.stale, then the write proceeds
+    spark.sql(f"DROP TABLE {t}")
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, _MARKER), "w") as f:
+        f.write("{}")
+    with open(os.path.join(loc, "junk.parquet"), "w") as f:
+        f.write("stale bytes")
+    assert write_bucketed(
+        orders, t, bucket_by=["o_orderkey"], num_buckets=4, fingerprint="fp3"
+    ) is True
+    assert os.path.exists(os.path.join(loc + ".stale", "junk.parquet"))
+    assert spark.table(t).count() == orders.count()
+    spark.sql(f"DROP TABLE {t}")
+    import shutil
+
+    shutil.rmtree(loc + ".stale", ignore_errors=True)
+
+
+def test_write_bucketed_external_reregistration_exchange_free(spark, sf_dir):
+    """The cross-session ride-free path end-to-end IN-PROCESS: write a
+    bucketed table, drop only the catalog entry by converting the
+    managed table's files into an external-location table (the same
+    DDL write_bucketed's re-registration emits), and verify a
+    same-key join off the re-registered table plans ZERO exchanges."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    ta, tb = "b_ext_orders", "b_ext_lineitem"
+    for t in (ta, tb):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    write_bucketed(
+        orders, ta, bucket_by=["o_orderkey"], num_buckets=4, fingerprint="x1"
+    )
+    write_bucketed(
+        li, tb, bucket_by=["o_orderkey"], num_buckets=4, fingerprint="x1"
+    )
+    # preserve files, drop catalog entries: copy dirs aside, drop
+    # managed tables (deletes originals), move the copies back
+    for t in (ta, tb):
+        loc = os.path.join(wh, t)
+        shutil.copytree(loc, loc + ".keep")
+        spark.sql(f"DROP TABLE {t}")
+        os.rename(loc + ".keep", loc)
+    # fresh-catalog call with the SAME fingerprint: must skip the write
+    # and re-register EXTERNAL with the bucket spec intact
+    assert write_bucketed(
+        orders, ta, bucket_by=["o_orderkey"], num_buckets=4, fingerprint="x1"
+    ) is False
+    assert write_bucketed(
+        li, tb, bucket_by=["o_orderkey"], num_buckets=4, fingerprint="x1"
+    ) is False
+    typ = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {ta}")
+        .filter(F.col("col_name") == "Type")
+        .first()[1]
+    )
+    assert typ.strip().upper() == "EXTERNAL"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(ta).join(spark.table(tb), "o_orderkey")
+        tree = _plan(joined).split("\n\n")[0]
+        assert "Exchange" not in tree
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for t in (ta, tb):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
