@@ -43,6 +43,17 @@ class BM25Score(Component):
 
     ``k1`` (term-frequency saturation) and ``b`` (length
     normalization) are the standard Robertson parameters.
+
+    ADAPTIVE lowering on ``len(terms)`` (round 7): small bags (the
+    search-query case, ``<= max_inline_terms``) compile to a per-doc
+    tf VECTOR + one broadcast single-row stats aggregate — ZERO wide
+    shuffles; larger bags fall back to the explode → groupBy(doc,
+    term) → df → score lowering, whose cost is independent of
+    ``len(terms)`` (the inline form's per-doc work and codegen size
+    are O(|terms|), which inverts somewhere in the tens of terms).
+    Both lowerings round per-term contributions to 6 digits and sum
+    as DECIMAL in deterministic order, so they agree bit-for-bit and
+    either can be oracle-checked by the same SQL.
     """
 
     def __init__(
@@ -56,16 +67,60 @@ class BM25Score(Component):
         k1: float = 1.2,
         b: float = 0.75,
         score_col: str = "bm25",
+        max_inline_terms: int = 32,
         label: str | None = None,
     ):
         if not terms:
             raise ValueError("terms must be non-empty")
+        if max_inline_terms < 0:
+            raise ValueError("max_inline_terms must be >= 0")
         self.input, self.output = input, output
         self.id_col, self.text_col = id_col, text_col
         self.terms = [t.lower() for t in terms]
         self.k1, self.b = float(k1), float(b)
         self.score_col = score_col
+        self.max_inline_terms = int(max_inline_terms)
         self.label = label
+
+    def _transform_wide_bag(self, flow: Flow, df) -> Flow:
+        """Beyond-inline term bags: the pre-round-7 lowering — one
+        explode pass carries doc length as a grouping column (no
+        second full-corpus join), per-term df and corpus stats attach
+        by broadcast, contributions re-aggregate per doc.  Four keyed
+        shuffles, but per-row cost independent of ``len(terms)``."""
+        toks = df.select(
+            F.col(self.id_col).alias("__id"),
+            F.filter(TXT.tokens(self.text_col), lambda x: x != F.lit("")).alias("__w"),
+        )
+        stats = toks.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg(F.size("__w")).alias("__avgdl"),
+        )
+        tf = (
+            toks.select("__id", F.size("__w").alias("__dl"), F.explode("__w").alias("__t"))
+            .filter(F.col("__t").isin(self.terms))
+            .groupBy("__id", "__dl", "__t")
+            .agg(F.count(F.lit(1)).alias("__tf"))
+        )
+        dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+        scored = tf.join(F.broadcast(dfreq), "__t").crossJoin(F.broadcast(stats))
+        idf = F.log(
+            (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        norm = F.lit(1.0 - self.b) + F.lit(self.b) * F.col("__dl") / F.col("__avgdl")
+        contrib = idf * (F.col("__tf") * F.lit(self.k1 + 1.0)) / (
+            F.col("__tf") + F.lit(self.k1) * norm
+        )
+        out = (
+            scored.select(
+                "__id", F.round(contrib, 6).cast("decimal(18,6)").alias("__c")
+            )
+            .groupBy("__id")
+            .agg(F.sum("__c").cast("double").alias(self.score_col))
+            .withColumnRenamed("__id", self.id_col)
+        )
+        return flow.without(self.input).with_stream(self.output, out)
 
     def transform(self, flow: Flow) -> Flow:
         # Round-7 plan diet (was: explode -> groupBy(doc,term) ->
@@ -86,6 +141,8 @@ class BM25Score(Component):
         df = flow[self.input]
         require_batch(df, "BM25Score", "corpus-wide N/avgdl/df statistics need the whole corpus")
         terms = list(dict.fromkeys(self.terms))
+        if len(terms) > self.max_inline_terms:
+            return self._transform_wide_bag(flow, df)
         toks = df.select(
             F.col(self.id_col).alias("__id"),
             F.filter(TXT.tokens(self.text_col), lambda x: x != F.lit("")).alias("__w"),

@@ -603,6 +603,15 @@ def test_bm25_differential(spark):
     assert got == want
     # higher tf of a rarer term must outrank a common one
     assert got[1] > got[4]
+    # the two lowerings must agree exactly: force the wide-bag
+    # (explode + groupBy) path with max_inline_terms=0 — same scores,
+    # including the duplicate-term-in-bag dedup semantics
+    wide = BM25Score(
+        "d", "o", id_col="doc_id", text_col="text",
+        terms=terms + ["spark"], max_inline_terms=0,
+    )(Flow({"d": spark.createDataFrame(docs)}))["o"]
+    got_wide = {r.doc_id: round(r.bm25, 6) for r in wide.collect()}
+    assert got_wide == want
 
 
 def test_tfidf_top_terms_ranking(spark):
