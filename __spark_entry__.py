@@ -974,6 +974,79 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "gopher_quality_flags",
+    r"""
+WITH g AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+    list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' '), x -> x != '') AS w,
+    string_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(w) AS n,
+    greatest(len(w), 1) AS sn,
+    length(array_to_string(w, '')) AS sum_len,
+    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+    greatest(len(lines), 1) AS n_lines,
+    len(list_filter(lines, l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS n_bullet,
+    len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS n_ellipsis,
+    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+    len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(w, s))) AS n_stop
+  FROM g
+),
+f AS (
+  SELECT doc_id, n, sum_len / sn AS mean_wl,
+    CAST(n >= 50 AND n <= 100000 AS INT)
+      + CAST(sum_len / sn >= 3.0 AND sum_len / sn <= 10.0 AS INT)
+      + CAST(n_sym / sn <= 0.1 AS INT)
+      + CAST(n_bullet / n_lines < 0.9 AS INT)
+      + CAST(n_ellipsis / n_lines < 0.3 AS INT)
+      + CAST(n_alpha / sn >= 0.8 AS INT)
+      + CAST(n_stop >= 2 AS INT) AS n_passed
+  FROM m
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_words,
+  round(mean_wl, 6) AS mean_word_len,
+  CAST(n_passed AS BIGINT) AS n_rules_passed,
+  CAST(n_passed = 7 AS BIGINT) AS gopher_pass
+FROM f
+""",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher pre-training quality gates (Rae et al.
+    2021, A1.1; functions/text.py:gopher_rules) per document: word
+    count, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, stop-word presence — the
+    documented rule set FineWeb-class curation pipelines start from.
+    Pure Column HOFs (one narrow scan, zero shuffle, zero Python);
+    every fraction is the same int/int IEEE division in both engines,
+    so the flags hash-match without tolerance.  Beyond-reference:
+    training-data curation surface.
+
+    Corpus note: the SYNTHETIC testdata vocabulary contains none of
+    the 8 Gopher stop words, so r_stop_words (and hence gopher_pass)
+    is 0 for every doc by construction — the discrimination the
+    driver row certifies comes from n_rules_passed (5 vs 6 split on
+    word count at sf0.1); per-rule both-ways coverage is in
+    tests/test_llm_ops.py over a handcrafted corpus."""
+    flow = Flow({"docs": spread(load_table(spark, sf_dir, "documents"))})
+    g = TXT.gopher_rules("text")
+    out = Transformer(
+        "docs",
+        select={
+            "doc_id": "doc_id",
+            "n_words": g["n_words"],
+            "mean_word_len": g["mean_word_len"],
+            "n_rules_passed": g["n_rules_passed"],
+            "gopher_pass": g["gopher_pass"],
+        },
+    )(flow)
+    return out["docs"]
+
+
+@_q(
     "langid_counts",
     f"""
 WITH {_NORM_DOCS},

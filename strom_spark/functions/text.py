@@ -208,6 +208,75 @@ def quality_features(col: "Column | str") -> dict[str, Column]:
     }
 
 
+#: the 8 canonical Gopher stop words (Rae et al. 2021, A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(col: "Column | str") -> dict[str, Column]:
+    """The published Gopher quality-filter rules (Rae et al. 2021,
+    "Scaling Language Models", Appendix A1.1 — the documented
+    pre-training text gates, also the backbone of later FineWeb-style
+    pipelines), as pure Column expressions (JVM codegen, zero Python):
+
+      1. word count in [50, 100,000]
+      2. mean word length in [3, 10]
+      3. symbol-to-word ratio ('#' or '...') <= 0.1
+      4. < 90% of lines start with a bullet ('-', '*', '•')
+      5. < 30% of lines end with '...'
+      6. >= 80% of words contain an alphabetic character
+      7. >= 2 of the 8 Gopher stop words present
+
+    Every fraction is an int/int division — the identical IEEE op in
+    any engine, so the boolean flags are cross-engine deterministic
+    without rounding.  Returns per-rule flags (int 0/1), the passed
+    count, and the all-rules ``gopher_pass`` gate, plus n_words and
+    mean_word_len for auditing."""
+    c = F.coalesce(_c(col), F.lit(""))
+    w = F.filter(F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " "),
+                 lambda x: x != F.lit(""))
+    n = F.size(w)
+    safe_n = F.greatest(n, F.lit(1))
+    mean_wl = F.length(F.concat_ws("", w)) / safe_n
+    n_sym = F.size(F.regexp_extract_all(c, F.lit("#"), 0)) + F.size(
+        F.regexp_extract_all(c, F.lit(r"\.\.\."), 0)
+    )
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).startswith("-")
+            | F.trim(l).startswith("*")
+            | F.trim(l).startswith("•"),
+        )
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    n_stop = sum(
+        (F.array_contains(w, s).cast("int") for s in GOPHER_STOPWORDS[1:]),
+        F.array_contains(w, GOPHER_STOPWORDS[0]).cast("int"),
+    )
+    flags = {
+        "r_word_count": (n >= 50) & (n <= 100_000),
+        "r_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "r_symbol_ratio": (n_sym / safe_n) <= 0.1,
+        "r_bullet_lines": (n_bullet / n_lines) < 0.9,
+        "r_ellipsis_lines": (n_ellipsis / n_lines) < 0.3,
+        "r_alpha_words": (n_alpha / safe_n) >= 0.8,
+        "r_stop_words": n_stop >= 2,
+    }
+    passed = sum(
+        (v.cast("int") for v in list(flags.values())[1:]),
+        list(flags.values())[0].cast("int"),
+    )
+    out = {k: v.cast("bigint") for k, v in flags.items()}
+    out["n_words"] = n.cast("bigint")
+    out["mean_word_len"] = F.round(mean_wl, 6).cast("double")
+    out["n_rules_passed"] = passed.cast("bigint")
+    out["gopher_pass"] = (passed == len(flags)).cast("bigint")
+    return out
+
+
 #: PII patterns — conservative subset whose regex semantics are
 #: identical under Java regex (Spark) and RE2 (DuckDB): no backrefs,
 #: no lookaround, explicit character classes only.

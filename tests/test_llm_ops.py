@@ -1179,3 +1179,64 @@ def test_phrase_blocklist_word_boundary_semantics(spark):
         PhraseBlocklist("d", "p", "o", mode="scan")
     with pytest.raises(ValueError, match="max_inline"):
         PhraseBlocklist("d", "p", "o", max_inline=-1)
+
+
+def test_gopher_rules_each_rule_both_ways(spark):
+    """gopher_rules (Rae et al. 2021 A1.1): a handcrafted corpus where
+    each rule fails in exactly one doc while a baseline doc passes all
+    seven — so every flag is exercised both ways and the composite
+    counts are exact."""
+    from strom_spark.functions.text import gopher_rules
+
+    good = ("the data and the model have to work with care " * 6).strip()
+    docs = [
+        # passes all 7: 60 words, mean len ~3.6, stopwords present
+        {"doc_id": 1, "text": good},
+        # r_word_count: 5 words only
+        {"doc_id": 2, "text": "the model and that have"},
+        # r_mean_word_len: long pseudo-words (mean > 10)
+        {"doc_id": 3, "text": ("the supercalifragilistic and "
+                               "antidisestablishmentarianism that have "
+                               "internationalization characteristically "
+                               "uncharacteristically " * 12) + "to of with"},
+        # r_symbol_ratio: dense '#'
+        {"doc_id": 4, "text": good + " " + "# " * 20},
+        # r_bullet_lines: every line a bullet
+        {"doc_id": 5, "text": "\n".join("- " + good for _ in range(4))},
+        # r_ellipsis_lines: every line ends '...'
+        {"doc_id": 6, "text": "\n".join(good + " ..." for _ in range(4))},
+        # r_alpha_words: majority numeric tokens
+        {"doc_id": 7, "text": good + " " + " ".join(str(i) for i in range(200))},
+        # r_stop_words: 60 words, none of the gopher 8
+        {"doc_id": 8, "text": ("alpha beta gamma delta epsilon " * 12).strip()},
+    ]
+    g = gopher_rules("text")
+    rows = {
+        r["doc_id"]: r
+        for r in spark.createDataFrame(docs)
+        .select("doc_id", *[g[k].alias(k) for k in g])
+        .collect()
+    }
+    assert rows[1]["gopher_pass"] == 1 and rows[1]["n_rules_passed"] == 7
+    fail_map = {
+        2: "r_word_count",
+        3: "r_mean_word_len",
+        4: "r_symbol_ratio",
+        5: "r_bullet_lines",
+        6: "r_ellipsis_lines",
+        7: "r_alpha_words",
+        8: "r_stop_words",
+    }
+    for doc_id, flag in fail_map.items():
+        assert rows[doc_id][flag] == 0, (doc_id, flag, rows[doc_id])
+        assert rows[doc_id]["gopher_pass"] == 0
+    # bullets/ellipsis docs still pass the OTHER line rule
+    assert rows[5]["r_ellipsis_lines"] == 1 and rows[6]["r_bullet_lines"] == 1
+    # empty text: 0 words, nothing passes word count, no crash
+    empty = (
+        spark.createDataFrame([{"doc_id": 9, "text": ""}, {"doc_id": 10, "text": None}])
+        .select("doc_id", *[g[k].alias(k) for k in g])
+        .collect()
+    )
+    for r in empty:
+        assert r["n_words"] == 0 and r["r_word_count"] == 0 and r["gopher_pass"] == 0
