@@ -82,6 +82,15 @@ def _dec(c: str) -> F.Column:
     return F.col(c).cast("decimal(18,2)")
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Filesystem-safe tag for per-sf artifact paths/table names
+    (shared by ivf_index_search and bucketed_join_revenue — keep the
+    two scoping schemes in sync)."""
+    import re as _re
+
+    return _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+
+
 def _avg(sum_expr, count_expr=None):
     """CAST(SUM AS DOUBLE)/COUNT — the identical single IEEE division
     on both engines; no rounding (round() tie-breaks differ across
@@ -986,7 +995,10 @@ m AS (
   SELECT doc_id,
     len(w) AS n,
     greatest(len(w), 1) AS sn,
-    length(array_to_string(w, '')) AS sum_len,
+    -- array_to_string of an EMPTY list is NULL in DuckDB (Spark's
+    -- concat_ws gives ''): coalesce, or every zero-word doc's rules
+    -- go NULL and the cross-engine hash diverges
+    coalesce(length(array_to_string(w, '')), 0) AS sum_len,
     len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
     greatest(len(lines), 1) AS n_lines,
     len(list_filter(lines, l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS n_bullet,
@@ -2262,7 +2274,6 @@ def ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     N_CENTROIDS = 16
     emb = load_table(spark, sf_dir, "embeddings")
-    sf_tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     # ONE fixed per-sf path, overwritten each run (IVFIndex writes
     # mode=overwrite): growth across bench/correctness processes is
     # bounded at one directory per sf, vs the r6 pid-scoped scheme
@@ -2270,12 +2281,18 @@ def ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fn — the returned lazy plan scans it at action time — so no
     # mkdtemp+rm.  Concurrent same-sf runs would race on the rewrite;
     # bench and driver runs are sequential per-round, documented.
-    path = f"/tmp/strom_spark_ivf_index_{sf_tag}"
+    path = f"/tmp/strom_spark_ivf_index_{_sf_tag(sf_dir)}"
     import glob as _glob
     import shutil as _shutil
 
-    for legacy in _glob.glob(f"{path}_[0-9]*"):  # r6 pid-scoped leftovers
-        _shutil.rmtree(legacy, ignore_errors=True)
+    for legacy in _glob.glob(f"{path}_[0-9]*"):
+        # r6 pid-scoped leftovers ONLY: require the suffix after the
+        # fixed path to be exactly _<digits> — a bare [0-9]* glob also
+        # matches ANOTHER sf's fixed dir when its tag extends ours with
+        # digits (e.g. 'sf1' vs 'sf1.2' → _sf1 vs _sf1_2), which would
+        # delete a live index out from under that sf's lazy plan
+        if _re.fullmatch(r"_\d+", legacy[len(path):]):
+            _shutil.rmtree(legacy, ignore_errors=True)
     IVFIndex("corpus", path, n_centroids=N_CENTROIDS)(Flow({"corpus": emb}))
 
     def queries():
@@ -2402,7 +2419,14 @@ def lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return planted_n.join(pair_stats, "__k", "left").select(
         F.col("n_planted").cast("bigint"),
-        (F.coalesce("__hits", F.lit(0)) >= int(0.80 * N_PLANT))
+        # floor derived from the ACTUAL planted count, not the
+        # requested N_PLANT: a regenerated corpus smaller than N_PLANT
+        # plants fewer pairs and a hardcoded 40-hit bar would be
+        # unreachable at perfect recall
+        (
+            F.coalesce("__hits", F.lit(0))
+            >= F.ceil(F.lit(0.80) * F.col("n_planted"))
+        )
         .cast("bigint")
         .alias("recall_ok"),
         (F.coalesce("__extra", F.lit(0)) == 0)
@@ -4500,16 +4524,23 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB deployment actually lives in, where the layout was paid
     for long ago.  Table names carry the sf tag so benches at
     different scale factors never race on one physical directory."""
-    import re as _re
-
     from strom_spark import write_bucketed, zorder_key
+
+    # DERIVE is a version stamp for the derivation baked into the
+    # written rows (zorder params, column set): editing it below MUST
+    # change the fingerprint, or warm machines silently serve a stale
+    # layout computed by the old code
+    DERIVE = "zorder(l_partkey,l_suppkey,bits=16):v1"
 
     def _fp(table: str) -> str:
         st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
-        return f"{os.path.realpath(sf_dir)}:{table}:{st.st_size}:{st.st_mtime_ns}"
+        return (
+            f"{os.path.realpath(sf_dir)}:{table}:{st.st_size}:"
+            f"{st.st_mtime_ns}:{DERIVE}"
+        )
 
-    sf_tag = _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    li_tbl, ord_tbl = f"strom_li_bucketed_{sf_tag}", f"strom_ord_bucketed_{sf_tag}"
+    tag = _sf_tag(sf_dir)
+    li_tbl, ord_tbl = f"strom_li_bucketed_{tag}", f"strom_ord_bucketed_{tag}"
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "zkey", zorder_key(["l_partkey", "l_suppkey"], bits=16)
     )

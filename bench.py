@@ -177,9 +177,10 @@ def main() -> None:
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = qs[name]
         runs: list[float] = []
-        try:
+        try:  # lookup INSIDE the try: a renamed/unregistered query
+            # must record an error row, not crash the whole artifact
+            fn = qs[name]
             for _ in range(1 + n_warm):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
@@ -227,13 +228,21 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        payload["errors"] = errors
+        # BOUNDED error summary: full messages live in BENCH_DETAIL.json
+        # and the detail stdout line; a mass-failure run (bad sf_dir
+        # failing all 57 queries) must not push the final line's head
+        # out of the captured tail window — the r6 failure mode again
+        payload["n_errors"] = len(errors)
+        payload["errors"] = {
+            k: errors[k][:60] for k in sorted(errors)[:3]
+        }
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1400:  # degrade precision before ever risking truncation
         payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:  # last resort: keep the headline metric parseable
         payload.pop("queries")
+        payload.pop("errors", None)
         payload["queries_in"] = "BENCH_DETAIL.json"
         line = json.dumps(payload, separators=(",", ":"))
     print(line)

@@ -1207,7 +1207,7 @@ class PhraseBlocklist(Component):
     matches count in an Arrow-batched pandas UDF over the token
     array — no stream-side shuffle, no per-micro-batch phrase scan.
     Differential-tested against the batch join lowering in
-    tests/test_streaming_ops.py.  Like Decontaminate, the phrase set
+    tests/test_streaming.py.  Like Decontaminate, the phrase set
     is FROZEN at plan-construction time; restart the query to pick up
     blocklist changes.
     """

@@ -89,13 +89,15 @@ def write_bucketed(
     LIVE table fails loudly in its owning session instead of silently
     losing data — this guard used to rmtree, which with two concurrent
     sessions sharing a warehouse could delete the other session's live
-    table).  The guard only touches directories carrying OUR marker
-    file; a foreign directory at the location is left alone and
-    saveAsTable fails loudly with LOCATION_ALREADY_EXISTS for the
-    operator to resolve by hand.  Known residual race: two sessions
-    concurrently writing the SAME table name with DIFFERENT content
-    still conflict — same-content concurrent runs converge via the
-    fingerprint skip instead."""
+    table).  The rename applies whether or not the dir carries our
+    marker: the caller asked to overwrite this table, anything at its
+    location blocks the write, and renaming is non-destructive (the
+    content survives at ``<loc>.stale`` for manual recovery) — this
+    also self-heals directories written before the marker scheme
+    existed.  Known residual race: two sessions concurrently writing
+    the SAME table name with DIFFERENT content still conflict —
+    same-content concurrent runs converge via the fingerprint skip
+    instead."""
     import json
 
     spark = df.sparkSession
@@ -154,14 +156,21 @@ def write_bucketed(
         and not spark.catalog.tableExists(table)
         and os.path.isdir(loc)
     ):
-        if os.path.exists(os.path.join(loc, _MARKER)):
-            stale = loc + ".stale"
-            shutil.rmtree(stale, ignore_errors=True)
-            try:
-                os.rename(loc, stale)
-            except OSError:
-                pass  # lost a concurrent race; saveAsTable reports it
-        # else: foreign directory — leave it; saveAsTable fails loudly
+        # Rename aside rather than delete — non-destructive for every
+        # case: our own stale dirs (marker present), pre-marker dirs
+        # written before the fingerprint scheme existed, and even a
+        # genuinely foreign dir squatting on the table's location (the
+        # caller asked to overwrite this table; anything there blocks
+        # the write, and the content survives at <loc>.stale for
+        # manual recovery).  A mis-identified LIVE table from a
+        # concurrent session fails loudly in that session instead of
+        # silently losing data (the pre-round-7 guard rmtree'd here).
+        stale = loc + ".stale"
+        shutil.rmtree(stale, ignore_errors=True)
+        try:
+            os.rename(loc, stale)
+        except OSError:
+            pass  # lost a concurrent race; saveAsTable reports it
 
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
     if sort_by:
