@@ -4655,6 +4655,69 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_K = 8
+
+@_q(
+    "substring_dedup_docs",
+    rf"""
+WITH {_NORM_DOCS},
+tw AS (SELECT doc_id, list_filter(w, x -> x != '') AS w FROM toks WHERE w IS NOT NULL),
+win AS (
+  SELECT doc_id, r.p, array_to_string(w[r.p+1:r.p+{_SUBSTR_K}], ' ') AS s
+  FROM tw, UNNEST(range(0, greatest(len(w) - {_SUBSTR_K} + 1, 0))) AS r(p)
+),
+occ AS (
+  SELECT doc_id, p,
+    count(*) OVER (PARTITION BY s) AS cnt,
+    row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn
+  FROM win
+),
+cov AS (
+  SELECT DISTINCT doc_id, p + o.off AS tp
+  FROM occ, UNNEST(range(0, {_SUBSTR_K})) AS o(off)
+  WHERE cnt > 1 AND rn > 1
+),
+pt AS (
+  SELECT doc_id, r.i AS tp, w[r.i+1] AS tok
+  FROM tw, UNNEST(range(0, len(w))) AS r(i)
+),
+kept AS (
+  SELECT pt.doc_id, pt.tp, pt.tok
+  FROM pt LEFT JOIN cov ON pt.doc_id = cov.doc_id AND pt.tp = cov.tp
+  WHERE cov.doc_id IS NULL
+)
+SELECT k.doc_id,
+  string_agg(k.tok, ' ' ORDER BY k.tp) AS text,
+  CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(coalesce(any_value(d.nc), 0) AS BIGINT) AS n_dropped
+FROM kept k
+LEFT JOIN (SELECT doc_id, count(*) AS nc FROM cov GROUP BY doc_id) d
+  ON k.doc_id = d.doc_id
+GROUP BY k.doc_id
+""",
+)
+def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at {k}-token-window granularity
+    (operators/dedup.py:SubstringDedup — Lee et al. 2022 semantics,
+    keep-first): spans repeated within OR across documents are removed
+    everywhere but their first global occurrence, and documents
+    rebuild from surviving tokens.  The span-level dedup that document
+    dedup and line dedup both miss (mid-document licence headers,
+    quoted chunks, templated paragraphs).  The oracle replays the
+    definition declaratively: window strings → occurrence counts +
+    global first-occurrence ranks → covered positions → rebuild.  The
+    engine keys occurrences on md5(window) so the corpus-wide shuffle
+    carries 32 hex chars instead of k tokens — the volume economy
+    that lets the declarative form stand in for a suffix array at
+    100 TB."""
+    from strom_spark import SubstringDedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return SubstringDedup("docs", "out", k=_SUBSTR_K)(
+        Flow({"docs": docs})
+    )["out"]
+
+
 @_q(
     "line_dedup_docs",
     """

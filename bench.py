@@ -127,6 +127,9 @@ HEADLINE = [
     # round 7: published Gopher quality gates, pure Column HOFs —
     # TOTAL covers 57 from here
     "gopher_quality_flags",
+    # round 7: exact substring dedup (Lee et al. 2022 keep-first,
+    # md5-keyed window occurrences) — TOTAL covers 58 from here
+    "substring_dedup_docs",
 ]
 
 

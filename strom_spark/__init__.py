@@ -36,6 +36,7 @@ from .operators.cep import MatchDecide
 from .operators.dedup import (
     Decontaminate,
     LineDedup,
+    SubstringDedup,
     PhraseBlocklist,
     SimHashDedup,
     ExactDedup,
@@ -123,6 +124,7 @@ __all__ = [
     "ExactDedup",
     "Decontaminate",
     "LineDedup",
+    "SubstringDedup",
     "PhraseBlocklist",
     "StreamingExactDedup",
     "WinnowFingerprints",

@@ -1165,6 +1165,152 @@ class LineDedup(Component):
         return (self.output,)
 
 
+class SubstringDedup(Component):
+    """EXACT SUBSTRING deduplication at token-window granularity — the
+    corpus-level dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), which removes repeated spans
+    WITHIN and ACROSS documents that document-level dedup (ExactDedup/
+    MinHash) cannot see: licence headers pasted mid-document, quoted
+    chunks, templated paragraphs.
+
+    Semantics (keep-first): every ``k``-token window of the normalized
+    token stream is an occurrence; a window string occurring more than
+    once in the corpus is DUPLICATED; the FIRST occurrence in global
+    ``(doc id, position)`` order is canonical and kept; every token
+    position covered by a NON-canonical occurrence of a duplicated
+    window is removed.  Documents rebuild from surviving tokens in
+    order; fully-covered documents drop (LineDedup discipline).
+    Output: ``(id_col, text_col, n_kept, n_dropped)``.
+
+    Lowering (the Spark-first stand-in for Lee et al.'s suffix
+    array — no suffix sorting, no O(n²)):
+      1. one narrow pass builds per-doc token arrays; windows come
+         from ``transform(sequence)`` + ``posexplode`` — (doc, pos,
+         window) rows, n per corpus token;
+      2. occurrences key on ``md5(window)`` (128-bit: collision odds
+         are 2^-128-scale even at 10^12 windows, and the shuffle
+         carries 32 hex chars instead of k tokens — the k× volume
+         amplification is the whole reason Lee et al. needed suffix
+         arrays, md5 keying is what makes the declarative form scale);
+         ONE exchange computes both the occurrence count and the
+         global first-occurrence rank (two window functions over the
+         same partitioning);
+      3. covered positions: non-canonical dup occurrences explode
+         their k positions → distinct (doc, tokpos) — keyed shuffle;
+      4. reassembly: position-exploded tokens LEFT ANTI join covered
+         (doc, tokpos), then the LineDedup order-restoring
+         ``array_sort(collect_list(struct(pos, tok)))`` groupBy(doc).
+
+    State is linear in corpus tokens; every shuffle keys on
+    (hash) / (doc, pos) / (doc) — no hot keys beyond genuinely viral
+    substrings, which AQE skew-splits.  Reference analog: none
+    (training-data superset, the span-level sibling of LineDedup).
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 50,
+        label: str | None = None,
+    ):
+        if k < 2:
+            raise ValueError("k must be >= 2 (token window length)")
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = int(k)
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        from pyspark.sql import Window
+
+        from ..component import require_batch
+
+        df = flow[self.input]
+        require_batch(
+            df, "SubstringDedup",
+            "window occurrence counts and canonical ranks are "
+            "full-corpus statistics",
+        )
+        k = self.k
+        toks = df.filter(F.col(self.text_col).isNotNull()).select(
+            F.col(self.id_col).alias("__id"),
+            F.filter(
+                TXT.tokens(self.text_col), lambda x: x != F.lit("")
+            ).alias("__w"),
+        )
+        n = F.size("__w")
+        win_arr = F.when(
+            n >= F.lit(k),
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(k)),
+                lambda p: F.md5(F.concat_ws(" ", F.slice("__w", p + 1, k))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        occ = toks.select(
+            "__id", F.posexplode(win_arr).alias("__p", "__h")
+        )
+        wh = Window.partitionBy("__h")
+        marked = occ.select(
+            "__id",
+            "__p",
+            F.count(F.lit(1)).over(wh).alias("__cnt"),
+            F.row_number()
+            .over(wh.orderBy("__id", "__p"))
+            .alias("__rn"),
+        )
+        covered = (
+            marked.filter((F.col("__cnt") > 1) & (F.col("__rn") > 1))
+            .select(
+                "__id",
+                F.explode(
+                    F.sequence(F.col("__p"), F.col("__p") + F.lit(k - 1))
+                ).alias("__tp"),
+            )
+            .distinct()
+        )
+        # mark-and-aggregate (the LineDedup discipline): a LEFT join
+        # marks covered tokens and ONE groupBy(doc) computes rebuilt
+        # text + BOTH audit counts from the order-restored array — no
+        # separate dropped-count aggregate, no second doc-keyed join
+        pos_toks = toks.select(
+            "__id", F.posexplode("__w").alias("__tp", "__tok")
+        )
+        marked_toks = pos_toks.join(
+            covered.withColumn("__c", F.lit(True)), ["__id", "__tp"], "left"
+        )
+        ordered = F.array_sort(
+            F.collect_list(F.struct("__tp", "__tok", "__c"))
+        )
+        kept_arr = F.filter(ordered, lambda s: s["__c"].isNull())
+        rebuilt = (
+            marked_toks.groupBy("__id")
+            .agg(
+                F.array_join(
+                    F.transform(kept_arr, lambda s: s["__tok"]), " "
+                ).alias(self.text_col),
+                F.size(kept_arr).cast("bigint").alias("n_kept"),
+                (F.count(F.lit(1)) - F.size(kept_arr))
+                .cast("bigint")
+                .alias("n_dropped"),
+            )
+            .filter(F.col("n_kept") > 0)
+            .withColumnRenamed("__id", self.id_col)
+        )
+        return flow.without(self.input).with_stream(self.output, rebuilt)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
 class PhraseBlocklist(Component):
     """Banned-phrase filtering against a PHRASE TABLE — the content
     compliance step of a release pipeline (slurs, titles under legal

@@ -1240,3 +1240,46 @@ def test_gopher_rules_each_rule_both_ways(spark):
     )
     for r in empty:
         assert r["n_words"] == 0 and r["r_word_count"] == 0 and r["gopher_pass"] == 0
+
+
+def test_substring_dedup_keep_first_semantics(spark):
+    """SubstringDedup (Lee et al. 2022, keep-first): cross-doc runs
+    survive only at their first global occurrence, within-doc repeats
+    collapse, unique docs pass untouched, and a doc that is entirely
+    duplicated text disappears."""
+    from strom_spark import Flow, SubstringDedup
+
+    docs = [
+        # docs 1/2 share the 6-token run "a b c d e f"; doc 1 first
+        {"doc_id": 1, "text": "x a b c d e f y"},
+        {"doc_id": 2, "text": "p q a b c d e f r"},
+        # internal repetition: "m n o p q r" twice in one doc
+        {"doc_id": 3, "text": "m n o p q r z m n o p q r"},
+        {"doc_id": 4, "text": "unique tokens only here nothing repeats at all"},
+        # exact copy of doc 1: every window non-canonical -> fully
+        # covered -> dropped from the output
+        {"doc_id": 5, "text": "x a b c d e f y"},
+        # shorter than k: no windows, passes untouched
+        {"doc_id": 6, "text": "tiny doc"},
+    ]
+    out = SubstringDedup("d", "o", k=6)(
+        Flow({"d": spark.createDataFrame(docs)})
+    )["o"]
+    got = {r.doc_id: (r.text, r.n_kept, r.n_dropped) for r in out.collect()}
+    assert got == {
+        1: ("x a b c d e f y", 8, 0),
+        2: ("p q r", 3, 6),
+        3: ("m n o p q r z", 7, 6),
+        4: ("unique tokens only here nothing repeats at all", 8, 0),
+        6: ("tiny doc", 2, 0),
+    }
+    with pytest.raises(ValueError, match="k must be"):
+        SubstringDedup("d", "o", k=1)
+    # batch-only contract: occurrence counts are corpus statistics
+    from strom_spark.component import require_batch  # noqa: F401  (typed error below)
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
+    )
+    with pytest.raises(TypeError, match="SubstringDedup is batch-only"):
+        SubstringDedup("d", "o")(Flow({"d": stream}))
