@@ -28,6 +28,7 @@ from strom_spark.operators.dedup import (
     MinHashLSHPairs,
     SimHashDedup,
     SimHashPairs,
+    SubstringDedup,
 )
 
 
@@ -166,6 +167,10 @@ def main() -> None:
         ("simhash_dedup_clusters", SimHashDedup("docs", "o", max_distance=4)),
         ("minhash_lsh_pairs", MinHashLSHPairs("docs", "o", threshold=0.8)),
         ("simhash_pairs", SimHashPairs("docs", "o", max_distance=4)),
+        # round 7: span dedup — with tag-perturbed copies the shared
+        # k-windows between copies are massive; the probe checks the
+        # md5-keyed rank shuffle stays linear, not cluster-quadratic
+        ("substring_dedup_k8", SubstringDedup("docs", "o", k=8)),
     ]:
         t0 = time.time()
         rows = comp(Flow({"docs": big}))["o"].count()
