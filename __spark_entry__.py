@@ -5252,6 +5252,135 @@ def curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "curation_v5",
+    _CURATION_V3_KEPT
+    + rf""",
+sp AS (
+  SELECT doc_id,
+    CASE WHEN bucket < 9000 THEN 'train'
+         WHEN bucket < 9500 THEN 'val'
+         ELSE 'test' END AS split
+  FROM kept
+),
+gdoc AS (
+  SELECT s.doc_id, s.split, coalesce(d.text, '') AS text,
+    list_filter(t.w, x -> x != '') AS w
+  FROM sp s JOIN documents d USING (doc_id) JOIN toks t USING (doc_id)
+),
+gm AS (
+  SELECT doc_id, split, w,
+    len(w) AS n, greatest(len(w), 1) AS sn,
+    coalesce(length(array_to_string(w, '')), 0) AS sum_len,
+    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+    greatest(len(string_split(text, chr(10))), 1) AS n_lines,
+    len(list_filter(string_split(text, chr(10)), l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS n_bullet,
+    len(list_filter(string_split(text, chr(10)), l -> ends_with(trim(l), '...'))) AS n_ellipsis,
+    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+    len(list_filter(['the','be','to','of','and','that','have','with'], s2 -> list_contains(w, s2))) AS n_stop
+  FROM gdoc
+),
+gpass AS (
+  SELECT doc_id, split, w FROM gm
+  WHERE CAST(n >= 50 AND n <= 100000 AS INT)
+      + CAST(sum_len / sn >= 3.0 AND sum_len / sn <= 10.0 AS INT)
+      + CAST(n_sym / sn <= 0.1 AS INT)
+      + CAST(n_bullet / n_lines < 0.9 AS INT)
+      + CAST(n_ellipsis / n_lines < 0.3 AS INT)
+      + CAST(n_alpha / sn >= 0.8 AS INT)
+      + CAST(n_stop >= 2 AS INT) >= 5
+),
+win5 AS (
+  SELECT doc_id, r.p, array_to_string(w[r.p+1:r.p+{_SUBSTR_K}], ' ') AS s
+  FROM gpass, UNNEST(range(0, greatest(len(w) - {_SUBSTR_K} + 1, 0))) AS r(p)
+),
+occ5 AS (
+  SELECT doc_id, p,
+    count(*) OVER (PARTITION BY s) AS cnt,
+    row_number() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn
+  FROM win5
+),
+cov5 AS (
+  SELECT DISTINCT doc_id, p + o.off AS tp
+  FROM occ5, UNNEST(range(0, {_SUBSTR_K})) AS o(off)
+  WHERE cnt > 1 AND rn > 1
+),
+ntok5 AS (
+  SELECT g.doc_id, g.split, len(g.w) - coalesce(c.nc, 0) AS n_tok
+  FROM gpass g
+  LEFT JOIN (SELECT doc_id, count(*) AS nc FROM cov5 GROUP BY doc_id) c
+    USING (doc_id)
+  WHERE len(g.w) - coalesce(c.nc, 0) > 0
+),
+ptc5 AS (
+  SELECT doc_id, split, CAST(n_tok AS BIGINT) AS n_tok,
+    CAST((('0x' || substring(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000) % 4 AS INTEGER) AS pack_bucket
+  FROM ntok5
+),
+pk5 AS (
+  SELECT split, pack_bucket, doc_id, n_tok,
+    SUM(n_tok) OVER (PARTITION BY split, pack_bucket ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tok AS prev
+  FROM ptc5
+)
+SELECT split, pack_bucket,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT prev // 512) AS n_seqs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM pk5 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline at STATE-OF-THE-ART completeness — v4
+    plus the two round-7 operators, still ONE Catalyst plan vs one
+    monolithic oracle: dedup → decontaminate → blocklist → langid/
+    quality/repetition gates → PII audit → hash split → **published
+    Gopher rule gate** (n_rules_passed >= 5 of 7; the synthetic corpus
+    can never pass r_stop_words, and the v3 survivor pool skews short
+    — decontamination preferentially kills long template docs — so 5
+    is the bar that drops multi-rule failures without emptying the
+    report) →
+    **exact substring dedup** (Lee et al. keep-first over the gated
+    survivor corpus — duplication statistics computed on exactly the
+    docs that will train, not the raw crawl) → split-isolated packed
+    sequences.  Split assignment is a pure hash of doc_id, so it is
+    RE-DERIVED after span dedup instead of joined back — zero extra
+    shuffle for the bookkeeping.  The report is per (split, lane):
+    docs, sequences, tokens — now counted over span-deduped text, so
+    total_tokens is what the training job actually loads."""
+    from strom_spark import HashSplit, PackSequences, SubstringDedup
+
+    split = _curation_v3_split(spark, sf_dir)
+    g = TXT.gopher_rules("text")
+    gated = split.filter(g["n_rules_passed"] >= 5).select("doc_id", "text")
+    dd = SubstringDedup("d", "o", k=_SUBSTR_K)(Flow({"d": gated}))["o"]
+    resplit = HashSplit(
+        "d", "o", key_col="doc_id",
+        splits={"train": 0.9, "val": 0.05, "test": 0.05}, salt="cur",
+    )(Flow({"d": dd}))["o"]
+    packed = PackSequences(
+        "docs", "packed", id_col="doc_id", tokens_col="n_tok",
+        budget=512, n_buckets=4, partition_by=["split"],
+    )(
+        Flow(
+            {
+                "docs": resplit.select(
+                    "doc_id", "split", F.col("n_kept").alias("n_tok")
+                )
+            }
+        )
+    )["packed"]
+    return (
+        packed.groupBy("split", "pack_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("seq_id").alias("n_seqs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split", "pack_bucket")
+    )
+
+
+@_q(
     "heavy_hitter_users",
     """
 SELECT user_id, count(*) AS n

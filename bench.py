@@ -130,6 +130,9 @@ HEADLINE = [
     # round 7: exact substring dedup (Lee et al. 2022 keep-first,
     # md5-keyed window occurrences) — TOTAL covers 58 from here
     "substring_dedup_docs",
+    # round 7: the complete pipeline + gopher gate + span dedup to
+    # packed sequences — TOTAL covers 59 from here
+    "curation_v5",
 ]
 
 
