@@ -4719,6 +4719,50 @@ def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "semdedup_flags",
+    """
+WITH p AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS pv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+a AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, p.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], p.pv), 6) DESC, p.cid) AS rk
+  FROM embeddings e CROSS JOIN p
+),
+asg AS (SELECT vec_id, cid AS centroid_id, v FROM a WHERE rk = 1),
+d AS (
+  SELECT DISTINCT y.vec_id
+  FROM asg x JOIN asg y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3
+)
+SELECT g.vec_id, g.centroid_id, (d.vec_id IS NOT NULL) AS is_dup
+FROM asg g LEFT JOIN d ON d.vec_id = g.vec_id
+""",
+)
+def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup flags (operators/dedup.py:SemDeDup — Abbas et al.
+    2023, arXiv:2303.09540): assign every embedding to its nearest of 8
+    deterministic pivot centroids (round-6 cosine, lowest-centroid-id
+    tie-break, pure-JVM argmax over literal arrays), then flag vectors
+    with a smaller-id cluster-mate at cosine >= 0.3 via one
+    ``applyInPandas`` GEMM per cluster — no pair materialization, one
+    shuffle keyed on centroid_id.  Clustering bounds the pairwise work
+    at Σ cᵢ² ≈ N²/k — the published trick that makes embedding-level
+    dedup tractable at 100 TB (the production path swaps the pivots for
+    sampled-Lloyd centroids; identical plumbing, exercised in pytest).
+    The oracle replays assignment (argmax via row_number) and the
+    within-cluster smaller-id-mate EXISTS declaratively."""
+    from strom_spark import SemDeDup
+
+    flow = Flow({"emb": load_table(spark, sf_dir, "embeddings")})
+    return SemDeDup(
+        "emb", "flags", threshold=0.3, n_clusters=8, centroids="pivot"
+    )(flow)["flags"]
+
+
+@_q(
     "line_dedup_docs",
     """
 WITH w AS (

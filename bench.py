@@ -133,6 +133,9 @@ HEADLINE = [
     # round 7: the complete pipeline + gopher gate + span dedup to
     # packed sequences — TOTAL covers 59 from here
     "curation_v5",
+    # round 7: semantic dedup (SemDeDup) — per-cluster GEMM flags,
+    # no pair materialization — TOTAL covers 60 from here
+    "semdedup_flags",
 ]
 
 

@@ -47,6 +47,7 @@ from .operators.dedup import (
     SimHash,
     SimHashPairs,
     EmbeddingNearDupPairs,
+    SemDeDup,
 )
 from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, ivf_search
 from .operators.asof import AsofJoin
@@ -134,6 +135,7 @@ __all__ = [
     "SimHash",
     "SimHashPairs",
     "EmbeddingNearDupPairs",
+    "SemDeDup",
     "CosineTopK",
     "CosineLSHJoin",
     "IVFTopK",

@@ -1547,3 +1547,205 @@ class PhraseBlocklist(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class SemDeDup(Component):
+    """Semantic deduplication over an embedding column — SemDeDup
+    (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding space,
+    then find near-duplicates ONLY within each cluster by exact
+    pairwise cosine, keeping the lowest-id member of every duplicate
+    pair (keep-first — the same convention as ``SimHashDedup`` /
+    ``LineDedup``; delta vs the paper's keep-farthest-from-centroid
+    rule: keep-first is deterministic under corpus regeneration and
+    engine-portable, and the kept COUNT per cluster is identical).
+
+    Clustering is what makes semantic dedup tractable at 100 TB: the
+    pairwise work drops from O(N²) to Σ cᵢ² over cluster sizes — with
+    balanced clusters (c ≈ N/k) that is N²/k, and k grows with the
+    corpus (the paper runs 110k clusters over LAION).  The per-cluster
+    scan is one ``applyInPandas`` GEMM keyed on ``centroid_id`` — a
+    single shuffle, NO pair materialization (output is one row per
+    vector); each cluster is loaded whole by one task, exactly the
+    paper's cluster-at-a-time computation shape.  ``max_cluster_rows``
+    guards the per-task memory bound — above it, raise and ask for a
+    larger ``n_clusters`` (the scale knob), never silently spill into
+    an all-pairs join.
+
+    Centroid strategies:
+
+      - ``'kmeans'`` (production): Lloyd training on a bounded
+        deterministic sample (the ``IVFTopK`` pattern,
+        similarity.py:186), assignment via one broadcast-GEMM
+        ``mapInPandas`` scan — linear, embarrassingly parallel.
+      - ``'pivot'`` (deterministic / oracle-parity): the ``n_clusters``
+        lowest-id vectors ARE the centroids and assignment is a
+        pure-JVM codegen argmax over literal arrays (round-6 cosine,
+        lowest-centroid-id tie-break) — ANSI-SQL-expressible, so the
+        whole pipeline is hash-verifiable against a DuckDB oracle.
+        Identical downstream plumbing; only the centroid source
+        differs.
+
+    Output: one row per vector — ``(id_col, centroid_id, is_dup)``;
+    ``is_dup`` marks vectors with a SMALLER-id cluster-mate at cosine
+    >= ``threshold``.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.95,
+        n_clusters: int = 16,
+        centroids: str = "kmeans",
+        sample_size: int = 4096,
+        iters: int = 5,
+        seed: int = 13,
+        max_cluster_rows: int = 2_000_000,
+        label: str | None = None,
+    ):
+        if centroids not in ("kmeans", "pivot"):
+            raise ValueError("centroids must be 'kmeans' or 'pivot'")
+        if n_clusters < 1:
+            raise ValueError("n_clusters must be >= 1")
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.n_clusters = n_clusters
+        self.centroids = centroids
+        self.sample_size = sample_size
+        self.iters = iters
+        self.seed = seed
+        self.max_cluster_rows = max_cluster_rows
+        self.label = label
+
+    def _assign_pivot(self, slim: DataFrame) -> DataFrame:
+        """JVM-only assignment against the n_clusters lowest-id vectors:
+        argmax over literal centroid arrays via an orderable-struct
+        ``array_max`` — round-6 cosine first, then lowest centroid id
+        (encoded as max of -id).  Bounded driver state: k rows."""
+        import numpy as np
+
+        rows = slim.orderBy("id").limit(self.n_clusters).collect()
+        if not rows:
+            raise ValueError("SemDeDup: input has no vectors")
+        normed = slim.select("id", V.l2_normalize("v").alias("nv"))
+        cands = []
+        for r in rows:
+            p = np.asarray(r["v"], dtype="float64")
+            p /= max(float(np.linalg.norm(p)), 1e-30)
+            pv = F.array(*[F.lit(float(x)) for x in p])
+            cos = F.round(V.dot(F.col("nv"), pv), 6)
+            cands.append(
+                F.struct(
+                    cos.alias("c"),
+                    F.lit(-int(r["id"])).cast("bigint").alias("nc"),
+                )
+            )
+        best = F.array_max(F.array(*cands))
+        return normed.select(
+            "id", (-best["nc"]).alias("centroid_id"), "nv"
+        )
+
+    def _assign_kmeans(self, slim: DataFrame) -> DataFrame:
+        """Bounded-sample Lloyd training driver-side, then one linear
+        broadcast-GEMM assignment scan (the IVFTopK pattern)."""
+        import numpy as np
+
+        sample = slim.orderBy("id").limit(self.sample_size).toPandas()
+        if sample.empty:
+            raise ValueError("SemDeDup: input has no vectors")
+        X = np.stack(sample["v"].to_list()).astype("float64")
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        rng = np.random.default_rng(self.seed)
+        k = min(self.n_clusters, len(X))
+        C = X[rng.choice(len(X), size=k, replace=False)]
+        for _ in range(self.iters):
+            assign = np.argmax(X @ C.T, axis=1)
+            for j in range(k):
+                members = X[assign == j]
+                if len(members):
+                    c = members.mean(axis=0)
+                    C[j] = c / max(float(np.linalg.norm(c)), 1e-30)
+        bc = slim.sparkSession.sparkContext.broadcast(C)
+
+        def assign_batches(batches):
+            M = bc.value
+            for batch in batches:
+                if not len(batch):
+                    continue
+                B = np.stack(batch["v"].to_list()).astype("float64")
+                B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+                # round-6 before argmax: same tie convention as the
+                # pivot path (first max index = lowest centroid id)
+                cid = np.argmax(np.round(B @ M.T, 6), axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": batch["id"],
+                        "centroid_id": cid.astype("int64"),
+                        "nv": list(B),
+                    }
+                )
+
+        return slim.mapInPandas(
+            assign_batches, schema="id bigint, centroid_id bigint, nv array<double>"
+        )
+
+    def _flag(self, assigned: DataFrame) -> DataFrame:
+        """One GEMM per cluster: id-sorted members, S = round(G·Gᵀ, 6),
+        ``is_dup[j] = any(S[i, j] >= θ for i < j)`` — strict lower
+        triangle, so the lowest-id member of every duplicate pair
+        survives.  No pair rows ever materialize."""
+        import numpy as np
+
+        threshold = self.threshold
+        cap = self.max_cluster_rows
+
+        def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) > cap:
+                raise ValueError(
+                    f"SemDeDup: cluster {int(pdf['centroid_id'].iloc[0])} has "
+                    f"{len(pdf)} rows > max_cluster_rows={cap}; raise "
+                    "n_clusters (the scale knob) so clusters fit one task"
+                )
+            pdf = pdf.sort_values("id").reset_index(drop=True)
+            G = np.stack(pdf["nv"].to_list()).astype("float64")
+            S = np.round(G @ G.T, 6)
+            hit = np.tril(S >= threshold, k=-1)
+            return pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "centroid_id": pdf["centroid_id"],
+                    "is_dup": hit.any(axis=1),
+                }
+            )
+
+        return assigned.groupBy("centroid_id").applyInPandas(
+            per_cluster, schema="id bigint, centroid_id bigint, is_dup boolean"
+        )
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        slim = df.select(
+            F.col(self.id_col).cast("bigint").alias("id"),
+            F.col(self.vec_col).cast("array<double>").alias("v"),
+        )
+        assigned = (
+            self._assign_pivot(slim)
+            if self.centroids == "pivot"
+            else self._assign_kmeans(slim)
+        )
+        out = self._flag(assigned).select(
+            F.col("id").alias(self.id_col), "centroid_id", "is_dup"
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -1283,3 +1283,79 @@ def test_substring_dedup_keep_first_semantics(spark):
     )
     with pytest.raises(TypeError, match="SubstringDedup is batch-only"):
         SubstringDedup("d", "o")(Flow({"d": stream}))
+
+
+def test_semdedup_pivot_matches_bruteforce(spark, emb):
+    """Pivot-mode SemDeDup vs a literal numpy replay of the definition:
+    nearest-of-8-lowest-id-pivots assignment (round-6 cosine, lowest
+    centroid id on ties), then is_dup = any smaller-id cluster-mate at
+    cosine >= threshold."""
+    import numpy as np
+
+    from strom_spark import SemDeDup
+
+    out = (
+        SemDeDup("e", "f", threshold=0.3, n_clusters=8, centroids="pivot")(
+            Flow({"e": emb})
+        )["f"]
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(pdf["embedding"].to_list()).astype("float64")
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    ids = pdf["vec_id"].to_numpy()
+    C = X[:8]
+    S = np.round(X @ C.T, 6)
+    # argmax with first-index (= lowest pivot id) tie-break
+    cid = ids[np.argmax(S, axis=1)]
+    P = np.round(X @ X.T, 6)
+    is_dup = np.array(
+        [
+            any(
+                cid[j] == cid[i] and ids[j] < ids[i] and P[j, i] >= 0.3
+                for j in range(len(ids))
+            )
+            for i in range(len(ids))
+        ]
+    )
+    assert (out["centroid_id"].to_numpy() == cid).all()
+    assert (out["is_dup"].to_numpy() == is_dup).all()
+    assert is_dup.any()  # the threshold exercises the flag path
+
+
+def test_semdedup_kmeans_path(spark, emb):
+    """Production kmeans mode: same output contract, every centroid id
+    in [0, k), flags deterministic across reruns (seeded training)."""
+    from strom_spark import SemDeDup
+
+    mk = lambda: (
+        SemDeDup("e", "f", threshold=0.3, n_clusters=4, centroids="kmeans")(
+            Flow({"e": emb})
+        )["f"]
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    a, b = mk(), mk()
+    assert a.equals(b)
+    assert a["centroid_id"].between(0, 3).all()
+    assert len(a) == emb.count()
+    # keep-first: the globally lowest id can never be flagged
+    assert not a.loc[a["vec_id"].idxmin(), "is_dup"]
+
+
+def test_semdedup_cluster_cap_raises(spark, emb):
+    from strom_spark import SemDeDup
+
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        SemDeDup(
+            "e",
+            "f",
+            threshold=0.3,
+            n_clusters=2,
+            centroids="pivot",
+            max_cluster_rows=10,
+        )(Flow({"e": emb}))["f"].collect()
