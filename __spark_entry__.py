@@ -4719,6 +4719,68 @@ def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dsir_weights",
+    rf"""
+WITH {_NORM_DOCS},
+tw AS (SELECT doc_id, list_filter(w, x -> x != '') AS w FROM toks WHERE w IS NOT NULL),
+g AS (
+  SELECT doc_id, u.x AS gram FROM tw, UNNEST(w) AS u(x)
+  UNION ALL
+  SELECT doc_id, array_to_string(w[r.i:r.i+1], ' ') AS gram
+  FROM tw, UNNEST(range(1, len(w))) AS r(i)
+),
+db AS (
+  SELECT doc_id, ('0x' || substring(md5(gram), 1, 8))::UBIGINT % 10000 AS b,
+         count(*) AS cnt
+  FROM g GROUP BY 1, 2
+),
+rawb AS (SELECT b, sum(cnt) AS cr FROM db GROUP BY 1),
+tgtb AS (
+  SELECT db.b, sum(db.cnt) AS ct
+  FROM db JOIN documents d ON db.doc_id = d.doc_id
+  WHERE d.lang = 'en' GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT sum(cr) FROM rawb) AS nr, (SELECT sum(ct) FROM tgtb) AS nt
+),
+lr AS (
+  SELECT rawb.b,
+    CAST(round(
+      ln((coalesce(tgtb.ct, 0) + 1.0) / (tot.nt + 10000.0))
+      - ln((rawb.cr + 1.0) / (tot.nr + 10000.0)), 6) AS DECIMAL(18,6)) AS lr
+  FROM rawb LEFT JOIN tgtb ON rawb.b = tgtb.b CROSS JOIN tot
+),
+wt AS (
+  SELECT db.doc_id, sum(db.cnt) AS nf, CAST(sum(db.cnt * lr.lr) AS DOUBLE) AS w
+  FROM db JOIN lr ON db.b = lr.b GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(wt.nf, 0) AS BIGINT) AS n_feats,
+  coalesce(wt.w, 0.0) AS dsir_weight
+FROM documents d LEFT JOIN wt ON d.doc_id = wt.doc_id
+""",
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/textrank.py:DSIRWeights —
+    Xie et al. 2023, arXiv:2302.03169): every document scored by
+    Σ n(d,b)·[ln p̂_target(b) − ln p̂_raw(b)] over 10,000 hashed
+    unigram+bigram buckets (portable md5-prefix hash, add-1
+    smoothing), target = the English slice of the corpus — the
+    published recipe for domain-targeted pre-training data selection.
+    Corpus-sized shuffles key on (doc, bucket) then doc; the bucket
+    log-ratio table (≤10k rows) and corpus totals attach by
+    broadcast; per-bucket contributions are rounded and summed as
+    DECIMAL so the weight is order-independent (BM25Score
+    convention).  The oracle replays grams → buckets → smoothed
+    log-ratios → decimal dot product declaratively."""
+    from strom_spark import DSIRWeights
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    flow = Flow({"d": docs, "t": docs.filter(F.col("lang") == "en")})
+    return DSIRWeights("d", "t", "w", n_buckets=10_000)(flow)["w"]
+
+
+@_q(
     "semdedup_flags",
     """
 WITH p AS (

@@ -136,6 +136,8 @@ HEADLINE = [
     # round 7: semantic dedup (SemDeDup) — per-cluster GEMM flags,
     # no pair materialization — TOTAL covers 60 from here
     "semdedup_flags",
+    # round 7: DSIR hashed-ngram importance weights — TOTAL covers 61
+    "dsir_weights",
 ]
 
 

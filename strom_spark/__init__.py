@@ -52,7 +52,13 @@ from .operators.dedup import (
 from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, ivf_search
 from .operators.asof import AsofJoin
 from .operators.rangejoin import RangeJoin
-from .operators.textrank import BM25Score, SliceDivergence, TfIdfTopTerms, UnigramLMScore
+from .operators.textrank import (
+    BM25Score,
+    DSIRWeights,
+    SliceDivergence,
+    TfIdfTopTerms,
+    UnigramLMScore,
+)
 from .operators.graph import ConnectedComponents
 from .operators.sampling import GroupCap, HashSample, HashSplit, MixtureSample, TemperatureMix
 from .operators.packing import ChunkDocuments, PackSequences
@@ -144,6 +150,7 @@ __all__ = [
     "AsofJoin",
     "RangeJoin",
     "BM25Score",
+    "DSIRWeights",
     "TfIdfTopTerms",
     "UnigramLMScore",
     "SliceDivergence",

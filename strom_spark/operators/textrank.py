@@ -464,3 +464,150 @@ class SliceDivergence(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class DSIRWeights(Component):
+    """Data Selection via Importance Resampling weights (DSIR — Xie et
+    al. 2023, arXiv:2302.03169): score every document of ``docs`` by
+    how much more likely its hashed n-gram features are under a
+    TARGET-domain sample than under the raw corpus —
+
+        w(d) = Σ_b  n(d, b) · [ ln p̂_target(b) − ln p̂_raw(b) ]
+
+    over ``n_buckets`` hash buckets of unigram+bigram features, with
+    add-``alpha`` smoothed bucket probabilities.  The published recipe
+    for "select pre-training data that looks like the domain you care
+    about" — the top-weight fraction is the importance-resampled
+    subset.
+
+    Plan shape at 100 TB: the ONLY corpus-sized shuffles key on
+    ``(doc, bucket)`` and then ``doc`` (both well distributed); the
+    bucket log-ratio table is ≤ ``n_buckets`` rows — broadcast — and
+    corpus totals are single-row broadcast aggregates.  Features are
+    built with array HOFs in the scan (no explode-then-window), the
+    hash is the portable md5-prefix (functions/text.kgram_hash), and
+    per-bucket contributions are rounded and summed as DECIMAL so the
+    final weight is order-independent and engine-portable (the
+    BM25Score convention).
+
+    Output: one row per ``docs`` document — ``(id_col, n_feats,
+    weight_col)``; documents with no features (empty text) weigh 0.
+    """
+
+    def __init__(
+        self,
+        docs: str,
+        target: str,
+        output: str,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_buckets: int = 10_000,
+        alpha: float = 1.0,
+        weight_col: str = "dsir_weight",
+        label: str | None = None,
+    ):
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        if alpha <= 0:
+            raise ValueError("alpha must be > 0 (smoothing keeps ln finite)")
+        self.docs, self.target, self.output = docs, target, output
+        self.id_col, self.text_col = id_col, text_col
+        self.n_buckets = int(n_buckets)
+        self.alpha = float(alpha)
+        self.weight_col = weight_col
+        self.label = label
+
+    def _doc_buckets(self, df: DataFrame) -> DataFrame:
+        """(id, bucket, cnt) — unigram+bigram features hashed into
+        ``n_buckets`` via the portable md5-prefix, built with array
+        HOFs in the scan."""
+        fw = F.filter(TXT.tokens(self.text_col), lambda x: x != F.lit(""))
+        n = F.size(fw)
+        bigrams = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(fw, 1, n - 1),
+                F.slice(fw, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(fw, bigrams)
+        return (
+            df.select(
+                F.col(self.id_col).alias("__id"), F.explode(grams).alias("__g")
+            )
+            .select(
+                "__id",
+                F.pmod(TXT.kgram_hash(F.col("__g")), F.lit(self.n_buckets)).alias(
+                    "__b"
+                ),
+            )
+            .groupBy("__id", "__b")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+
+    def transform(self, flow: Flow) -> Flow:
+        docs = flow[self.docs]
+        target = flow[self.target]
+        require_batch(
+            docs, "DSIRWeights", "corpus and target bucket distributions need full passes"
+        )
+        require_batch(
+            target, "DSIRWeights", "corpus and target bucket distributions need full passes"
+        )
+
+        doc_b = self._doc_buckets(docs)
+        raw_b = doc_b.groupBy("__b").agg(F.sum("__cnt").alias("__cr"))
+        tgt_b = (
+            self._doc_buckets(target)
+            .groupBy("__b")
+            .agg(F.sum("__cnt").alias("__ct"))
+        )
+        raw_tot = raw_b.agg(F.sum("__cr").alias("__nr"))
+        tgt_tot = tgt_b.agg(F.sum("__ct").alias("__nt"))
+
+        a, bkt = F.lit(self.alpha), F.lit(float(self.n_buckets))
+        ratio = (
+            raw_b.join(tgt_b, "__b", "left")
+            .crossJoin(F.broadcast(raw_tot))
+            .crossJoin(F.broadcast(tgt_tot))
+            .select(
+                "__b",
+                F.round(
+                    F.log(
+                        (F.coalesce("__ct", F.lit(0)) + a)
+                        / (F.col("__nt") + a * bkt)
+                    )
+                    - F.log((F.col("__cr") + a) / (F.col("__nr") + a * bkt)),
+                    6,
+                )
+                .cast("decimal(18,6)")
+                .alias("__lr"),
+            )
+        )
+
+        weighted = (
+            doc_b.join(F.broadcast(ratio), "__b")
+            .groupBy("__id")
+            .agg(
+                F.sum("__cnt").alias("__nf"),
+                F.sum(F.col("__cnt") * F.col("__lr")).cast("double").alias("__w"),
+            )
+        )
+        ids = docs.select(F.col(self.id_col).alias("__id")).distinct()
+        out = (
+            ids.join(weighted, "__id", "left")
+            .select(
+                F.col("__id").alias(self.id_col),
+                F.coalesce("__nf", F.lit(0)).cast("bigint").alias("n_feats"),
+                F.coalesce("__w", F.lit(0.0)).alias(self.weight_col),
+            )
+        )
+        return flow.without(self.docs, self.target).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.docs, self.target)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -1359,3 +1359,45 @@ def test_semdedup_cluster_cap_raises(spark, emb):
             centroids="pivot",
             max_cluster_rows=10,
         )(Flow({"e": emb}))["f"].collect()
+
+
+def test_dsir_weights_prefers_target_vocab(spark):
+    """A document written in the target sample's vocabulary must
+    outweigh one written in off-target vocabulary, and empty docs
+    weigh exactly 0 with 0 features."""
+    from strom_spark import DSIRWeights
+
+    corpus = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": "alpha beta alpha beta gamma"},
+            {"doc_id": 2, "text": "zeta eta theta zeta eta"},
+            {"doc_id": 3, "text": None},
+        ]
+    )
+    target = spark.createDataFrame(
+        [{"doc_id": 10, "text": "alpha beta gamma alpha"}]
+    )
+    out = (
+        DSIRWeights("d", "t", "w", n_buckets=64)(
+            Flow({"d": corpus, "t": target})
+        )["w"]
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == 3
+    assert out.loc[1, "dsir_weight"] > out.loc[2, "dsir_weight"]
+    assert out.loc[3, "dsir_weight"] == 0.0 and out.loc[3, "n_feats"] == 0
+    # unigrams + bigrams: 5 tokens -> 5 + 4 features
+    assert out.loc[1, "n_feats"] == 9
+
+
+def test_dsir_requires_batch(spark):
+    from strom_spark import DSIRWeights
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
+    )
+    batch = spark.createDataFrame([{"doc_id": 1, "text": "a b"}])
+    with pytest.raises(TypeError, match="DSIRWeights is batch-only"):
+        DSIRWeights("d", "t", "w")(Flow({"d": stream, "t": batch}))
