@@ -557,12 +557,28 @@ class DSIRWeights(Component):
             target, "DSIRWeights", "corpus and target bucket distributions need full passes"
         )
 
-        doc_b = self._doc_buckets(docs)
-        raw_b = doc_b.groupBy("__b").agg(F.sum("__cnt").alias("__cr"))
+        # PERSIST the shared intermediates: without it, Catalyst plans
+        # every consumer with its own copy of the lineage (measured: 19
+        # exchanges / 6 scans — the corpus tokenize+hash+shuffle ran
+        # THREE times and the target's twice).  ``doc_b`` is the one
+        # corpus-sized pin (MEMORY_AND_DISK — same materialization cost
+        # class as the shuffle that produces it); the bucket tables are
+        # ≤ n_buckets rows.  Caches are left to Spark's LRU eviction —
+        # call ``.unpersist()`` on the output's lineage in a long-lived
+        # session if memory pressure matters before the next query.
+        from pyspark import StorageLevel
+
+        doc_b = self._doc_buckets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        raw_b = (
+            doc_b.groupBy("__b")
+            .agg(F.sum("__cnt").alias("__cr"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         tgt_b = (
             self._doc_buckets(target)
             .groupBy("__b")
             .agg(F.sum("__cnt").alias("__ct"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         raw_tot = raw_b.agg(F.sum("__cr").alias("__nr"))
         tgt_tot = tgt_b.agg(F.sum("__ct").alias("__nt"))

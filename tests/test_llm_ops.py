@@ -1372,6 +1372,7 @@ def test_dsir_weights_prefers_target_vocab(spark):
             {"doc_id": 1, "text": "alpha beta alpha beta gamma"},
             {"doc_id": 2, "text": "zeta eta theta zeta eta"},
             {"doc_id": 3, "text": None},
+            {"doc_id": 4, "text": "alpha"},  # 1 token -> no bigrams
         ]
     )
     target = spark.createDataFrame(
@@ -1384,11 +1385,14 @@ def test_dsir_weights_prefers_target_vocab(spark):
         .toPandas()
         .set_index("doc_id")
     )
-    assert len(out) == 3
+    assert len(out) == 4
     assert out.loc[1, "dsir_weight"] > out.loc[2, "dsir_weight"]
     assert out.loc[3, "dsir_weight"] == 0.0 and out.loc[3, "n_feats"] == 0
     # unigrams + bigrams: 5 tokens -> 5 + 4 features
     assert out.loc[1, "n_feats"] == 9
+    # single token: unigram only, and target vocab -> positive-ish weight
+    assert out.loc[4, "n_feats"] == 1
+    assert out.loc[4, "dsir_weight"] > out.loc[2, "dsir_weight"]
 
 
 def test_dsir_requires_batch(spark):
