@@ -1729,7 +1729,15 @@ class SemDeDup(Component):
         )
 
     def transform(self, flow: Flow) -> Flow:
+        from ..component import require_batch
+
         df = flow[self.input]
+        require_batch(
+            df,
+            "SemDeDup",
+            "centroid training/collection and per-cluster pairwise scans "
+            "need the whole corpus",
+        )
         slim = df.select(
             F.col(self.id_col).cast("bigint").alias("id"),
             F.col(self.vec_col).cast("array<double>").alias("v"),

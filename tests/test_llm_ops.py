@@ -1405,3 +1405,14 @@ def test_dsir_requires_batch(spark):
     batch = spark.createDataFrame([{"doc_id": 1, "text": "a b"}])
     with pytest.raises(TypeError, match="DSIRWeights is batch-only"):
         DSIRWeights("d", "t", "w")(Flow({"d": stream, "t": batch}))
+
+
+def test_semdedup_requires_batch(spark):
+    from strom_spark import SemDeDup
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS vec_id", "array(CAST(value AS FLOAT)) AS embedding")
+    )
+    with pytest.raises(TypeError, match="SemDeDup is batch-only"):
+        SemDeDup("e", "f")(Flow({"e": stream}))

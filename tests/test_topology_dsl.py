@@ -146,6 +146,11 @@ def test_no_fact_broadcast_sweep(spark, sf_dir):
     ALLOW = {
         "knn_topk": ("Filter (vec_id",),
         "bm25_search": ("Filter __t#", " IN ("),
+        # broadcast side is the bucket log-ratio table: an Aggregate
+        # keyed on pmod(hash, n_buckets) — ≤ 10k rows at ANY corpus
+        # size.  Both markers must survive a refactor for the
+        # adjudication to hold.
+        "dsir_weights": ("Aggregate [__b#", "pmod("),
     }
 
     failures = {}
@@ -184,6 +189,7 @@ def test_no_quadratic_join_sweep(spark, sf_dir):
         "curation_v2": "corpus stats attach inside quality scoring — 1-row side",
         "q11_important_part_value": "global value total attach — 1-row side",
         "slice_divergence": "corpus grand-total attach — 1-row side",
+        "dsir_weights": "corpus/target total attach — two 1-row aggregate sides",
     }
     failures = {}
     for name, fn in entry.queries().items():
