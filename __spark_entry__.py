@@ -4781,6 +4781,87 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dsir_sample",
+    rf"""
+WITH {_NORM_DOCS},
+tw AS (SELECT doc_id, list_filter(w, x -> x != '') AS w FROM toks WHERE w IS NOT NULL),
+g AS (
+  SELECT doc_id, u.x AS gram FROM tw, UNNEST(w) AS u(x)
+  UNION ALL
+  SELECT doc_id, array_to_string(w[r.i:r.i+1], ' ')
+  FROM tw, UNNEST(range(1, len(w))) AS r(i)
+),
+db AS (
+  SELECT doc_id, ('0x' || substring(md5(gram), 1, 8))::UBIGINT % 10000 AS b,
+         count(*) AS cnt
+  FROM g GROUP BY 1, 2
+),
+rawb AS (SELECT b, sum(cnt) AS cr FROM db GROUP BY 1),
+tgtb AS (
+  SELECT db.b, sum(db.cnt) AS ct
+  FROM db JOIN documents d ON db.doc_id = d.doc_id
+  WHERE d.lang = 'en' GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT sum(cr) FROM rawb) AS nr, (SELECT sum(ct) FROM tgtb) AS nt
+),
+lr AS (
+  SELECT rawb.b,
+    CAST(round(
+      ln((coalesce(tgtb.ct, 0) + 1.0) / (tot.nt + 10000.0))
+      - ln((rawb.cr + 1.0) / (tot.nr + 10000.0)), 6) AS DECIMAL(18,6)) AS lr
+  FROM rawb LEFT JOIN tgtb ON rawb.b = tgtb.b CROSS JOIN tot
+),
+wt AS (
+  SELECT db.doc_id, CAST(sum(db.cnt * lr.lr) AS DOUBLE) AS w
+  FROM db JOIN lr ON db.b = lr.b GROUP BY 1
+),
+keyed AS (
+  SELECT d.doc_id, coalesce(wt.w, 0.0) AS dsir_weight,
+    round(coalesce(wt.w, 0.0)
+      - ln(-ln(((('0x' || substring(md5('gumbel' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000) + 0.5) / 10000.0)),
+      6) AS sample_key
+  FROM documents d LEFT JOIN wt ON d.doc_id = wt.doc_id
+)
+SELECT doc_id, dsir_weight, sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+""",
+)
+def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLING half of DSIR (Xie et al. 2023 §2: sample
+    without replacement ∝ exp(weight)): Gumbel-top-k — key each doc
+    with weight + Gumbel noise g = −ln(−ln(u)) and take the global
+    top 100, where u derives from the portable md5-prefix hash of the
+    doc id (sampling.py:bucket_of convention) so the draw is
+    deterministic, engine-replayable, and retry-stable (no seeded
+    RNG).  Keys are rounded to 6 digits with a doc-id tie-break
+    before ranking, so Spark's distributed TakeOrdered and the
+    oracle's ORDER BY...LIMIT select the identical set.  The top-k is
+    per-partition top-100 + driver merge — no global sort shuffle."""
+    from strom_spark import DSIRWeights, TopK, Transformer
+    from strom_spark.operators.sampling import bucket_of
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    flow = Flow({"d": docs, "t": docs.filter(F.col("lang") == "en")})
+    w = DSIRWeights("d", "t", "w", n_buckets=10_000)(flow)
+    u = (bucket_of("doc_id", "gumbel") + F.lit(0.5)) / F.lit(10000.0)
+    keyed = Transformer(
+        "w",
+        select={
+            "doc_id": "doc_id",
+            "dsir_weight": "dsir_weight",
+            "sample_key": F.round(
+                F.col("dsir_weight") - F.log(-F.log(u)), 6
+            ),
+        },
+    )(w)
+    out = TopK(
+        "w", "s", k=100, order_by=[F.col("sample_key").desc(), F.col("doc_id")]
+    )(keyed)
+    return out["s"]
+
+
+@_q(
     "semdedup_flags",
     """
 WITH p AS (

@@ -136,8 +136,10 @@ HEADLINE = [
     # round 7: semantic dedup (SemDeDup) — per-cluster GEMM flags,
     # no pair materialization — TOTAL covers 60 from here
     "semdedup_flags",
-    # round 7: DSIR hashed-ngram importance weights — TOTAL covers 61
+    # round 7: DSIR hashed-ngram importance weights + Gumbel-top-k
+    # resampling — TOTAL covers 62 from here
     "dsir_weights",
+    "dsir_sample",
 ]
 
 

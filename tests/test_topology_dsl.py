@@ -151,6 +151,7 @@ def test_no_fact_broadcast_sweep(spark, sf_dir):
         # size.  Both markers must survive a refactor for the
         # adjudication to hold.
         "dsir_weights": ("Aggregate [__b#", "pmod("),
+        "dsir_sample": ("Aggregate [__b#", "pmod("),
     }
 
     failures = {}
@@ -190,6 +191,7 @@ def test_no_quadratic_join_sweep(spark, sf_dir):
         "q11_important_part_value": "global value total attach — 1-row side",
         "slice_divergence": "corpus grand-total attach — 1-row side",
         "dsir_weights": "corpus/target total attach — two 1-row aggregate sides",
+        "dsir_sample": "corpus/target total attach — two 1-row aggregate sides",
     }
     failures = {}
     for name, fn in entry.queries().items():
