@@ -1238,11 +1238,24 @@ class SubstringDedup(Component):
             "full-corpus statistics",
         )
         k = self.k
-        toks = df.filter(F.col(self.text_col).isNotNull()).select(
-            F.col(self.id_col).alias("__id"),
-            F.filter(
-                TXT.tokens(self.text_col), lambda x: x != F.lit("")
-            ).alias("__w"),
+        # PERSIST the tokenized corpus: it feeds BOTH the window pass
+        # and the rebuild pass, and without the pin Catalyst plans each
+        # consumer with its own copy of the ENTIRE upstream lineage —
+        # in the curation_v5 composite that re-ran the full 22-shuffle
+        # curation pipeline twice (45 exchanges → 28 with the pin).
+        # MEMORY_AND_DISK: same materialization cost class as one
+        # shuffle of the token arrays; Spark LRU evicts.
+        from pyspark import StorageLevel
+
+        toks = (
+            df.filter(F.col(self.text_col).isNotNull())
+            .select(
+                F.col(self.id_col).alias("__id"),
+                F.filter(
+                    TXT.tokens(self.text_col), lambda x: x != F.lit("")
+                ).alias("__w"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n = F.size("__w")
         win_arr = F.when(
