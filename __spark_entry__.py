@@ -4781,6 +4781,64 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stupid_backoff_scores",
+    rf"""
+WITH {_NORM_DOCS},
+tw AS (SELECT doc_id, list_filter(w, x -> x != '') AS w FROM toks WHERE w IS NOT NULL),
+nz AS (SELECT doc_id, w, len(w) AS n FROM tw WHERE len(w) > 0),
+pos AS (
+  SELECT doc_id, n,
+    CASE WHEN r.p >= 2 THEN w[r.p - 1] END AS prev, w[r.p] AS cur
+  FROM nz, UNNEST(range(1, n + 1)) AS r(p)
+),
+grouped AS (
+  SELECT doc_id, n, prev, cur, count(*) AS cnt FROM pos GROUP BY ALL
+),
+uc AS (SELECT u.x AS t, count(*) AS c FROM nz, UNNEST(w) AS u(x) GROUP BY 1),
+bc AS (
+  SELECT w[r.i] AS p, w[r.i + 1] AS c, count(*) AS bc
+  FROM nz, UNNEST(range(1, n)) AS r(i) GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS N FROM uc),
+sc AS (
+  SELECT g.doc_id, g.n,
+    CAST(round(g.cnt * -ln(
+      CASE WHEN g.prev IS NULL THEN cu.c / tot.N
+           WHEN bc.bc IS NOT NULL THEN bc.bc / CAST(pu.c AS DOUBLE)
+           ELSE 0.4 * cu.c / tot.N END), 6) AS DECIMAL(18,6)) AS contrib
+  FROM grouped g
+  JOIN uc cu ON cu.t = g.cur
+  LEFT JOIN uc pu ON pu.t = g.prev
+  LEFT JOIN bc ON bc.p = g.prev AND bc.c = g.cur
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+  CAST(sum(contrib) AS DOUBLE) / n AS sb_nll
+FROM sc GROUP BY doc_id, n
+""",
+)
+def stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scores with Stupid Backoff (operators/
+    textrank.py:StupidBackoffLM — Brants et al. 2007, the smoothing
+    designed for distributed corpus-count LMs: counts + one backoff
+    constant, no discounting).  Per doc: mean −ln S over positions,
+    S = c(bigram)/c(prev) when seen, else 0.4·c(w)/N; sentence-
+    initial tokens score on the unigram model.  The bigram upgrade of
+    `lm_quality_scores`: fluent word ORDER now scores low — the
+    CCNet-style LM gate.  Count tables are vocab-sized checkpoints,
+    score joins shuffle on token/(prev,cur) keys (never broadcast —
+    bigram vocab is web-scale), contributions DECIMAL-summed.  The
+    oracle replays positions → counts → backoff CASE declaratively."""
+    from strom_spark import StupidBackoffLM
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    flow = Flow({"docs": docs})
+    return StupidBackoffLM("docs", "out", id_col="doc_id", text_col="text")(
+        flow
+    )["out"]
+
+
+@_q(
     "dsir_sample",
     rf"""
 WITH {_NORM_DOCS},

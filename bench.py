@@ -140,6 +140,8 @@ HEADLINE = [
     # resampling — TOTAL covers 62 from here
     "dsir_weights",
     "dsir_sample",
+    # round 7: Stupid Backoff bigram-LM quality scores — TOTAL covers 63
+    "stupid_backoff_scores",
 ]
 
 

@@ -56,6 +56,7 @@ from .operators.textrank import (
     BM25Score,
     DSIRWeights,
     SliceDivergence,
+    StupidBackoffLM,
     TfIdfTopTerms,
     UnigramLMScore,
 )
@@ -151,6 +152,7 @@ __all__ = [
     "RangeJoin",
     "BM25Score",
     "DSIRWeights",
+    "StupidBackoffLM",
     "TfIdfTopTerms",
     "UnigramLMScore",
     "SliceDivergence",

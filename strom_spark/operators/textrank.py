@@ -627,3 +627,146 @@ class DSIRWeights(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class StupidBackoffLM(Component):
+    """Per-document mean negative log-score under a corpus-trained
+    BIGRAM language model with Stupid Backoff (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the smoothing
+    designed FOR distributed corpus-count LMs: no discounting pass,
+    no normalization, just counts and one backoff constant):
+
+        S(wᵢ | wᵢ₋₁) = c(wᵢ₋₁wᵢ) / c(wᵢ₋₁)        if the bigram occurs
+                     = λ · c(wᵢ) / N               otherwise (λ = 0.4)
+        S(w₁)        = c(w₁) / N                   (sentence-initial)
+
+    Emits ``(id_col, n_tok, score_col)`` with ``score_col`` =
+    Σ −ln S / n_tok — the bigram upgrade of :class:`UnigramLMScore`'s
+    perplexity proxy: fluent word ORDER now scores low, shuffled or
+    boilerplate-spliced text scores high, which is exactly the CCNet-
+    style LM quality gate.  Corpus-trained counts mean every token and
+    every seen bigram has c > 0 — no zero probabilities by
+    construction.
+
+    Plan shape (the BM25Score/UnigramLMScore skeleton): count tables
+    are vocab-/bigram-vocab-sized and eagerly localCheckpointed (the
+    "train" phase — the published reason Stupid Backoff scales is that
+    training IS this distributed count job); the score joins SHUFFLE
+    on the token / (prev, cur) keys — never broadcast, bigram vocab is
+    web-scale; corpus total N attaches as a broadcast single row;
+    per-position contributions are rounded and summed as DECIMAL so
+    the score is independent of shuffle order.  Nothing corpus-sized
+    is ever cached.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str,
+        text_col: str,
+        backoff: float = 0.4,
+        score_col: str = "sb_nll",
+        label: str | None = None,
+    ):
+        if not 0 < backoff <= 1:
+            raise ValueError("backoff must be in (0, 1]")
+        self.input, self.output = input, output or input
+        self.id_col, self.text_col = id_col, text_col
+        self.backoff = float(backoff)
+        self.score_col = score_col
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        require_batch(
+            df, "StupidBackoffLM", "the bigram LM is trained on full-corpus counts"
+        )
+        toks = df.select(
+            F.col(self.id_col).alias("__id"),
+            F.filter(TXT.tokens(self.text_col), lambda x: x != F.lit("")).alias("__w"),
+        ).filter(F.size("__w") > 0)
+
+        # (id, n, prev, cur) positions: posexplode is 0-based, so the
+        # predecessor of the token at p is element_at(w, p) (1-based)
+        pos = toks.select(
+            "__id",
+            "__w",
+            F.size("__w").alias("__n"),
+            F.posexplode("__w").alias("__p", "__cur"),
+        ).select(
+            "__id",
+            "__n",
+            F.when(F.col("__p") >= 1, F.element_at("__w", F.col("__p"))).alias("__prev"),
+            "__cur",
+        )
+        grouped = pos.groupBy("__id", "__n", "__prev", "__cur").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+
+        # "train": corpus count tables, vocab-sized, pinned eagerly
+        # (the UnigramLMScore discipline — without the pin each score
+        # branch re-runs the corpus explode)
+        tok = toks.select(F.explode("__w").alias("__t"))
+        uc = (
+            tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__uc"))
+            .localCheckpoint(eager=True)
+        )
+        bigrams = toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("__w", 1, F.size("__w") - 1),
+                    F.slice("__w", 2, F.size("__w") - 1),
+                    lambda a, b: F.struct(a.alias("p"), b.alias("c")),
+                )
+            ).alias("__bg")
+        )
+        bc = (
+            bigrams.groupBy(
+                F.col("__bg.p").alias("__bp"), F.col("__bg.c").alias("__bc_t")
+            )
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .localCheckpoint(eager=True)
+        )
+        stats = uc.agg(F.sum("__uc").cast("double").alias("__tot"))
+
+        cur_c = uc.select(F.col("__t").alias("__cur"), F.col("__uc").alias("__cuc"))
+        prev_c = uc.select(F.col("__t").alias("__prev"), F.col("__uc").alias("__puc"))
+        joined = (
+            grouped.join(cur_c, "__cur")
+            .join(prev_c, "__prev", "left")
+            .join(
+                bc.withColumnRenamed("__bp", "__prev").withColumnRenamed(
+                    "__bc_t", "__cur"
+                ),
+                ["__prev", "__cur"],
+                "left",
+            )
+            .crossJoin(F.broadcast(stats))
+        )
+        s = (
+            F.when(F.col("__prev").isNull(), F.col("__cuc") / F.col("__tot"))
+            .when(F.col("__bc").isNotNull(), F.col("__bc") / F.col("__puc"))
+            .otherwise(F.lit(self.backoff) * F.col("__cuc") / F.col("__tot"))
+        )
+        contrib = F.col("__cnt") * (-F.log(s))
+        out = (
+            joined.select(
+                "__id", "__n", F.round(contrib, 6).cast("decimal(18,6)").alias("__c")
+            )
+            .groupBy("__id", "__n")
+            .agg((F.sum("__c").cast("double") / F.col("__n")).alias(self.score_col))
+            .select(
+                F.col("__id").alias(self.id_col),
+                F.col("__n").alias("n_tok"),
+                self.score_col,
+            )
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -1416,3 +1416,66 @@ def test_semdedup_requires_batch(spark):
     )
     with pytest.raises(TypeError, match="SemDeDup is batch-only"):
         SemDeDup("e", "f")(Flow({"e": stream}))
+
+
+def test_stupid_backoff_lm(spark):
+    """Hand-computed Stupid Backoff on a 3-doc corpus: fluent repeats
+    of a corpus-frequent bigram score LOWER than the same unigrams in
+    unseen order; single-token and empty docs behave."""
+    import math
+
+    from strom_spark import StupidBackoffLM
+
+    corpus = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": "a b a b"},
+            {"doc_id": 2, "text": "b a b a"},
+            {"doc_id": 3, "text": "c c"},
+            {"doc_id": 4, "text": None},
+        ]
+    )
+    out = (
+        StupidBackoffLM("d", "o", id_col="doc_id", text_col="text")(
+            Flow({"d": corpus})
+        )["o"]
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # null-text doc excluded; 3 scored rows
+    assert len(out) == 3 and 4 not in out.index
+    assert out.loc[1, "n_tok"] == 4
+    # corpus: N=10, c(a)=4, c(b)=4, c(c)=2; bigrams: ab=3, ba=3, cc=1
+    # doc 1 "a b a b": -ln(4/10) - ln(3/4) - ln(3/4) - ln(3/4), /4
+    exp1 = (
+        round(-math.log(4 / 10), 6) + 3 * round(-math.log(3 / 4), 6)
+    ) / 4
+    assert abs(out.loc[1, "sb_nll"] - exp1) < 1e-9
+    # doc 3 "c c": -ln(2/10) - ln(1/2), /2
+    exp3 = (round(-math.log(2 / 10), 6) + round(-math.log(1 / 2), 6)) / 2
+    assert abs(out.loc[3, "sb_nll"] - exp3) < 1e-9
+    # fluency separation: doc 3's rare-vocab doc scores higher than
+    # doc 1's frequent-bigram doc
+    assert out.loc[3, "sb_nll"] > out.loc[1, "sb_nll"]
+
+
+def test_stupid_backoff_penalizes_unseen_order(spark):
+    """A doc whose bigrams never occur in the rest of the corpus pays
+    the 0.4-backoff unigram price at every non-initial position."""
+    import math
+
+    from strom_spark import StupidBackoffLM
+
+    corpus = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": "x y x y x y"},
+            {"doc_id": 2, "text": "y y x x y x"},  # yy/xx unseen-ish
+        ]
+    )
+    out = (
+        StupidBackoffLM("d", "o", id_col="doc_id", text_col="text")(
+            Flow({"d": corpus})
+        )["o"]
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[2, "sb_nll"] > out.loc[1, "sb_nll"]

@@ -192,6 +192,7 @@ def test_no_quadratic_join_sweep(spark, sf_dir):
         "slice_divergence": "corpus grand-total attach — 1-row side",
         "dsir_weights": "corpus/target total attach — two 1-row aggregate sides",
         "dsir_sample": "corpus/target total attach — two 1-row aggregate sides",
+        "stupid_backoff_scores": "corpus token total attach — 1-row aggregate side",
     }
     failures = {}
     for name, fn in entry.queries().items():
