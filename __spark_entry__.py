@@ -4781,6 +4781,60 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "image_phash_groups",
+    """
+WITH d AS (
+  SELECT doc_id, 5 + doc_id % 6 AS w, 3 + doc_id % 4 AS h, doc_id % 256 AS g
+  FROM documents
+),
+s AS (
+  SELECT doc_id, j.j, i.i,
+    299 * ((i.i * w) // 8) + 587 * g + 114 * ((j.j * h) // 8) AS l
+  FROM d, UNNEST(range(0, 8)) AS j(j), UNNEST(range(0, 8)) AS i(i)
+),
+t AS (SELECT doc_id, sum(l) AS tot FROM s GROUP BY 1),
+b AS (
+  SELECT s.doc_id,
+    string_agg(CASE WHEN 64 * s.l > t.tot THEN '1' ELSE '0' END, ''
+               ORDER BY s.j, s.i) AS phash
+  FROM s JOIN t ON s.doc_id = t.doc_id GROUP BY s.doc_id
+)
+SELECT phash, CAST(count(*) AS BIGINT) AS n_images, min(doc_id) AS keep_id
+FROM b GROUP BY phash
+""",
+)
+def image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup dedup end-to-end (operators/multimodal.py:
+    ImagePHash + bmp_phash): one synthetic 24-bit BMP per document id
+    generated executor-side, REALLY decoded (row flip + stride
+    padding), perceptually hashed — 8×8 nearest-neighbor luma
+    resample, above-mean threshold, ALL in integer arithmetic
+    (299R+587G+114B scaled luma; threshold 64·l > Σl) so the hash is
+    exact and order-independent — then exact-phash dedup groups
+    (phash, n_images, keep_id).  The gradient corpus collapses to
+    ≤24 groups (the hash sees geometry; the per-id G plane cancels in
+    the threshold) — a planted demonstration that perceptually-equal
+    images dedup across different color offsets.  Only fingerprints
+    ever shuffle; blobs stay in their scan partitions.  The oracle
+    states the decode+resample+threshold closed-form per id."""
+    from strom_spark import ImagePHash, bmp_synth
+
+    @F.pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda i: bmp_synth(int(i)))
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), _synth("doc_id").alias("content")
+    )
+    hashed = ImagePHash("assets", "ph")(Flow({"assets": assets}))["ph"]
+    return hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.min("asset_id").alias("keep_id"),
+    )
+
+
+@_q(
     "stupid_backoff_scores",
     rf"""
 WITH {_NORM_DOCS},

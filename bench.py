@@ -142,6 +142,9 @@ HEADLINE = [
     "dsir_sample",
     # round 7: Stupid Backoff bigram-LM quality scores — TOTAL covers 63
     "stupid_backoff_scores",
+    # round 7: perceptual-hash image dedup through the real BMP decode
+    # — TOTAL covers 64 from here
+    "image_phash_groups",
 ]
 
 

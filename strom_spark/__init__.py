@@ -67,9 +67,11 @@ from .operators.fuzzy import EditDistanceJoin
 from .operators.clustering import LloydKMeans
 from .operators.multimodal import (
     FrameSample,
+    ImagePHash,
     MediaFeatures,
     MediaResize,
     bmp_decode,
+    bmp_phash,
     bmp_synth,
     ppm_decode,
     ppm_parse,
@@ -171,6 +173,8 @@ __all__ = [
     "compact_write",
     "zorder_key",
     "MediaFeatures",
+    "ImagePHash",
+    "bmp_phash",
     "MediaResize",
     "FrameSample",
     "ppm_resize",

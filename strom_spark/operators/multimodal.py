@@ -753,3 +753,136 @@ def synthetic_assets(spark, n: int = 100, seed: int = 7):
             }
         )
     return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+
+
+def bmp_phash(content: bytes, dim: int = 8) -> str:
+    """Perceptual average-hash (aHash) of a 24-bit BI_RGB BMP — the
+    classic image near-dup fingerprint: luma grid → ``dim×dim``
+    nearest-neighbor resample → above-mean threshold → ``dim²`` bits.
+
+    Every step is INTEGER arithmetic so the hash is exact and
+    engine-portable: luma is scaled 1000× (``299·R + 587·G + 114·B``)
+    and the threshold compares ``dim²·l > Σl`` — no float mean, no
+    summation-order sensitivity, no rounding boundary (the properties
+    the closed-form SQL oracle needs).  Returned as a ``dim²``-char
+    '0'/'1' string (row-major) — portable and trivially groupable;
+    pack into bigints via the SimHash block machinery when shuffle
+    volume matters (a 64-char string is 8× a packed long — the
+    ``image_phash_groups`` corpus shuffles hashes, not images, so the
+    economy is already 5 orders of magnitude vs the blobs).
+
+    Reuses :func:`bmp_decode`'s format handling (bottom-up row flip,
+    4-byte stride padding); raises on non-BI_RGB inputs.
+    """
+    import struct
+
+    if not content or content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(content) < 54:
+        raise ValueError("truncated BMP header")
+    (pixel_offset,) = struct.unpack_from("<I", content, 10)
+    w, h_raw, _planes, bpp, comp = struct.unpack_from("<iiHHI", content, 18)
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit BI_RGB BMP supported")
+    bottom_up = h_raw > 0
+    h = abs(h_raw)
+    if w <= 0 or h == 0:
+        raise ValueError(f"degenerate BMP dimensions {w}x{h_raw}")
+    stride = (w * 3 + 3) & ~3
+    if len(content) < pixel_offset + stride * h:
+        raise ValueError("truncated BMP raster")
+
+    samples = []
+    for j in range(dim):  # logical rows, top-down
+        y = (j * h) // dim
+        y_src = (h - 1 - y) if bottom_up else y
+        base = pixel_offset + y_src * stride
+        for i in range(dim):
+            x = (i * w) // dim
+            b, g, r = content[base + 3 * x : base + 3 * x + 3]
+            samples.append(299 * r + 587 * g + 114 * b)
+    total = sum(samples)
+    n = dim * dim
+    return "".join("1" if n * l > total else "0" for l in samples)
+
+
+class ImagePHash(Component):
+    """Perceptual-hash fingerprints for binary image columns — the
+    image-modality sibling of text ``SimHash``: one linear
+    ``mapInPandas`` decode pass emits ``(id, phash, n_bits_set)`` per
+    asset; everything downstream (exact-dup groupBy on the hash,
+    Hamming-``d`` near-dup pairs via the SimHash pigeonhole
+    block-split) operates on the fingerprints, never the blobs.
+
+    ``hash_fn(content: bytes) -> str`` defaults to :func:`bmp_phash`
+    (stdlib BMP); pass a PIL/libvips-backed function for production
+    codecs — the Spark plumbing (Arrow batching, ``chunk`` re-slicing,
+    fingerprint-only shuffles) is codec-agnostic.
+
+    At 100 TB: the decode scan is embarrassingly parallel and the only
+    shuffled payload is ~64 chars per image — grouping a billion
+    images by phash is a routine keyed aggregate; the blobs never
+    leave their scan partitions.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "asset_id",
+        content_col: str = "content",
+        hash_fn: "Callable[[bytes], str] | None" = None,
+        dim: int = 8,
+        chunk: "int | None" = None,
+        label: str | None = None,
+    ):
+        if chunk is not None and chunk < 1:
+            raise ValueError(f"chunk must be >= 1 or None, got {chunk}")
+        if dim < 2:
+            raise ValueError("dim must be >= 2")
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.content_col = content_col
+        self.hash_fn = hash_fn
+        self.dim = int(dim)
+        self.chunk = chunk
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        from ..component import rechunk_batches
+
+        df = flow[self.input]
+        dim = self.dim
+        hash_fn = self.hash_fn or (lambda c: bmp_phash(c, dim))
+        id_col, content_col = self.id_col, self.content_col
+        chunk = self.chunk
+        id_type = df.schema[id_col].dataType.simpleString()
+
+        prepared = df.select(
+            F.col(id_col).alias("asset_id"), F.col(content_col).alias("__content")
+        )
+
+        def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in rechunk_batches(batches, chunk):
+                hashes = [hash_fn(c) for c in pdf["__content"]]
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "phash": hashes,
+                        "n_bits_set": [h.count("1") for h in hashes],
+                    }
+                )
+
+        out = prepared.mapInPandas(
+            hash_batches,
+            schema=f"asset_id {id_type}, phash string, n_bits_set int",
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -1479,3 +1479,35 @@ def test_stupid_backoff_penalizes_unseen_order(spark):
         .set_index("doc_id")
     )
     assert out.loc[2, "sb_nll"] > out.loc[1, "sb_nll"]
+
+
+def test_image_phash_properties(spark):
+    """aHash invariances on real decoded BMPs: the hash sees geometry
+    (dims change it), not the constant color plane (G offset cancels);
+    identical images collapse to one group via ImagePHash."""
+    from strom_spark import Flow, ImagePHash, bmp_phash, bmp_synth
+
+    # ids 1 and 13: same (w, h) = (6, 4) pattern? w=5+id%6, h=3+id%4
+    # id 1 -> (6, 4); id 13 -> (6, 4) with different G plane
+    assert bmp_phash(bmp_synth(1)) == bmp_phash(bmp_synth(13))
+    # id 2 -> (7, 5): different geometry, different hash
+    assert bmp_phash(bmp_synth(1)) != bmp_phash(bmp_synth(2))
+    h = bmp_phash(bmp_synth(1))
+    assert len(h) == 64 and set(h) <= {"0", "1"}
+
+    rows = [{"asset_id": i, "content": bmp_synth(i)} for i in (1, 13, 2)]
+    out = (
+        ImagePHash("a", "p")(Flow({"a": spark.createDataFrame(rows)}))["p"]
+        .toPandas()
+        .set_index("asset_id")
+    )
+    assert out.loc[1, "phash"] == out.loc[13, "phash"]
+    assert out.loc[1, "phash"] != out.loc[2, "phash"]
+    assert out.loc[1, "n_bits_set"] == out.loc[1, "phash"].count("1")
+
+
+def test_image_phash_rejects_non_bmp(spark):
+    from strom_spark import bmp_phash
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        bmp_phash(b"JFIF not a bmp")
