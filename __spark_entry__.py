@@ -4835,6 +4835,63 @@ def image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "image_phash_near_pairs",
+    """
+WITH d AS (
+  SELECT doc_id, 5 + doc_id % 6 AS w, 3 + doc_id % 4 AS h, doc_id % 256 AS g
+  FROM documents
+),
+s AS (
+  SELECT doc_id, j.j, i.i,
+    299 * ((i.i * w) // 8) + 587 * g + 114 * ((j.j * h) // 8) AS l
+  FROM d, UNNEST(range(0, 8)) AS j(j), UNNEST(range(0, 8)) AS i(i)
+),
+t AS (SELECT doc_id, sum(l) AS tot FROM s GROUP BY 1),
+b AS (
+  SELECT s.doc_id,
+    string_agg(CASE WHEN 64 * s.l > t.tot THEN '1' ELSE '0' END, ''
+               ORDER BY s.j, s.i) AS phash
+  FROM s JOIN t ON s.doc_id = t.doc_id GROUP BY s.doc_id
+),
+reps AS (SELECT phash, min(doc_id) AS rid FROM b GROUP BY phash)
+SELECT a.rid AS id_a, c.rid AS id_b,
+  CAST(hamming(a.phash, c.phash) AS BIGINT) AS distance
+FROM reps a JOIN reps c ON a.rid < c.rid
+WHERE hamming(a.phash, c.phash) <= 8
+""",
+)
+def image_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-duplicate pairs (operators/multimodal.py:
+    PHashNearDupPairs): the distinct perceptual-hash group
+    representatives from `image_phash_groups`, paired within Hamming
+    distance 8 by the SimHash pigeonhole — candidates meet only
+    inside a (block, block-value) bucket (9 blocks for d=8, never
+    all-pairs), exact distance verified JVM-side as
+    bit_count(hi⊕hi') + bit_count(lo⊕lo') on the conv-packed halves.
+    The oracle cross-joins the ≤12 representatives with DuckDB's
+    native hamming() — exactness of both the pigeonhole recall and
+    the packed-long distance is what's being certified.  At corpus
+    scale the pair stage runs on fingerprints (64 chars), never
+    blobs, and the bucket join is the sub-quadratic path."""
+    from strom_spark import ImagePHash, PHashNearDupPairs, bmp_synth
+
+    @F.pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda i: bmp_synth(int(i)))
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), _synth("doc_id").alias("content")
+    )
+    hashed = ImagePHash("assets", "ph")(Flow({"assets": assets}))["ph"]
+    reps = hashed.groupBy("phash").agg(F.min("asset_id").alias("asset_id"))
+    out = PHashNearDupPairs("reps", "pairs", max_distance=8)(
+        Flow({"reps": reps})
+    )["pairs"]
+    return out.select("id_a", "id_b", F.col("distance").cast("bigint").alias("distance"))
+
+
+@_q(
     "stupid_backoff_scores",
     rf"""
 WITH {_NORM_DOCS},

@@ -145,6 +145,9 @@ HEADLINE = [
     # round 7: perceptual-hash image dedup through the real BMP decode
     # — TOTAL covers 64 from here
     "image_phash_groups",
+    # round 7: pigeonhole Hamming near-dup pairs over phash
+    # fingerprints — TOTAL covers 65 from here
+    "image_phash_near_pairs",
 ]
 
 

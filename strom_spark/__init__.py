@@ -68,6 +68,7 @@ from .operators.clustering import LloydKMeans
 from .operators.multimodal import (
     FrameSample,
     ImagePHash,
+    PHashNearDupPairs,
     MediaFeatures,
     MediaResize,
     bmp_decode,
@@ -174,6 +175,7 @@ __all__ = [
     "zorder_key",
     "MediaFeatures",
     "ImagePHash",
+    "PHashNearDupPairs",
     "bmp_phash",
     "MediaResize",
     "FrameSample",

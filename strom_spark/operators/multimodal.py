@@ -886,3 +886,112 @@ class ImagePHash(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class PHashNearDupPairs(Component):
+    """Hamming-distance near-duplicate pairs over perceptual-hash
+    fingerprints — completes the :class:`ImagePHash` dedup path: input
+    is ``(id, phash)`` bit-strings (any producer — BMP aHash here, a
+    PIL/pHash UDF in production), output is every unordered pair
+    within ``max_distance`` bit flips, exactly.
+
+    Lowering (the SimHash pigeonhole, dedup.py:SimHashPairs): split
+    the ``n_bits`` string into ``max_distance + 1`` contiguous blocks
+    — any pair at distance ≤ d agrees on at least one whole block —
+    candidates meet ONLY inside a (block_idx, block_value) bucket
+    (sub-quadratic, never all-pairs), then the EXACT distance verifies
+    JVM-side: the bit-string packs into two longs (``conv(_, 2, 10)``)
+    and distance = bit_count(hi⊕hi') + bit_count(lo⊕lo') — no Python,
+    no per-character loop.  DISTINCT collapses pairs that share
+    several blocks.
+
+    At 100 TB the skew story is the hash's: a viral block value (e.g.
+    the all-zeros block from flat images) concentrates one bucket —
+    raise ``max_distance`` granularity or pre-drop degenerate hashes
+    (all-0/all-1) the way stop-shingles are dropped in text dedup.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "asset_id",
+        phash_col: str = "phash",
+        max_distance: int = 4,
+        n_bits: int = 64,
+        label: str | None = None,
+    ):
+        if max_distance < 0:
+            raise ValueError("max_distance must be >= 0")
+        if n_bits % 2 or n_bits < 2:
+            raise ValueError("n_bits must be even and >= 2")
+        if max_distance + 1 > n_bits:
+            raise ValueError("max_distance + 1 blocks cannot exceed n_bits")
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.phash_col = phash_col
+        self.max_distance = int(max_distance)
+        self.n_bits = int(n_bits)
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        nb = self.n_bits
+        half = nb // 2
+        sig = df.select(
+            F.col(self.id_col).alias("__id"),
+            F.col(self.phash_col).alias("__ph"),
+            F.conv(F.substring(self.phash_col, 1, half), 2, 10)
+            .cast("bigint")
+            .alias("__hi"),
+            F.conv(F.substring(self.phash_col, half + 1, half), 2, 10)
+            .cast("bigint")
+            .alias("__lo"),
+        )
+        n_blocks = self.max_distance + 1
+        # contiguous blocks covering all n_bits (last takes the slack)
+        width = nb // n_blocks
+        blocks = []
+        for i in range(n_blocks):
+            start = i * width + 1
+            length = (nb - i * width) if i == n_blocks - 1 else width
+            blocks.append(
+                sig.select(
+                    "__id",
+                    "__hi",
+                    "__lo",
+                    F.lit(i).alias("__blk"),
+                    F.substring("__ph", start, length).alias("__bv"),
+                )
+            )
+        from functools import reduce
+
+        cand = reduce(lambda a, b: a.unionAll(b), blocks)
+        a, b = cand.alias("a"), cand.alias("b")
+        dist = F.bit_count(
+            F.col("a.__hi").bitwiseXOR(F.col("b.__hi"))
+        ) + F.bit_count(F.col("a.__lo").bitwiseXOR(F.col("b.__lo")))
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.__blk") == F.col("b.__blk"))
+                & (F.col("a.__bv") == F.col("b.__bv"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select(
+                F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"),
+                dist.alias("distance"),
+            )
+            .filter(F.col("distance") <= self.max_distance)
+            .distinct()
+        )
+        return flow.without(self.input).with_stream(self.output, pairs)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -1511,3 +1511,32 @@ def test_image_phash_rejects_non_bmp(spark):
 
     with pytest.raises(ValueError, match="not a BMP"):
         bmp_phash(b"JFIF not a bmp")
+
+
+def test_phash_near_dup_pairs_exact(spark):
+    """Pigeonhole candidate generation must lose NOTHING vs the
+    brute-force Hamming computation, and distances must be exact."""
+    import itertools
+
+    from strom_spark import Flow, PHashNearDupPairs, bmp_phash, bmp_synth
+
+    rows = [
+        {"asset_id": i, "phash": bmp_phash(bmp_synth(i))} for i in range(24)
+    ]
+    d = 6
+    out = (
+        PHashNearDupPairs("p", "pairs", max_distance=d)(
+            Flow({"p": spark.createDataFrame(rows)})
+        )["pairs"]
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    expect = []
+    for a, b in itertools.combinations(rows, 2):
+        dist = sum(x != y for x, y in zip(a["phash"], b["phash"]))
+        if dist <= d:
+            expect.append((a["asset_id"], b["asset_id"], dist))
+    got = list(out.itertuples(index=False, name=None))
+    assert sorted(got) == sorted(expect)
+    assert len(expect) > 0  # the corpus actually exercises the path
