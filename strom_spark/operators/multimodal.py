@@ -937,9 +937,17 @@ class PHashNearDupPairs(Component):
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
+        from pyspark import StorageLevel
+
         df = flow[self.input]
         nb = self.n_bits
         half = nb // 2
+        # PERSIST the signature table: the (max_distance + 1) block
+        # branches each reference it, and without the pin Catalyst
+        # plans every branch with its own copy of the upstream lineage
+        # (measured on image_phash_near_pairs: 19 exchanges/18 scans —
+        # the decode+hash pipeline ran NINE times — vs 4/2 pinned).
+        # Fingerprint rows only (~64 chars + two longs per asset).
         sig = df.select(
             F.col(self.id_col).alias("__id"),
             F.col(self.phash_col).alias("__ph"),
@@ -949,7 +957,7 @@ class PHashNearDupPairs(Component):
             F.conv(F.substring(self.phash_col, half + 1, half), 2, 10)
             .cast("bigint")
             .alias("__lo"),
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         n_blocks = self.max_distance + 1
         # contiguous blocks covering all n_bits (last takes the slack)
         width = nb // n_blocks
