@@ -939,7 +939,16 @@ class PHashNearDupPairs(Component):
     def transform(self, flow: Flow) -> Flow:
         from pyspark import StorageLevel
 
+        from ..component import require_batch
+
         df = flow[self.input]
+        require_batch(
+            df,
+            "PHashNearDupPairs",
+            "the pigeonhole bucket self-join and persist need the full "
+            "fingerprint set (ImagePHash itself streams — collect "
+            "fingerprints per micro-batch first)",
+        )
         nb = self.n_bits
         half = nb // 2
         # PERSIST the signature table: the (max_distance + 1) block

@@ -1540,3 +1540,14 @@ def test_phash_near_dup_pairs_exact(spark):
     got = list(out.itertuples(index=False, name=None))
     assert sorted(got) == sorted(expect)
     assert len(expect) > 0  # the corpus actually exercises the path
+
+
+def test_phash_pairs_require_batch(spark):
+    from strom_spark import Flow, PHashNearDupPairs
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS asset_id", "repeat('0', 64) AS phash")
+    )
+    with pytest.raises(TypeError, match="PHashNearDupPairs is batch-only"):
+        PHashNearDupPairs("p", "o")(Flow({"p": stream}))
