@@ -596,3 +596,40 @@ def test_streaming_media_features_matches_batch(spark):
         assert got == want and len(want) == 24
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_image_phash_matches_batch(spark):
+    """ImagePHash is a narrow mapInPandas like MediaFeatures — the same
+    component must drain availableNow to EXACTLY the batch hashes
+    (stream-legal fingerprinting; only the pair stage is batch-only
+    and guards with a typed error)."""
+    import shutil
+    import tempfile
+
+    from strom_spark import Flow, ImagePHash, bmp_synth
+
+    d = tempfile.mkdtemp(prefix="strom_phash_stream_")
+    try:
+        assets = spark.createDataFrame(
+            [{"asset_id": i, "content": bmp_synth(i)} for i in range(24)],
+            schema="asset_id bigint, content binary",
+        )
+        assets.write.mode("overwrite").parquet(d)
+
+        def hashes(df):
+            return ImagePHash("a", "p", chunk=4)(Flow({"a": df}))["p"]
+
+        out = hashes(_read_stream(spark, d))
+        assert out.isStreaming
+        run_available(out, query_name="t_stream_phash")
+        got = sorted(
+            (r.asset_id, r.phash, r.n_bits_set)
+            for r in spark.sql("SELECT * FROM t_stream_phash").collect()
+        )
+        want = sorted(
+            (r.asset_id, r.phash, r.n_bits_set)
+            for r in hashes(spark.read.parquet(d)).collect()
+        )
+        assert got == want and len(want) == 24
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
