@@ -4834,6 +4834,108 @@ def image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGERANK_ORACLE = r"""
+WITH edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+           'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+    UNION ALL
+    SELECT 'p' || CAST(l_partkey AS VARCHAR),
+           'o' || CAST(l_orderkey AS VARCHAR) FROM lineitem
+  )
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank FROM nodes),
+pr1 AS (
+  SELECT nd.node,
+    (150 * 1000000000000) // (1000 * (SELECT n FROM nn)) + coalesce(c.inr, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum((850 * p.rank) // (1000 * d.d)) AS inr
+    FROM edges e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nd.node
+),
+pr2 AS (
+  SELECT nd.node,
+    (150 * 1000000000000) // (1000 * (SELECT n FROM nn)) + coalesce(c.inr, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum((850 * p.rank) // (1000 * d.d)) AS inr
+    FROM edges e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nd.node
+),
+pr3 AS (
+  SELECT nd.node,
+    (150 * 1000000000000) // (1000 * (SELECT n FROM nn)) + coalesce(c.inr, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum((850 * p.rank) // (1000 * d.d)) AS inr
+    FROM edges e JOIN pr2 p ON p.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nd.node
+),
+pr4 AS (
+  SELECT nd.node,
+    (150 * 1000000000000) // (1000 * (SELECT n FROM nn)) + coalesce(c.inr, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum((850 * p.rank) // (1000 * d.d)) AS inr
+    FROM edges e JOIN pr3 p ON p.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nd.node
+),
+pr5 AS (
+  SELECT nd.node,
+    (150 * 1000000000000) // (1000 * (SELECT n FROM nn)) + coalesce(c.inr, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum((850 * p.rank) // (1000 * d.d)) AS inr
+    FROM edges e JOIN pr4 p ON p.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nd.node
+)
+SELECT node, CAST(rank AS DOUBLE) / 1000000000000.0 AS rank FROM pr5
+"""
+
+
+
+@_q(
+    "pagerank_order_part",
+    _PAGERANK_ORACLE,
+)
+def pagerank_order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (operators/graph.py:PageRank — Page et
+    al. 1999, the Pregel/GraphX showcase) over the symmetric
+    order↔part bipartite graph of lineitem: 5 rounds of one
+    dst-keyed shuffle each, lineage truncated per round
+    (ConnectedComponents discipline).  Arithmetic is FIXED-POINT
+    INTEGER (ranks scaled 10^12; contributions (850·r) div
+    (1000·deg), pure bigint) so ALL FIVE iterations are bit-exact,
+    order-independent, and engine-portable — the oracle replays them
+    as five unrolled CTEs and hash-matches all ~17k nodes,
+    certifying an ITERATIVE distributed algorithm end-to-end (not
+    just one aggregate; a double-rounding formulation diverged on
+    ~1% of nodes — graph.py:PageRank docstring).  At 100 TB: state
+    is one (node, rank) row per node, each round linear in edges,
+    hot destinations ride AQE skew handling."""
+    from strom_spark import PageRank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .unionAll(
+            li.select(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+                F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    return PageRank("e", "pr", iterations=5)(Flow({"e": edges}))["pr"]
+
+
 @_q(
     "image_phash_near_pairs",
     """

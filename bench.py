@@ -148,6 +148,9 @@ HEADLINE = [
     # round 7: pigeonhole Hamming near-dup pairs over phash
     # fingerprints — TOTAL covers 65 from here
     "image_phash_near_pairs",
+    # round 7: fixed-point integer PageRank, 5 bit-exact iterations —
+    # TOTAL covers 66 from here
+    "pagerank_order_part",
 ]
 
 

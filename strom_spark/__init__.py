@@ -60,7 +60,7 @@ from .operators.textrank import (
     TfIdfTopTerms,
     UnigramLMScore,
 )
-from .operators.graph import ConnectedComponents
+from .operators.graph import ConnectedComponents, PageRank
 from .operators.sampling import GroupCap, HashSample, HashSplit, MixtureSample, TemperatureMix
 from .operators.packing import ChunkDocuments, PackSequences
 from .operators.fuzzy import EditDistanceJoin
@@ -164,6 +164,7 @@ __all__ = [
     "EditDistanceJoin",
     "LloydKMeans",
     "ConnectedComponents",
+    "PageRank",
     "Quantiles",
     "HeavyHitters",
     "GroupCap",

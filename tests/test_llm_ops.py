@@ -1551,3 +1551,39 @@ def test_phash_pairs_require_batch(spark):
     )
     with pytest.raises(TypeError, match="PHashNearDupPairs is batch-only"):
         PHashNearDupPairs("p", "o")(Flow({"p": stream}))
+
+
+def test_pagerank_star_graph(spark):
+    """Hand-checkable fixed-point PageRank on a 3-node star (hub h
+    with spokes a, b; symmetric edges): the hub must outrank the
+    spokes, spokes tie exactly, total mass stays <= 1 and > 0.9
+    (bounded floor leakage), and reruns are bit-identical."""
+    from strom_spark import Flow, PageRank
+
+    edges = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("a", "h"), ("b", "h")], "src string, dst string"
+    )
+    mk = lambda: (
+        PageRank("e", "pr", iterations=5)(Flow({"e": edges}))["pr"]
+        .toPandas()
+        .set_index("node")
+        .sort_index()
+    )
+    out, again = mk(), mk()
+    assert out.equals(again)  # bit-identical across runs
+    assert len(out) == 3
+    assert out.loc["h", "rank"] > out.loc["a", "rank"]
+    assert out.loc["a", "rank"] == out.loc["b", "rank"]  # exact symmetry
+    total = out["rank"].sum()
+    assert 0.9 < total <= 1.0 + 1e-12
+
+
+def test_pagerank_requires_batch(spark):
+    from strom_spark import Flow, PageRank
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("CAST(value AS STRING) AS src", "CAST(value + 1 AS STRING) AS dst")
+    )
+    with pytest.raises(TypeError, match="PageRank is batch-only"):
+        PageRank("e", "pr")(Flow({"e": stream}))
