@@ -200,7 +200,12 @@ class PageRank(Component):
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # the degree table is STATIC — join it into the edge list once
+        # and checkpoint, instead of re-joining every round (saves one
+        # join per iteration; this is the materialized (src, dst, deg)
+        # adjacency a real deployment would keep partitioned on src)
         deg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+        edges = edges.join(deg, "__src").localCheckpoint(eager=True)
         n = nodes.count()
         init = scale // n
         base = (den - num) * scale // (den * n)
@@ -211,7 +216,6 @@ class PageRank(Component):
         for _ in range(self.iterations):
             contrib = (
                 edges.join(ranks, edges["__src"] == ranks["__node"])
-                .join(deg, "__src")
                 .select(
                     F.col("__dst").alias("__node"),
                     (F.lit(num) * F.col("__rank")).alias("__a"),
