@@ -344,3 +344,104 @@ def test_range_join_overlap_matches_brute_force(spark, lvs, rvs, bucket):
         return
     got = sorted((r.lid, r.rid) for r in rj(flow)["o"].collect())
     assert got == want
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 10_000),
+    dim=st.sampled_from([4, 8]),
+)
+@SET
+def test_bmp_phash_matches_numpy_replay(w, h, seed, dim):
+    """bmp_phash on RANDOM-pixel BMPs (not just the oracle's gradient
+    images) must equal an independent numpy replay of the definition:
+    decode pixels, scaled integer luma, (i·w)//dim nearest-neighbor
+    sample, dim²·l > Σl threshold.  Exercises the bottom-up row flip
+    and stride padding on arbitrary dimensions, including images
+    smaller AND larger than the hash grid."""
+    import struct
+
+    import numpy as np
+
+    from strom_spark import bmp_phash
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)  # RGB, logical top-down
+
+    pad = b"\x00" * ((-(w * 3)) % 4)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            r, g, b = px[y, x]
+            row += bytes((b, g, r))
+        rows.append(bytes(row) + pad)
+    raster = b"".join(rows)
+    off = 54
+    content = (
+        struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+        + raster
+    )
+
+    luma = (
+        299 * px[:, :, 0].astype(np.int64)
+        + 587 * px[:, :, 1].astype(np.int64)
+        + 114 * px[:, :, 2].astype(np.int64)
+    )
+    ii, jj = np.meshgrid(np.arange(dim), np.arange(dim))  # ii: col, jj: row
+    samples = luma[(jj * h) // dim, (ii * w) // dim]
+    want = "".join(
+        "1" if dim * dim * v > samples.sum() else "0" for v in samples.flatten()
+    )
+    assert bmp_phash(content, dim=dim) == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12),
+        min_size=2,
+        max_size=6,
+    ),
+)
+@SET
+def test_stupid_backoff_matches_python_replay(spark, docs):
+    """StupidBackoffLM over random tiny corpora == a direct python
+    replay of the Brants et al. definition with the same round-6
+    decimal-contribution convention."""
+    import math
+    from collections import Counter
+
+    from strom_spark import StupidBackoffLM
+
+    rows = [
+        {"doc_id": i, "text": " ".join(toks)} for i, toks in enumerate(docs)
+    ]
+    out = (
+        StupidBackoffLM("d", "o", id_col="doc_id", text_col="text")(
+            Flow({"d": spark.createDataFrame(rows, "doc_id bigint, text string")})
+        )["o"]
+        .toPandas()
+        .set_index("doc_id")
+    )
+    uc = Counter(t for toks in docs for t in toks)
+    bc = Counter((a, b) for toks in docs for a, b in zip(toks, toks[1:]))
+    N = sum(uc.values())
+    for i, toks in enumerate(docs):
+        # the component groups (prev, cur) per doc and rounds
+        # cnt · (−ln S) AFTER the multiply (same as the SQL oracle)
+        grp = Counter(
+            (toks[p - 1] if p else None, t) for p, t in enumerate(toks)
+        )
+        total = 0.0
+        for (prev, t), cnt in grp.items():
+            if prev is None:
+                s = uc[t] / N
+            elif (prev, t) in bc:
+                s = bc[(prev, t)] / uc[prev]
+            else:
+                s = 0.4 * uc[t] / N
+            total += round(cnt * -math.log(s), 6)
+        assert abs(out.loc[i, "sb_nll"] - total / len(toks)) < 1e-9
+        assert out.loc[i, "n_tok"] == len(toks)
