@@ -139,6 +139,11 @@ class PageRank(Component):
     Per round:  ``r₊(v) = base + Σ_{u→v} (num·r(u)) div (den·deg(u))``
     with ``base = ((den−num)·SCALE) div (den·N)``.
 
+    Param contract: ``damping`` is QUANTIZED to the nearest 1/1000
+    (the exact rational ``round(damping·1000)/1000`` — e.g. 0.8567 is
+    scored as 0.857); values whose quantization would leave (0, 1)
+    (below 0.0005 or ≥ 0.9995) are rejected at construction.
+
     Plan shape at 100 TB: the static degree table and N are computed
     once; each round is ONE shuffle keyed on ``dst`` over (node, rank)
     state — linear in edges, state linear in nodes; hot destination
@@ -170,6 +175,17 @@ class PageRank(Component):
             raise ValueError("iterations must be >= 1")
         if not 0 < damping < 1:
             raise ValueError("damping must be in (0, 1)")
+        # damping is quantized to the exact rational round(d*1000)/1000
+        # (millesimal fixed-point — see class docstring).  Reject
+        # values whose quantization collapses to 0 or 1: num=1000
+        # would zero the teleport term (base=0) despite passing the
+        # open-interval check above.
+        if not 1 <= int(round(damping * 1000)) <= 999:
+            raise ValueError(
+                f"damping={damping} quantizes to "
+                f"{int(round(damping * 1000))}/1000 which leaves the "
+                "(0, 1) open interval — use a value in [0.0005, 0.9994]"
+            )
         if not 6 <= precision <= 15:
             raise ValueError("precision must be in [6, 15] (bigint headroom)")
         self.input = input
@@ -207,6 +223,11 @@ class PageRank(Component):
         deg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
         edges = edges.join(deg, "__src").localCheckpoint(eager=True)
         n = nodes.count()
+        if n == 0:
+            raise ValueError(
+                "PageRank: input has no edges/nodes "
+                f"(flow {self.input!r} is empty)"
+            )
         init = scale // n
         base = (den - num) * scale // (den * n)
 

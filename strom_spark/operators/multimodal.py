@@ -819,6 +819,13 @@ class ImagePHash(Component):
     codecs — the Spark plumbing (Arrow batching, ``chunk`` re-slicing,
     fingerprint-only shuffles) is codec-agnostic.
 
+    ``on_error`` sets the corrupt/None-content policy: ``'raise'``
+    (default — any bad blob fails the job loudly), ``'null'`` (emit a
+    null phash/n_bits_set row for the bad asset) or ``'skip'`` (drop
+    it).  At 100 TB a scan WILL hit isolated corrupt files — use
+    ``'null'`` to keep an auditable error-row trail or ``'skip'`` for
+    fire-and-forget curation.
+
     At 100 TB: the decode scan is embarrassingly parallel and the only
     shuffled payload is ~64 chars per image — grouping a billion
     images by phash is a routine keyed aggregate; the blobs never
@@ -834,6 +841,7 @@ class ImagePHash(Component):
         content_col: str = "content",
         hash_fn: "Callable[[bytes], str] | None" = None,
         dim: int = 8,
+        on_error: str = "raise",
         chunk: "int | None" = None,
         label: str | None = None,
     ):
@@ -841,12 +849,17 @@ class ImagePHash(Component):
             raise ValueError(f"chunk must be >= 1 or None, got {chunk}")
         if dim < 2:
             raise ValueError("dim must be >= 2")
+        if on_error not in ("raise", "skip", "null"):
+            raise ValueError(
+                f"on_error must be 'raise', 'skip' or 'null', got {on_error!r}"
+            )
         self.input = input
         self.output = output or input
         self.id_col = id_col
         self.content_col = content_col
         self.hash_fn = hash_fn
         self.dim = int(dim)
+        self.on_error = on_error
         self.chunk = chunk
         self.label = label
 
@@ -858,22 +871,45 @@ class ImagePHash(Component):
         hash_fn = self.hash_fn or (lambda c: bmp_phash(c, dim))
         id_col, content_col = self.id_col, self.content_col
         chunk = self.chunk
+        on_error = self.on_error
         id_type = df.schema[id_col].dataType.simpleString()
 
         prepared = df.select(
             F.col(id_col).alias("asset_id"), F.col(content_col).alias("__content")
         )
 
+        def safe_hash(c) -> "str | None":
+            # on_error != 'raise': one corrupt/None blob must not abort
+            # a 100 TB scan — emit null (kept or dropped below) instead
+            if c is None:
+                return None
+            try:
+                return hash_fn(c)
+            except Exception:
+                return None
+
         def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in rechunk_batches(batches, chunk):
-                hashes = [hash_fn(c) for c in pdf["__content"]]
-                yield pd.DataFrame(
+                if on_error == "raise":
+                    hashes = [hash_fn(c) for c in pdf["__content"]]
+                else:
+                    hashes = [safe_hash(c) for c in pdf["__content"]]
+                out = pd.DataFrame(
                     {
                         "asset_id": pdf["asset_id"],
                         "phash": hashes,
-                        "n_bits_set": [h.count("1") for h in hashes],
+                        "n_bits_set": pd.array(
+                            [
+                                h.count("1") if h is not None else None
+                                for h in hashes
+                            ],
+                            dtype="Int64",
+                        ),
                     }
                 )
+                if on_error == "skip":
+                    out = out[out["phash"].notna()]
+                yield out
 
         out = prepared.mapInPandas(
             hash_batches,
@@ -957,9 +993,30 @@ class PHashNearDupPairs(Component):
         # (measured on image_phash_near_pairs: 19 exchanges/18 scans —
         # the decode+hash pipeline ran NINE times — vs 4/2 pinned).
         # Fingerprint rows only (~64 chars + two longs per asset).
+        # Loud-fail guard: a hash whose length != n_bits (e.g. an
+        # ImagePHash(dim=4) 16-char hash against the default
+        # n_bits=64) would otherwise make substring/conv produce empty
+        # strings and NULL packed longs — distances go NULL and pairs
+        # silently vanish.  raise_error surfaces the mismatch instead.
+        ph = F.when(
+            F.length(self.phash_col) == nb, F.col(self.phash_col)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("PHashNearDupPairs: phash length "),
+                    F.length(self.phash_col).cast("string"),
+                    F.lit(f" != n_bits={nb} (id="),
+                    F.col(self.id_col).cast("string"),
+                    F.lit(
+                        ") — pass n_bits matching the hash producer "
+                        "(ImagePHash emits dim*dim bits)"
+                    ),
+                )
+            )
+        )
         sig = df.select(
             F.col(self.id_col).alias("__id"),
-            F.col(self.phash_col).alias("__ph"),
+            ph.alias("__ph"),
             F.conv(F.substring(self.phash_col, 1, half), 2, 10)
             .cast("bigint")
             .alias("__hi"),

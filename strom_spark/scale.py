@@ -102,10 +102,18 @@ def write_bucketed(
 
     spark = df.sparkSession
     loc = _default_location(spark, table)
+    # schema DDL is part of the marker identity: a caller that changes
+    # the written column set/types without changing the fingerprint
+    # must NOT ride the skip path — the cross-session re-registration
+    # below declares df.schema over the on-disk files, and a mismatch
+    # would produce a mis-declared external table over old data.
+    # Markers written before this field (no "schema" key) never match
+    # and trigger one clean rewrite.
     spec = {
         "bucket_by": list(bucket_by),
         "num_buckets": num_buckets,
         "sort_by": list(sort_by) if sort_by else [],
+        "schema": df.schema.toDDL(),
     }
 
     if fingerprint is not None and mode == "overwrite" and loc:

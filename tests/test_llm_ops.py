@@ -1542,6 +1542,83 @@ def test_phash_near_dup_pairs_exact(spark):
     assert len(expect) > 0  # the corpus actually exercises the path
 
 
+def test_image_phash_on_error_policies(spark):
+    """A single corrupt or None blob must not silently poison the
+    scan: default 'raise' aborts loudly, 'null' keeps an auditable
+    null row, 'skip' drops the bad asset — good rows identical."""
+    import pandas as pd
+
+    from strom_spark import Flow, ImagePHash, bmp_phash, bmp_synth
+
+    rows = [
+        {"asset_id": 1, "content": bmp_synth(1)},
+        {"asset_id": 2, "content": b"JFIF not a bmp"},
+        {"asset_id": 3, "content": None},
+        {"asset_id": 4, "content": bmp_synth(4)},
+    ]
+    df = spark.createDataFrame(rows, "asset_id int, content binary")
+
+    with pytest.raises(Exception):  # noqa: B017 — executor-side abort
+        ImagePHash("a", "p")(Flow({"a": df}))["p"].collect()
+
+    null_out = (
+        ImagePHash("a", "p", on_error="null")(Flow({"a": df}))["p"]
+        .toPandas()
+        .set_index("asset_id")
+        .sort_index()
+    )
+    assert len(null_out) == 4
+    assert null_out.loc[1, "phash"] == bmp_phash(bmp_synth(1))
+    assert null_out.loc[2, "phash"] is None and null_out.loc[3, "phash"] is None
+    assert pd.isna(null_out.loc[2, "n_bits_set"])
+
+    skip_out = (
+        ImagePHash("a", "p", on_error="skip")(Flow({"a": df}))["p"]
+        .toPandas()
+        .set_index("asset_id")
+        .sort_index()
+    )
+    assert list(skip_out.index) == [1, 4]
+    assert skip_out.loc[4, "phash"] == bmp_phash(bmp_synth(4))
+
+    with pytest.raises(ValueError, match="on_error"):
+        ImagePHash("a", "p", on_error="ignore")
+
+
+def test_phash_pairs_nbits_mismatch_fails_loudly(spark):
+    """A dim=4 ImagePHash (16-char hash) against the default
+    n_bits=64 used to silently drop every pair (empty substrings ->
+    NULL packed longs -> NULL distances); now it raises."""
+    from strom_spark import Flow, ImagePHash, PHashNearDupPairs, bmp_synth
+
+    rows = [{"asset_id": i, "content": bmp_synth(i)} for i in range(6)]
+    hashes = ImagePHash("a", "p", dim=4)(
+        Flow({"a": spark.createDataFrame(rows, "asset_id int, content binary")})
+    )["p"]
+    with pytest.raises(Exception, match="phash length 16 != n_bits=64"):
+        PHashNearDupPairs("p", "o")(Flow({"p": hashes}))["o"].collect()
+    # matching n_bits works
+    ok = PHashNearDupPairs("p", "o", n_bits=16, max_distance=2)(
+        Flow({"p": hashes})
+    )["o"].collect()
+    assert isinstance(ok, list)
+
+
+def test_pagerank_empty_and_damping_guards(spark):
+    from strom_spark import Flow, PageRank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="no edges"):
+        PageRank("e", "pr")(Flow({"e": empty}))
+    # damping quantization: 0.9996 rounds to 1000/1000 (teleport term
+    # zeroed) and must be rejected despite passing 0 < d < 1
+    with pytest.raises(ValueError, match="quantizes"):
+        PageRank("e", "pr", damping=0.9996)
+    with pytest.raises(ValueError, match="quantizes"):
+        PageRank("e", "pr", damping=0.0001)
+    PageRank("e", "pr", damping=0.9994)  # boundary OK
+
+
 def test_phash_pairs_require_batch(spark):
     from strom_spark import Flow, PHashNearDupPairs
 

@@ -423,6 +423,46 @@ def test_write_bucketed_fingerprint_skip_and_reregister(spark, sf_dir):
     shutil.rmtree(loc + ".stale", ignore_errors=True)
 
 
+def test_write_bucketed_schema_change_defeats_fingerprint_skip(spark, sf_dir):
+    """The marker stores the schema DDL: a caller that changes the
+    written column set under an UNCHANGED fingerprint must trigger a
+    rewrite, not silently reuse old files (which would mis-declare the
+    new schema over old data on the cross-session re-register path)."""
+    import json
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from strom_spark.scale import _MARKER
+
+    t = "b_schema_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, t)
+    shutil.rmtree(loc, ignore_errors=True)
+    shutil.rmtree(loc + ".stale", ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    two_cols = orders.select("o_orderkey", "o_totalprice")
+    three_cols = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+    assert write_bucketed(
+        two_cols, t, bucket_by=["o_orderkey"], num_buckets=4, fingerprint="fp1"
+    ) is True
+    with open(os.path.join(loc, _MARKER)) as f:
+        assert "o_totalprice" in json.load(f)["schema"]
+    # same fingerprint + same schema: skip
+    assert write_bucketed(
+        two_cols, t, bucket_by=["o_orderkey"], num_buckets=4, fingerprint="fp1"
+    ) is False
+    # same fingerprint, WIDER schema: must rewrite
+    assert write_bucketed(
+        three_cols, t, bucket_by=["o_orderkey"], num_buckets=4, fingerprint="fp1"
+    ) is True
+    assert spark.table(t).columns == three_cols.columns
+    spark.sql(f"DROP TABLE {t}")
+    shutil.rmtree(loc + ".stale", ignore_errors=True)
+
+
 def test_write_bucketed_external_reregistration_exchange_free(spark, sf_dir):
     """The cross-session ride-free path end-to-end IN-PROCESS: write a
     bucketed table, drop only the catalog entry by converting the
