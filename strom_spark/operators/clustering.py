@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..component import Component, require_batch
 from ..flow import Flow
+from ..planprobe import probe_loop_plan
 
 #: decimal type for exact member sums (float32 inputs widen losslessly
 #: to double; 12 fractional digits carry them with headroom)
@@ -114,6 +115,7 @@ class LloydKMeans(Component):
                     for i in range(self.dim)
                 ],
             )
+            probe_loop_plan("LloydKMeans/round", sums)
             rows = {r["cluster"]: r for r in sums.collect()}
             cents = [
                 [float(rows[j][f"__s{i}"]) / rows[j]["__n"] for i in range(self.dim)]

@@ -43,6 +43,7 @@ from ..flow import Flow
 from ..functions import text as TXT
 from ..functions import vectors as V
 from ..io import spread as _spread
+from ..planprobe import probe_loop_plan
 
 
 class ExactDedup(Component):
@@ -667,7 +668,9 @@ class SimHashDedup(Component):
 
         edges = sig.select(
             "id", F.explode(F.array(*[block_key(i) for i in range(n_blocks)])).alias("bk")
-        ).localCheckpoint(eager=True)
+        )
+        probe_loop_plan("SimHashDedup/setup", edges)
+        edges = edges.localCheckpoint(eager=True)
         labels = edges.select("id").distinct().select("id", F.col("id").alias("lab"))
         # labels only ever decrease, so sum(lab) is a monotone potential:
         # unchanged sum == fixpoint.  One tiny agg per round instead of a
@@ -676,11 +679,11 @@ class SimHashDedup(Component):
         for _ in range(self.max_iterations):
             bmin = edges.join(labels, "id").groupBy("bk").agg(F.min("lab").alias("bmin"))
             doc_min = edges.join(bmin, "bk").groupBy("id").agg(F.min("bmin").alias("nlab"))
-            labels = (
-                labels.join(doc_min, "id", "left")
-                .select("id", F.least("lab", F.coalesce("nlab", "lab")).alias("lab"))
-                .localCheckpoint(eager=True)  # truncate lineage per round
+            labels = labels.join(doc_min, "id", "left").select(
+                "id", F.least("lab", F.coalesce("nlab", "lab")).alias("lab")
             )
+            probe_loop_plan("SimHashDedup/round", labels)
+            labels = labels.localCheckpoint(eager=True)  # truncate lineage per round
             cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
             if cur_sum == prev_sum:
                 break

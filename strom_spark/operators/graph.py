@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..component import Component
 from ..flow import Flow
+from ..planprobe import probe_loop_plan
 
 
 class ConnectedComponents(Component):
@@ -78,11 +79,13 @@ class ConnectedComponents(Component):
                     f"detector; column {c!r} is {dtypes.get(c)} — hash or "
                     "dense-rank string ids to longs first"
                 )
-        sym = (
-            df.select(F.col(self.src).alias("a"), F.col(self.dst).alias("b"))
-            .unionAll(df.select(F.col(self.dst).alias("a"), F.col(self.src).alias("b")))
-            .localCheckpoint(eager=True)
+        sym = df.select(
+            F.col(self.src).alias("a"), F.col(self.dst).alias("b")
+        ).unionAll(
+            df.select(F.col(self.dst).alias("a"), F.col(self.src).alias("b"))
         )
+        probe_loop_plan("ConnectedComponents/setup", sym)
+        sym = sym.localCheckpoint(eager=True)
         labels = sym.select("a").distinct().select("a", F.col("a").alias("lab"))
         prev_sum = None
         for _ in range(self.max_iterations):
@@ -95,11 +98,11 @@ class ConnectedComponents(Component):
                 "a", F.least("lab", F.coalesce("nmin", "lab")).alias("lab")
             )
             jump = stepped.select(F.col("a").alias("p"), F.col("lab").alias("plab"))
-            labels = (
-                stepped.join(jump, stepped.lab == jump.p, "left")
-                .select("a", F.least("lab", F.coalesce("plab", "lab")).alias("lab"))
-                .localCheckpoint(eager=True)
+            labels = stepped.join(jump, stepped.lab == jump.p, "left").select(
+                "a", F.least("lab", F.coalesce("plab", "lab")).alias("lab")
             )
+            probe_loop_plan("ConnectedComponents/round", labels)
+            labels = labels.localCheckpoint(eager=True)
             cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
             if cur_sum == prev_sum:
                 break
@@ -221,7 +224,9 @@ class PageRank(Component):
         # join per iteration; this is the materialized (src, dst, deg)
         # adjacency a real deployment would keep partitioned on src)
         deg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
-        edges = edges.join(deg, "__src").localCheckpoint(eager=True)
+        adjacency = edges.join(deg, "__src")
+        probe_loop_plan("PageRank/setup", adjacency)
+        edges = adjacency.localCheckpoint(eager=True)
         n = nodes.count()
         if n == 0:
             raise ValueError(
@@ -246,16 +251,14 @@ class PageRank(Component):
                 .groupBy("__node")
                 .agg(F.sum("__c").cast("bigint").alias("__in"))
             )
-            ranks = (
-                nodes.join(contrib, "__node", "left")
-                .select(
-                    "__node",
-                    (
-                        F.lit(base) + F.coalesce(F.col("__in"), F.lit(0))
-                    ).cast("bigint").alias("__rank"),
-                )
-                .localCheckpoint(eager=True)
+            ranks = nodes.join(contrib, "__node", "left").select(
+                "__node",
+                (F.lit(base) + F.coalesce(F.col("__in"), F.lit(0)))
+                .cast("bigint")
+                .alias("__rank"),
             )
+            probe_loop_plan("PageRank/round", ranks)
+            ranks = ranks.localCheckpoint(eager=True)
         out = ranks.select(
             F.col("__node").alias(self.node_col),
             (F.col("__rank").cast("double") / F.lit(float(scale))).alias(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 
 from ..component import Component
 from ..flow import Flow
+from ..planprobe import probe_loop_plan
 
 
 class Iterate(Component):
@@ -70,6 +71,7 @@ class Iterate(Component):
             if looping.isEmpty():
                 break
             looping = self.body(looping)
+            probe_loop_plan("Iterate/round", looping)
             if self.checkpoint_every and (i + 1) % self.checkpoint_every == 0:
                 looping = looping.localCheckpoint(eager=True)
         else:

@@ -1655,6 +1655,33 @@ def test_pagerank_star_graph(spark):
     assert 0.9 < total <= 1.0 + 1e-12
 
 
+def test_capture_loop_plans_sees_iterative_bodies(spark):
+    """localCheckpoint hides loop bodies from the final plan; the
+    planprobe hook must expose one pre-truncation DataFrame per round
+    whose plan shows the REAL per-round cost (>= 1 shuffle exchange
+    for PageRank's dst-keyed aggregate), while the post-loop plan
+    shows none — the exact blindness the probe exists to close."""
+    from strom_spark import Flow, PageRank, capture_loop_plans
+
+    edges = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("a", "h"), ("b", "h")], "src string, dst string"
+    )
+    with capture_loop_plans() as captured:
+        out = PageRank("e", "pr", iterations=3)(Flow({"e": edges}))["pr"]
+    stages = [s for s, _ in captured]
+    assert stages.count("PageRank/round") == 3
+    assert "PageRank/setup" in stages
+    body = [d for s, d in captured if s == "PageRank/round"][-1]
+    body_plan = body._jdf.queryExecution().executedPlan().toString()
+    final_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in body_plan  # the per-round shuffle is visible
+    assert "Exchange" not in final_plan  # ...and hidden post-loop
+    # inactive outside the context: no stray capture, no cost
+    from strom_spark import planprobe
+
+    assert planprobe._active is None
+
+
 def test_pagerank_requires_batch(spark):
     from strom_spark import Flow, PageRank
 

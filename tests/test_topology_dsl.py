@@ -174,8 +174,18 @@ def test_no_quadratic_join_sweep(spark, sf_dir):
     the adjudicated bounded patterns below — a 1-row scalar-aggregate
     attach (O(n×1)) or the guarded bounded-broadcast non-equi kNN
     scan.  A new query (or a refactor of an old one) that accidentally
-    plans an unbounded nested-loop join fails here with its plan."""
+    plans an unbounded nested-loop join fails here with its plan.
+
+    The sweep also audits LOOP-BODY plans: iterative operators
+    (PageRank, ConnectedComponents, SimHashDedup, LloydKMeans,
+    Iterate) truncate lineage per round with localCheckpoint, so the
+    post-loop plan this sweep used to inspect is blind to whatever the
+    loop body does — a CartesianProduct inside a round would repeat
+    every iteration unseen.  capture_loop_plans() records each round's
+    pre-truncation DataFrame from the REAL code path; every captured
+    plan goes through the same gate."""
     import __spark_entry__ as entry
+    from strom_spark import capture_loop_plans
 
     # name -> why its BNLJ is bounded (side is 1 row / guard-bounded)
     BNLJ_ALLOW = {
@@ -195,13 +205,42 @@ def test_no_quadratic_join_sweep(spark, sf_dir):
         "stupid_backoff_scores": "corpus token total attach — 1-row aggregate side",
     }
     failures = {}
+    loop_bodies_seen = set()
     for name, fn in entry.queries().items():
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        with capture_loop_plans() as captured:
+            df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             failures[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOW:
             failures[name] = "unadjudicated BroadcastNestedLoopJoin"
+        # one representative body per (query, stage) keeps the sweep
+        # cheap; rounds of the same stage share one plan shape
+        stages = {}
+        for stage, body in captured:
+            stages[stage] = body
+        for stage, body in stages.items():
+            loop_bodies_seen.add(stage)
+            bplan = body._jdf.queryExecution().executedPlan().toString()
+            if "CartesianProduct" in bplan:
+                failures[f"{name}[{stage}]"] = "CartesianProduct in loop body"
+            elif "BroadcastNestedLoopJoin" in bplan:
+                failures[f"{name}[{stage}]"] = "BroadcastNestedLoopJoin in loop body"
     assert not failures, f"quadratic join shapes: {failures}"
+    # the probe must actually fire for the iterative families — if a
+    # refactor drops the probe_loop_plan hooks this sweep silently
+    # goes blind again, so assert coverage explicitly
+    for expected in (
+        "PageRank/round",
+        "ConnectedComponents/round",
+        "SimHashDedup/round",
+        "LloydKMeans/round",
+        "Iterate/round",
+    ):
+        assert expected in loop_bodies_seen, (
+            f"loop-body probe {expected!r} never fired across the registry — "
+            "iterative plans are no longer audited"
+        )
 
 
 def test_explain_shows_pushdown(spark, sf_dir):
