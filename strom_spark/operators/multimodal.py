@@ -942,9 +942,16 @@ class PHashNearDupPairs(Component):
     several blocks.
 
     At 100 TB the skew story is the hash's: a viral block value (e.g.
-    the all-zeros block from flat images) concentrates one bucket —
-    raise ``max_distance`` granularity or pre-drop degenerate hashes
-    (all-0/all-1) the way stop-shingles are dropped in text dedup.
+    the all-zeros block from flat images) concentrates one bucket.
+    ``max_block_freq`` is the guard — the exact hot-shingle cap
+    NgramJaccardPairs applies to text postings: (block_idx, value)
+    buckets holding more than that many fingerprints are DROPPED
+    before the self-join, bounding any bucket's pair fan-out at
+    ``cap²`` regardless of corpus size.  Recall loss is confined to
+    pairs whose ONLY agreeing blocks are viral — in practice
+    degenerate flat images; pairs that also agree on a normal block
+    are still found (the pigeonhole union is a logical OR over
+    blocks).  ``None`` (default) keeps exact pigeonhole recall.
     """
 
     def __init__(
@@ -956,6 +963,7 @@ class PHashNearDupPairs(Component):
         phash_col: str = "phash",
         max_distance: int = 4,
         n_bits: int = 64,
+        max_block_freq: int | None = None,
         label: str | None = None,
     ):
         if max_distance < 0:
@@ -964,12 +972,15 @@ class PHashNearDupPairs(Component):
             raise ValueError("n_bits must be even and >= 2")
         if max_distance + 1 > n_bits:
             raise ValueError("max_distance + 1 blocks cannot exceed n_bits")
+        if max_block_freq is not None and max_block_freq < 2:
+            raise ValueError("max_block_freq must be >= 2 (a pair needs 2)")
         self.input = input
         self.output = output or input
         self.id_col = id_col
         self.phash_col = phash_col
         self.max_distance = int(max_distance)
         self.n_bits = int(n_bits)
+        self.max_block_freq = max_block_freq
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
@@ -1043,6 +1054,19 @@ class PHashNearDupPairs(Component):
         from functools import reduce
 
         cand = reduce(lambda a, b: a.unionAll(b), blocks)
+        if self.max_block_freq is not None:
+            # the NgramJaccardPairs hot-shingle cap, block-bucket form:
+            # drop viral (blk, value) buckets before the self-join so
+            # no bucket fans out more than cap² pairs (shuffle keys on
+            # the same (blk, bv) the pair join uses — one extra keyed
+            # agg, no new shuffle key)
+            freq_ok = (
+                cand.groupBy("__blk", "__bv")
+                .agg(F.count(F.lit(1)).alias("__f"))
+                .filter(F.col("__f") <= self.max_block_freq)
+                .drop("__f")
+            )
+            cand = cand.join(freq_ok, ["__blk", "__bv"], "left_semi")
         a, b = cand.alias("a"), cand.alias("b")
         dist = F.bit_count(
             F.col("a.__hi").bitwiseXOR(F.col("b.__hi"))

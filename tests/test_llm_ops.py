@@ -1619,6 +1619,43 @@ def test_pagerank_empty_and_damping_guards(spark):
     PageRank("e", "pr", damping=0.9994)  # boundary OK
 
 
+def test_phash_pairs_hot_block_cap(spark):
+    """max_block_freq mirrors the NgramJaccardPairs stop-shingle cap:
+    a non-binding cap changes NOTHING; a binding cap drops pairs whose
+    only agreeing blocks are viral (the flat-image skew hazard) while
+    keeping pairs that also agree on a normal block."""
+    from strom_spark import Flow, PHashNearDupPairs
+
+    # 8-bit hashes, max_distance=1 -> 2 blocks of 4 bits.  Build a
+    # viral first block ('0000' shared by everyone) and distinct
+    # second blocks except one true near-dup pair agreeing there too.
+    rows = [
+        {"asset_id": 0, "phash": "0000" + "0001"},
+        {"asset_id": 1, "phash": "0000" + "0011"},  # d=1 vs id 0
+        {"asset_id": 2, "phash": "0000" + "0111"},  # d=1 vs id 1 (blk1 differs)
+        {"asset_id": 3, "phash": "0000" + "1111"},
+    ]
+    df = spark.createDataFrame(rows)
+
+    def run(cap):
+        out = PHashNearDupPairs(
+            "p", "o", max_distance=1, n_bits=8, max_block_freq=cap
+        )(Flow({"p": df}))["o"]
+        return sorted((r.id_a, r.id_b) for r in out.collect())
+
+    uncapped = run(None)
+    assert uncapped == [(0, 1), (1, 2), (2, 3)]
+    assert run(100) == uncapped  # non-binding cap: identical output
+    # cap=3 kills the viral all-zeros block-0 bucket (4 members); the
+    # (0,1) pair survives via its agreeing block-1 value '00' -> no:
+    # block 1 values are 0001/0011 (differ).  Survivors are pairs
+    # agreeing on a block-1 bucket of size <= 3 — none do (all block-1
+    # values distinct), so every pair relied solely on the viral block
+    assert run(3) == []
+    with pytest.raises(ValueError, match="max_block_freq"):
+        PHashNearDupPairs("p", "o", max_block_freq=1)
+
+
 def test_phash_pairs_require_batch(spark):
     from strom_spark import Flow, PHashNearDupPairs
 
