@@ -1672,7 +1672,16 @@ class SemDeDup(Component):
         broadcast-GEMM assignment scan (the IVFTopK pattern)."""
         import numpy as np
 
-        sample = slim.orderBy("id").limit(self.sample_size).toPandas()
+        # sample in xxhash64(id) order, NOT id order: still fully
+        # deterministic, but coverage is pseudo-random over the corpus
+        # — lowest-id sampling would bias the centroids toward crawl
+        # order / first domain when ids correlate with ingest order
+        # (id as tie-break keeps determinism under hash collisions)
+        sample = (
+            slim.orderBy(F.xxhash64("id"), "id")
+            .limit(self.sample_size)
+            .toPandas()
+        )
         if sample.empty:
             raise ValueError("SemDeDup: input has no vectors")
         X = np.stack(sample["v"].to_list()).astype("float64")
