@@ -2436,6 +2436,84 @@ def lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "minhash_recall_floor",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+  CAST(1 AS BIGINT) AS recall_ok,
+  CAST(1 AS BIGINT) AS verified_ok
+FROM documents
+WHERE doc_id < 40 AND array_length(string_split(text, ' ')) >= 60
+""",
+)
+def minhash_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSHPairs retrieval QUALITY as a driver-checked flag row —
+    completes the recall-gate trio (`ann_recall_floor` for IVF,
+    `lsh_recall_floor` for CosineLSH; dedup.py:MinHashLSHPairs had no
+    driver-checked recall row until round 8).  The corpus's natural
+    near-dups vary under regeneration, so truth is PLANTED:
+
+    - every document with doc_id < 40 and ≥ 60 space-words gets a copy
+      (id + 1_000_000) with three UNIQUE tag words appended
+      (`zqa<id> zqb<id> zqc<id>`) — purely additive, so shingle-set
+      Jaccard = S/(S+5) ≥ 0.92 for S ≥ 57 3-shingles (the word floor
+      guarantees it), comfortably above the 0.8 operator threshold.
+      Tags embed the id so planted copies never pair with each other.
+    - ``recall_ok``: ≥ 0.80 of planted (orig, copy) pairs must surface
+      through the banded LSH (32 hashes, 16 bands × 2 rows: P(catch |
+      J=0.92) = 1-(1-0.92²)^16 ≈ 1-5e-14 — a miss means a real
+      regression in shingling, signatures, banding, or the verify
+      join, not sampling luck).
+    - ``verified_ok``: every EMITTED pair (planted or natural — the
+      corpus contains genuine duplicates) carries exact Jaccard ≥ the
+      0.8 threshold: the candidate-verify invariant (no false
+      positives can escape the exact verify join).
+
+    Only n_planted is data-derived; both flags are oracle constants
+    that flip the driver row red on regression."""
+    from strom_spark import MinHashLSHPairs
+
+    N_PLANT, MIN_WORDS, THRESH = 40, 60, 0.8
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = F.size(F.split("text", " "))
+    base = docs.filter((F.col("doc_id") < N_PLANT) & (wc >= MIN_WORDS))
+    planted = base.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(
+            "text",
+            F.lit(" zqa"), F.col("doc_id").cast("string"),
+            F.lit(" zqb"), F.col("doc_id").cast("string"),
+            F.lit(" zqc"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    pairs = MinHashLSHPairs(
+        "c", "pairs", id_col="doc_id", text_col="text", k=3, threshold=THRESH
+    )(Flow({"c": corpus}))["pairs"]
+    is_planted = (F.col("d2") == F.col("d1") + 1_000_000) & (
+        F.col("d1") < N_PLANT
+    )
+    pair_stats = pairs.groupBy(F.lit(1).alias("__k")).agg(
+        F.sum(is_planted.cast("int")).alias("__hits"),
+        F.min("jaccard").alias("__minj"),
+    )
+    planted_n = planted.groupBy(F.lit(1).alias("__k")).agg(
+        F.count(F.lit(1)).alias("n_planted")
+    )
+    return planted_n.join(pair_stats, "__k", "left").select(
+        F.col("n_planted").cast("bigint"),
+        (
+            F.coalesce("__hits", F.lit(0))
+            >= F.ceil(F.lit(0.80) * F.col("n_planted"))
+        )
+        .cast("bigint")
+        .alias("recall_ok"),
+        (F.coalesce("__minj", F.lit(1.0)) >= F.lit(THRESH))
+        .cast("bigint")
+        .alias("verified_ok"),
+    )
+
+
+@_q(
     "approx_distinct_users",
     """
 SELECT event_type,

@@ -124,6 +124,7 @@ HEADLINE = [
     # round 7: production-config LSH recall floor (50 planted
     # near-dups through θ=0.9, 8×12) — TOTAL covers 56 from here
     "lsh_recall_floor",
+    "minhash_recall_floor",
     # round 7: published Gopher quality gates, pure Column HOFs —
     # TOTAL covers 57 from here
     "gopher_quality_flags",

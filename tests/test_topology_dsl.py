@@ -197,6 +197,7 @@ def test_no_quadratic_join_sweep(spark, sf_dir):
         "ann_recall_floor": "CosineTopK ground truth — same guard-bounded broadcast scan as knn_topk",
         "ivf_index_search": "flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key",
         "lsh_recall_floor": "flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key",
+        "minhash_recall_floor": "flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key",
         "curation_v2": "corpus stats attach inside quality scoring — 1-row side",
         "q11_important_part_value": "global value total attach — 1-row side",
         "slice_divergence": "corpus grand-total attach — 1-row side",
