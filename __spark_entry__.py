@@ -836,26 +836,60 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("d1", "d2", F.col("hamming").cast("int").alias("hamming"))
 
 
+def _unrolled_simhash_cc(rounds: int) -> str:
+    """Unrolled min-label-propagation CTE chain over the doc→block
+    bipartite buckets — the BOUNDED replacement (round 8) for the
+    recursive-CTE transitive closure that stalled DuckDB at sf0.1:
+    the recursion materialized the DISTINCT doc-doc edge set, which is
+    O(cluster²) in duplicate-heavy buckets.  Each unrolled round here
+    replays EXACTLY one engine iteration (dedup.py:SimHashDedup):
+    bucket min → doc neighbor-min → least() step → pointer jump
+    (lab := min(lab, lab[lab])) — four bounded joins over doc-block
+    rows, never a pair join.  With pointer jumping the label-chain
+    depth halves per round, so `rounds` unrolled rounds converge for
+    any component of pointer depth ≤ 2^rounds — the fixpoint (every
+    node labelled with its component minimum) is unique, so matching
+    the engine needs only convergence, not matched iteration counts.
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    reference site, and with two references per round the inlining is
+    exponential in `rounds` (first symptom: thousands of re-opened
+    parquet scans — "Too many open files")."""
+    parts = ["l0 AS MATERIALIZED (SELECT id, id AS lab FROM sh32)"]
+    for r in range(1, rounds + 1):
+        p = f"l{r-1}"
+        parts.append(
+            f"bm{r} AS MATERIALIZED (SELECT b.i, b.bk, min(l.lab) AS bmin "
+            f"FROM blocks b JOIN {p} l ON l.id = b.id GROUP BY b.i, b.bk)"
+        )
+        parts.append(
+            f"nm{r} AS MATERIALIZED (SELECT b.id, min(m.bmin) AS nlab "
+            f"FROM blocks b JOIN bm{r} m ON m.i = b.i AND m.bk = b.bk "
+            f"GROUP BY b.id)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT l.id, least(l.lab, coalesce(n.nlab, l.lab)) AS lab "
+            f"FROM {p} l LEFT JOIN nm{r} n ON n.id = l.id)"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT s.id, least(s.lab, coalesce(j.lab, s.lab)) AS lab "
+            f"FROM s{r} s LEFT JOIN s{r} j ON s.lab = j.id)"
+        )
+    return ",\n".join(parts)
+
+
 @_q(
     "dedup_simhash_clusters",
     f"""
-WITH RECURSIVE {_NORM_DOCS}, {_SIMHASH},
+WITH {_NORM_DOCS}, {_SIMHASH},
 blocks AS (
   SELECT id, i,
     CASE WHEN i < 4 THEN substring(simhash, i*6 + 1, 6)
          ELSE substring(simhash, 25, 8) END AS bk
   FROM sh32, unnest(range(0, 5)) t(i)
 ),
-e AS (
-  SELECT DISTINCT a.id AS ida, b.id AS idb
-  FROM blocks a JOIN blocks b ON a.i = b.i AND a.bk = b.bk
-),
-step(id, lab) AS (
-  SELECT id, id FROM sh32
-  UNION
-  SELECT e.ida, s.lab FROM e JOIN step s ON s.id = e.idb
-)
-SELECT id, min(lab) AS keep_id FROM step GROUP BY id
+{_unrolled_simhash_cc(8)}
+SELECT id, lab AS keep_id FROM l8
 """,
 )
 def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,7 +897,10 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation over simhash block buckets — linear state, NO pair
     materialization (pairs are O(cluster²): measured 98M pairs on a
     50k-doc 10×-duplicated corpus; this outputs 50k rows).  The oracle
-    computes the same connected components with a recursive CTE."""
+    replays the engine's own iteration (neighbor-min + pointer jump)
+    as 8 unrolled bounded CTE rounds — see _unrolled_simhash_cc; the
+    previous recursive-CTE closure was all-pairs inside buckets and
+    stalled DuckDB at sf0.1."""
     flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
     return SimHashDedup("docs", "keep", max_distance=4)(flow)["keep"]
 
@@ -6153,11 +6190,19 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "fuzzy_name_pairs",
     """
-SELECT a.c_custkey AS id1, b.c_custkey AS id2,
-  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
-  AND levenshtein(a.c_name, b.c_name) <= 1
+WITH n AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+v AS (
+  SELECT id, s, s AS var FROM n
+  UNION ALL
+  SELECT id, s, substring(s, 1, i - 1) || substring(s, i + 1) AS var
+  FROM n, unnest(range(1, length(s) + 1)) t(i)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id1, a.s AS s1, b.id AS id2, b.s AS s2
+  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+)
+SELECT id1, id2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(s1, s2) <= 1
 """,
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6165,9 +6210,16 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every customer-name pair within Levenshtein distance 1, found via
     ED-Join q-gram prefix filtering (q=3: rarest-4-gram inverted
     index + length filter + exact levenshtein verify) — never
-    all-pairs, while the oracle IS the brute-force all-pairs scan, so
-    a hash match certifies the candidate generation is exact on this
-    corpus."""
+    all-pairs.  The oracle (rewritten bounded, round 8 — the previous
+    brute-force 15k×15k levenshtein scan stalled DuckDB for 45+
+    CPU-min at sf0.1) uses the FastSS deletion-variant identity:
+    ed(s1,s2) ≤ 1 ⟹ s1 and s2 share a member of {s} ∪ del1(s)
+    (equal strings share s itself; a substitution shares the
+    delete-at-that-position variant; an insertion/deletion shares the
+    shorter string).  Variants are near-unique, so the candidate join
+    is ~output-sized, and the exact levenshtein verify runs on
+    candidates only — an INDEPENDENT bounded algorithm (deletion
+    variants) certifying the engine's q-gram strategy."""
     from strom_spark import EditDistanceJoin
 
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
