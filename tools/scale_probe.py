@@ -138,9 +138,142 @@ def curation_main() -> None:
     spark.stop()
 
 
+def graph_main() -> None:
+    """Round-8 probe (VERDICT r7 #8): does the iterative graph family
+    scale linearly in edges?  PageRank and ConnectedComponents over
+    the order↔part bipartite graph of sf0.1 lineitem at 1× and 10×
+    edges (10 key-offset disjoint copies — identical component
+    structure, 10× edges AND nodes, so every round's dst-keyed
+    shuffle carries 10× load), recording wall time, an estimated
+    per-round cost (iterations=5 minus iterations=1, over 4), and
+    per-stage shuffle volume from the UI REST API.
+
+    Broadcast joins are DISABLED for the probe: at 1× the 167k-row
+    rank/label state fits under the broadcast threshold and AQE plans
+    broadcast joins (measured 2.8 MB/round shuffle), while at 10× the
+    1.67M-row state forces the shuffle join (218 MB/round) — a regime
+    switch that makes the raw ratio meaningless (77.9× measured).  At
+    100 TB both sides always shuffle, so the probe pins that regime
+    and asks whether ITS cost is linear in edges."""
+    os.environ["STROM_SPARK_UI"] = "true"
+    spark = get_spark("graph_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.range(2_000_000).selectExpr("sum(id*2)").collect()  # JIT warmup
+
+    from strom_spark.operators.graph import ConnectedComponents, PageRank
+
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    base = (
+        li.select(
+            F.col("l_orderkey").cast("bigint").alias("src"),
+            (F.col("l_partkey").cast("bigint") + F.lit(1_000_000_000)).alias(
+                "dst"
+            ),
+        )
+        .unionAll(
+            li.select(
+                (
+                    F.col("l_partkey").cast("bigint") + F.lit(1_000_000_000)
+                ).alias("src"),
+                F.col("l_orderkey").cast("bigint").alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    out: dict = {"probe": "graph_10x_scaling", "runs": {}}
+    for copies in (1, 10):
+        parts = [
+            base.select(
+                (F.col("src") + F.lit(i * 10_000_000_000)).alias("src"),
+                (F.col("dst") + F.lit(i * 10_000_000_000)).alias("dst"),
+            )
+            for i in range(copies)
+        ]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big = big.repartition(32).cache()
+        n_edges = big.count()
+        run: dict = {"n_edges": n_edges}
+
+        # PageRank: total for 5 rounds and for 1 round; the difference
+        # over 4 isolates the steady-state per-round cost from the
+        # setup (nodes distinct + degree join + initial checkpoints)
+        for iters in (1, 5):
+            secs = []
+            for _ in range(2):  # cold + warm; headline = min (warm)
+                before = {s["stageId"] for s in _completed_stages()}
+                t0 = time.time()
+                rows = PageRank("e", "pr", iterations=iters)(
+                    Flow({"e": big})
+                )["pr"].count()
+                secs.append(round(time.time() - t0, 1))
+                stages = [
+                    s
+                    for s in _completed_stages()
+                    if s["stageId"] not in before
+                ]
+            run[f"pagerank_i{iters}"] = {
+                "nodes": rows,
+                "sec": min(secs),
+                "shuffle_write_mb": round(
+                    sum(s["shuffleWriteBytes"] for s in stages) / 1e6, 1
+                ),
+            }
+        run["pagerank_sec_per_round"] = round(
+            (run["pagerank_i5"]["sec"] - run["pagerank_i1"]["sec"]) / 4, 2
+        )
+        run["pagerank_shuffle_mb_per_round"] = round(
+            (
+                run["pagerank_i5"]["shuffle_write_mb"]
+                - run["pagerank_i1"]["shuffle_write_mb"]
+            )
+            / 4,
+            1,
+        )
+
+        before = {s["stageId"] for s in _completed_stages()}
+        t0 = time.time()
+        rows = ConnectedComponents("e", "cc")(Flow({"e": big}))["cc"].count()
+        sec = round(time.time() - t0, 1)
+        stages = [
+            s for s in _completed_stages() if s["stageId"] not in before
+        ]
+        run["connected_components"] = {
+            "nodes": rows,
+            "sec": sec,
+            "shuffle_write_mb": round(
+                sum(s["shuffleWriteBytes"] for s in stages) / 1e6, 1
+            ),
+        }
+        out["runs"][f"{copies}x"] = run
+        big.unpersist()
+    r1, r10 = out["runs"]["1x"], out["runs"]["10x"]
+    out["pagerank_per_round_time_ratio_10x"] = round(
+        r10["pagerank_sec_per_round"] / max(r1["pagerank_sec_per_round"], 0.01),
+        2,
+    )
+    out["pagerank_per_round_shuffle_ratio_10x"] = round(
+        r10["pagerank_shuffle_mb_per_round"]
+        / max(r1["pagerank_shuffle_mb_per_round"], 0.1),
+        2,
+    )
+    out["cc_time_ratio_10x"] = round(
+        r10["connected_components"]["sec"]
+        / max(r1["connected_components"]["sec"], 0.1),
+        2,
+    )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "curation":
         curation_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "graph":
+        graph_main()
         return
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale_probe")
