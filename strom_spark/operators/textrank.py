@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -657,6 +658,26 @@ class StupidBackoffLM(Component):
     per-position contributions are rounded and summed as DECIMAL so
     the score is independent of shuffle order.  Nothing corpus-sized
     is ever cached.
+
+    TRAIN/SCORE SPLIT + STREAMING (round 8): pass ``train`` to train
+    the count tables on a SEPARATE batch corpus and score ``input``
+    against those frozen counts — the counts are static after
+    training, exactly the Decontaminate broadcast-membership shape.
+    A STREAMING ``input`` then lowers to zero-shuffle, zero-state
+    per-row scoring: the vocab-/bigram-vocab-sized count dicts are
+    collected once (bounded by ``max_broadcast_counts`` — raise the
+    bound or score via ``foreachBatch`` if the train vocabulary
+    exceeds it), broadcast, and an Arrow-batched pandas UDF replays
+    the batch arithmetic per document (same Column-expression
+    tokenization, same per-(prev,cur) grouping, same HALF_UP 6-dp
+    rounding and exact decimal summation), so the two lowerings agree
+    (differentially tested in tests/test_streaming.py).  Cross-corpus
+    OOV policy (both lowerings): positions whose CURRENT token is
+    outside the train vocabulary are skipped (they still count toward
+    ``n_tok``); a document with no in-vocabulary token scores NULL.
+    Broadcast lifetime follows the Decontaminate contract
+    (dedup.py:Decontaminate docstring): frozen at plan construction,
+    one broadcast per component instantiation.
     """
 
     def __init__(
@@ -668,20 +689,162 @@ class StupidBackoffLM(Component):
         text_col: str,
         backoff: float = 0.4,
         score_col: str = "sb_nll",
+        train: str | None = None,
+        train_text_col: str | None = None,
+        max_broadcast_counts: int = 2_000_000,
         label: str | None = None,
     ):
         if not 0 < backoff <= 1:
             raise ValueError("backoff must be in (0, 1]")
+        if max_broadcast_counts < 1:
+            raise ValueError("max_broadcast_counts must be >= 1")
         self.input, self.output = input, output or input
         self.id_col, self.text_col = id_col, text_col
         self.backoff = float(backoff)
         self.score_col = score_col
+        self.train = train
+        self.train_text_col = train_text_col or text_col
+        self.max_broadcast_counts = int(max_broadcast_counts)
         self.label = label
+
+    def _train_toks(self, train_df, text_col: str):
+        """Non-empty token arrays of the train corpus — the same
+        Column expressions the score side uses."""
+        return train_df.select(
+            F.filter(TXT.tokens(text_col), lambda x: x != F.lit("")).alias("__w")
+        ).filter(F.size("__w") > 0)
+
+    def _count_tables(self, toks):
+        """Vocab-sized unigram/bigram count tables from a token-array
+        DataFrame (column ``__w``), pinned eagerly (the UnigramLMScore
+        discipline — without the pin each score branch re-runs the
+        corpus explode)."""
+        tok = toks.select(F.explode("__w").alias("__t"))
+        uc = (
+            tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__uc"))
+            .localCheckpoint(eager=True)
+        )
+        bigrams = toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("__w", 1, F.size("__w") - 1),
+                    F.slice("__w", 2, F.size("__w") - 1),
+                    lambda a, b: F.struct(a.alias("p"), b.alias("c")),
+                )
+            ).alias("__bg")
+        )
+        bc = (
+            bigrams.groupBy(
+                F.col("__bg.p").alias("__bp"), F.col("__bg.c").alias("__bc_t")
+            )
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .localCheckpoint(eager=True)
+        )
+        return uc, bc
+
+    def _transform_streaming(self, flow: Flow, score_src, train_src) -> Flow:
+        require_batch(
+            train_src,
+            "StupidBackoffLM (train side)",
+            "the count tables are full-corpus aggregates",
+        )
+        uc, bc = self._count_tables(
+            self._train_toks(train_src, self.train_text_col)
+        )
+        cap = self.max_broadcast_counts
+        uc_rows = uc.limit(cap + 1).collect()
+        bc_rows = bc.limit(cap + 1).collect()
+        if len(uc_rows) > cap or len(bc_rows) > cap:
+            raise ValueError(
+                "StupidBackoffLM: train vocabulary exceeds "
+                f"max_broadcast_counts={cap}; raise the bound or run the "
+                "batch join lowering per micro-batch via foreachBatch"
+            )
+        u = {r["__t"]: r["__uc"] for r in uc_rows}
+        b = {(r["__bp"], r["__bc_t"]): r["__bc"] for r in bc_rows}
+        # matches stats = sum(__uc) cast double in the batch lowering
+        tot = float(sum(u.values()))
+        lam = self.backoff
+        sc = score_src.sparkSession.sparkContext
+        bu, bb = sc.broadcast(u), sc.broadcast(b)
+
+        @F.pandas_udf("struct<n_tok:int,nll:double>")
+        def _score(arrs: pd.Series) -> pd.DataFrame:
+            import math
+            from collections import Counter
+            from decimal import ROUND_HALF_UP, Decimal
+
+            uv, bv = bu.value, bb.value
+            q = Decimal("0.000001")
+            ns: list = []
+            scores: list = []
+            for a in arrs:
+                toks = list(a) if a is not None else []
+                n = len(toks)
+                ns.append(n)
+                if n == 0:
+                    scores.append(None)
+                    continue
+                # group identical (prev, cur) pairs first: the batch
+                # plan aggregates counts per pair and rounds ONE
+                # contribution per group — replay that exactly
+                pairs: Counter = Counter()
+                for i, cur in enumerate(toks):
+                    pairs[(toks[i - 1] if i >= 1 else None, cur)] += 1
+                total = Decimal(0)
+                any_contrib = False
+                for (prev, cur), cnt in pairs.items():
+                    cuc = uv.get(cur)
+                    if cuc is None:
+                        continue  # OOV cur: batch inner join drops it
+                    if prev is None:
+                        s = cuc / tot
+                    else:
+                        bcnt = bv.get((prev, cur))
+                        if bcnt is not None:
+                            s = bcnt / uv[prev]
+                        else:
+                            s = lam * cuc / tot
+                    # Decimal(repr(x)) == BigDecimal.valueOf(double):
+                    # both quantize the SHORTEST decimal repr HALF_UP,
+                    # matching Spark's round(double, 6) exactly
+                    total += Decimal(repr(cnt * (-math.log(s)))).quantize(
+                        q, rounding=ROUND_HALF_UP
+                    )
+                    any_contrib = True
+                scores.append(float(total) / n if any_contrib else None)
+            return pd.DataFrame({"n_tok": ns, "nll": scores})
+
+        # the token array is built by the SAME Column expressions as
+        # the batch lowering, so tokenization parity is structural
+        out = (
+            score_src.select(
+                F.col(self.id_col),
+                F.filter(
+                    TXT.tokens(self.text_col), lambda x: x != F.lit("")
+                ).alias("__w"),
+            )
+            .filter(F.size("__w") > 0)
+            .withColumn("__s", _score("__w"))
+            .select(
+                self.id_col,
+                F.col("__s.n_tok").alias("n_tok"),
+                F.col("__s.nll").alias(self.score_col),
+            )
+        )
+        return flow.without(self.input, self.train).with_stream(self.output, out)
 
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input]
+        train_df = flow[self.train] if self.train is not None else df
+        if self.train is not None and df.isStreaming:
+            return self._transform_streaming(flow, df, train_df)
         require_batch(
-            df, "StupidBackoffLM", "the bigram LM is trained on full-corpus counts"
+            df,
+            "StupidBackoffLM",
+            "the bigram LM is trained on full-corpus counts (pass a "
+            "batch `train` corpus to score a stream against frozen "
+            "counts)",
         )
         toks = df.select(
             F.col(self.id_col).alias("__id"),
@@ -705,30 +868,17 @@ class StupidBackoffLM(Component):
             F.count(F.lit(1)).alias("__cnt")
         )
 
-        # "train": corpus count tables, vocab-sized, pinned eagerly
-        # (the UnigramLMScore discipline — without the pin each score
-        # branch re-runs the corpus explode)
-        tok = toks.select(F.explode("__w").alias("__t"))
-        uc = (
-            tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__uc"))
-            .localCheckpoint(eager=True)
-        )
-        bigrams = toks.select(
-            F.explode(
-                F.zip_with(
-                    F.slice("__w", 1, F.size("__w") - 1),
-                    F.slice("__w", 2, F.size("__w") - 1),
-                    lambda a, b: F.struct(a.alias("p"), b.alias("c")),
-                )
-            ).alias("__bg")
-        )
-        bc = (
-            bigrams.groupBy(
-                F.col("__bg.p").alias("__bp"), F.col("__bg.c").alias("__bc_t")
+        if self.train is not None:
+            require_batch(
+                train_df,
+                "StupidBackoffLM (train side)",
+                "the count tables are full-corpus aggregates",
             )
-            .agg(F.count(F.lit(1)).alias("__bc"))
-            .localCheckpoint(eager=True)
-        )
+            uc, bc = self._count_tables(
+                self._train_toks(train_df, self.train_text_col)
+            )
+        else:
+            uc, bc = self._count_tables(toks)
         stats = uc.agg(F.sum("__uc").cast("double").alias("__tot"))
 
         cur_c = uc.select(F.col("__t").alias("__cur"), F.col("__uc").alias("__cuc"))
@@ -751,21 +901,33 @@ class StupidBackoffLM(Component):
             .otherwise(F.lit(self.backoff) * F.col("__cuc") / F.col("__tot"))
         )
         contrib = F.col("__cnt") * (-F.log(s))
-        out = (
+        agg = (
             joined.select(
                 "__id", "__n", F.round(contrib, 6).cast("decimal(18,6)").alias("__c")
             )
             .groupBy("__id", "__n")
             .agg((F.sum("__c").cast("double") / F.col("__n")).alias(self.score_col))
-            .select(
-                F.col("__id").alias(self.id_col),
-                F.col("__n").alias("n_tok"),
-                self.score_col,
-            )
         )
-        return flow.without(self.input).with_stream(self.output, out)
+        if self.train is not None:
+            # cross-corpus: the inner join on cur_c drops OOV
+            # positions, and a doc with NO in-vocab token vanishes
+            # from the aggregate — re-attach the full doc set so such
+            # docs surface with a NULL score (streaming-lowering
+            # parity; impossible in the self-trained form, where every
+            # token is in vocab by construction)
+            base = toks.select("__id", F.size("__w").alias("__n"))
+            agg = base.join(agg, ["__id", "__n"], "left")
+        out = agg.select(
+            F.col("__id").alias(self.id_col),
+            F.col("__n").alias("n_tok"),
+            self.score_col,
+        )
+        drop = (self.input,) if self.train is None else (self.input, self.train)
+        return flow.without(*drop).with_stream(self.output, out)
 
     def input_names(self) -> Sequence[str]:
+        if self.train is not None:
+            return (self.input, self.train)
         return (self.input,)
 
     def output_names(self) -> Sequence[str]:

@@ -598,6 +598,56 @@ def test_streaming_media_features_matches_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_stupid_backoff_matches_batch(spark, sf_dir):
+    """StupidBackoffLM train/score split: counts trained on a BATCH
+    corpus, a STREAM scored against the frozen broadcast counts
+    (zero shuffle, zero state) must drain availableNow to EXACTLY the
+    batch cross-corpus scoring of the same rows — including the OOV
+    contract (out-of-vocab positions skipped but counted in n_tok,
+    all-OOV docs scored NULL)."""
+    import shutil
+    import tempfile
+
+    from strom_spark import Flow, StupidBackoffLM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    score_rows = docs.filter(F.col("doc_id") % 3 == 0).limit(60)
+    # one guaranteed all-OOV doc (tokens absent from ANY real corpus)
+    extra = spark.createDataFrame(
+        [(999_999, "zzqxv9 zzqxv9 wwvvk3")], "doc_id bigint, text string"
+    )
+    d = tempfile.mkdtemp(prefix="strom_sb_stream_")
+    try:
+        score_rows.unionByName(extra).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(d)
+
+        def scores(df):
+            return StupidBackoffLM(
+                "docs", "s", id_col="doc_id", text_col="text", train="corpus"
+            )(Flow({"docs": df, "corpus": train}))["s"]
+
+        out = scores(_read_stream(spark, d))
+        assert out.isStreaming
+        run_available(out, query_name="t_stream_backoff")
+        got = sorted(
+            (r.doc_id, r.n_tok, r.sb_nll)
+            for r in spark.sql("SELECT * FROM t_stream_backoff").collect()
+        )
+        want = sorted(
+            (r.doc_id, r.n_tok, r.sb_nll)
+            for r in scores(spark.read.parquet(d)).collect()
+        )
+        assert got == want and len(want) == 61
+        oov = [r for r in got if r[0] == 999_999]
+        assert oov and oov[0][2] is None and oov[0][1] == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_image_phash_matches_batch(spark):
     """ImagePHash is a narrow mapInPandas like MediaFeatures — the same
     component must drain availableNow to EXACTLY the batch hashes
