@@ -641,6 +641,7 @@ class SimHashDedup(Component):
         max_distance: int = 3,
         bits: int = 32,
         max_iterations: int = 15,
+        partition_persist_min_rows: int = 5_000_000,
         label: str | None = None,
     ):
         _validate_simhash_blocks(max_distance, bits)
@@ -651,6 +652,7 @@ class SimHashDedup(Component):
         self.max_distance = max_distance
         self.bits = bits
         self.max_iterations = max_iterations
+        self.partition_persist_min_rows = int(partition_persist_min_rows)
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
@@ -666,19 +668,53 @@ class SimHashDedup(Component):
             b = F.shiftrightunsigned(F.col("sig"), shift).bitwiseAND(F.lit((1 << length) - 1))
             return F.shiftleft(b, 4) + F.lit(i)
 
+        from pyspark import StorageLevel
+
         edges = sig.select(
             "id", F.explode(F.array(*[block_key(i) for i in range(n_blocks)])).alias("bk")
         )
         probe_loop_plan("SimHashDedup/setup", edges)
+        # the doc→block edge table is STATIC and each round joins it
+        # TWICE on different keys (labels on id, bucket minima on bk).
+        # Above `partition_persist_min_rows` keep one persisted copy
+        # PARTITIONED PER JOIN KEY so neither round join re-shuffles
+        # the edge table (the PageRank static-adjacency discipline,
+        # round 8; a localCheckpoint reports unknown partitioning and
+        # re-exchanged the edges every round).  Below the bound the
+        # edge table is broadcast-sized anyway — AQE broadcasts it in
+        # the round joins and the two persist materializations are
+        # pure setup overhead (measured +1.6 s on the 25k-edge sf0.1
+        # corpus), so the plain checkpointed table serves both roles.
+        # The checkpoint FIRST either way: the upstream simhash
+        # signature pipeline is the expensive part, and independent
+        # persists would each recompute it at materialization
+        # (measured 2.3× on dedup_simhash_clusters at sf0.1);
+        # repartitioning the checkpointed RDD pays one slim shuffle
+        # per copy instead.
         edges = edges.localCheckpoint(eager=True)
-        labels = edges.select("id").distinct().select("id", F.col("id").alias("lab"))
+        if edges.count() >= self.partition_persist_min_rows:
+            edges_by_id = edges.repartition("id").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            edges_by_bk = edges.repartition("bk").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        else:
+            edges_by_id = edges_by_bk = edges
+        labels = (
+            edges_by_id.select("id").distinct().select("id", F.col("id").alias("lab"))
+        )
         # labels only ever decrease, so sum(lab) is a monotone potential:
         # unchanged sum == fixpoint.  One tiny agg per round instead of a
         # join+count change detector.
         prev_sum = None
         for _ in range(self.max_iterations):
-            bmin = edges.join(labels, "id").groupBy("bk").agg(F.min("lab").alias("bmin"))
-            doc_min = edges.join(bmin, "bk").groupBy("id").agg(F.min("bmin").alias("nlab"))
+            bmin = edges_by_id.join(labels, "id").groupBy("bk").agg(
+                F.min("lab").alias("bmin")
+            )
+            doc_min = edges_by_bk.join(bmin, "bk").groupBy("id").agg(
+                F.min("bmin").alias("nlab")
+            )
             labels = labels.join(doc_min, "id", "left").select(
                 "id", F.least("lab", F.coalesce("nlab", "lab")).alias("lab")
             )

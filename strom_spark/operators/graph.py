@@ -79,13 +79,22 @@ class ConnectedComponents(Component):
                     f"detector; column {c!r} is {dtypes.get(c)} — hash or "
                     "dense-rank string ids to longs first"
                 )
+        from pyspark import StorageLevel
+
+        # the symmetric edge table is STATIC: persist it PARTITIONED
+        # ON THE JOIN KEY (b) instead of localCheckpoint — a
+        # checkpointed scan reports unknown partitioning, so every
+        # round's neighbor-min join re-shuffled the EDGE table (the
+        # big side at 100 TB); with the partitioned persist only the
+        # node-sized label state exchanges per round (the PageRank
+        # static-adjacency discipline, round 8)
         sym = df.select(
             F.col(self.src).alias("a"), F.col(self.dst).alias("b")
         ).unionAll(
             df.select(F.col(self.dst).alias("a"), F.col(self.src).alias("b"))
         )
         probe_loop_plan("ConnectedComponents/setup", sym)
-        sym = sym.localCheckpoint(eager=True)
+        sym = sym.repartition("b").persist(StorageLevel.MEMORY_AND_DISK)
         labels = sym.select("a").distinct().select("a", F.col("a").alias("lab"))
         prev_sum = None
         for _ in range(self.max_iterations):
@@ -201,6 +210,8 @@ class PageRank(Component):
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
+        from pyspark import StorageLevel
+
         from ..component import require_batch
 
         df = flow[self.input]
@@ -213,20 +224,32 @@ class PageRank(Component):
         edges = df.select(
             F.col(self.src).alias("__src"), F.col(self.dst).alias("__dst")
         ).localCheckpoint(eager=True)
+        # the static tables are PERSISTED PARTITIONED ON THEIR JOIN
+        # KEYS, not localCheckpointed: a checkpointed RDD scan reports
+        # unknown partitioning, so every round's edges⋈ranks SMJ
+        # re-shuffled the EDGE table — the big side — per iteration
+        # (measured by the round-8 loop-body plan audit: 4 exchanges/
+        # round, edge-sized).  A partitioned persist keeps
+        # outputPartitioning visible to Catalyst, so per round only
+        # the node-sized rank state exchanges and the contribution
+        # aggregate shuffles — edges are shuffled ONCE for the whole
+        # run (the GraphX static-edge-partitioning discipline; at 100
+        # TB edges ≫ nodes, this is the dominant term).
         nodes = (
             edges.select(F.col("__src").alias("__node"))
             .unionAll(edges.select(F.col("__dst").alias("__node")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .repartition("__node")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # the degree table is STATIC — join it into the edge list once
-        # and checkpoint, instead of re-joining every round (saves one
-        # join per iteration; this is the materialized (src, dst, deg)
+        # the degree table is STATIC — join it into the edge list once,
+        # instead of re-joining every round (saves one join per
+        # iteration; this is the materialized (src, dst, deg)
         # adjacency a real deployment would keep partitioned on src)
         deg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
-        adjacency = edges.join(deg, "__src")
+        adjacency = edges.join(deg, "__src").repartition("__src")
         probe_loop_plan("PageRank/setup", adjacency)
-        edges = adjacency.localCheckpoint(eager=True)
+        edges = adjacency.persist(StorageLevel.MEMORY_AND_DISK)
         n = nodes.count()
         if n == 0:
             raise ValueError(

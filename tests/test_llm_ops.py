@@ -74,6 +74,31 @@ def test_simhash_and_pairs(docs):
         assert r.hamming <= 3 and r.d1 < r.d2
 
 
+def test_simhash_dedup_partitioned_persist_path_identical(docs):
+    """The >= partition_persist_min_rows branch (two join-key-
+    partitioned persisted edge copies — the 100 TB shuffle-regime
+    path) must produce bit-identical clusters to the small-corpus
+    checkpoint-only branch AQE broadcast-serves."""
+    from strom_spark.operators.dedup import SimHashDedup
+
+    small = docs.limit(200)
+    base = (
+        SimHashDedup("d", "o", max_distance=4)(Flow({"d": small}))["o"]
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    forced = (
+        SimHashDedup(
+            "d", "o", max_distance=4, partition_persist_min_rows=1
+        )(Flow({"d": small}))["o"]
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert base.equals(forced)
+
+
 def test_embedding_near_dup_and_lsh(emb):
     flow = Flow({"emb": emb})
     exact = EmbeddingNearDupPairs("emb", "p", threshold=0.3)(flow)["p"]
