@@ -1096,6 +1096,72 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "c4_quality_flags",
+    r"""
+WITH g AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+    string_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents
+),
+k AS (
+  SELECT doc_id, text, len(lines) AS n_lines,
+    coalesce(array_to_string(list_filter(lines, l ->
+      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+       OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+      AND len(list_filter(string_split(trim(regexp_replace(l, '\s+', ' ', 'g')), ' '), x -> x != '')) >= 5
+      AND NOT contains(lower(l), 'javascript')
+    ), chr(10)), '') AS kept_text,
+    len(list_filter(lines, l ->
+      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+       OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+      AND len(list_filter(string_split(trim(regexp_replace(l, '\s+', ' ', 'g')), ' '), x -> x != '')) >= 5
+      AND NOT contains(lower(l), 'javascript')
+    )) AS n_kept
+  FROM g
+)
+SELECT doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_kept AS BIGINT) AS n_kept_lines,
+  CAST(len(regexp_extract_all(kept_text, '[.!?]')) AS BIGINT) AS n_sentences,
+  CAST(length(kept_text) AS BIGINT) AS kept_chars,
+  CAST(contains(lower(text), 'lorem ipsum') AS BIGINT) AS has_lorem_ipsum,
+  CAST(contains(text, '{') AS BIGINT) AS has_curly_brace,
+  CAST(len(regexp_extract_all(kept_text, '[.!?]')) >= 3
+       AND NOT contains(lower(text), 'lorem ipsum')
+       AND NOT contains(text, '{') AS BIGINT) AS c4_keep
+FROM k
+""",
+)
+def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published C4 cleaning heuristics (Raffel et al. 2020 §2.2;
+    functions/text.py:c4_rules) per document: terminal-punctuation /
+    ≥5-word / no-javascript line filter, ≥3-sentence page gate,
+    lorem-ipsum and curly-brace page drops — the other canonical
+    rule set (besides Gopher) large-scale curation pipelines start
+    from.  Pure Column HOFs, one narrow scan, zero shuffle, zero
+    Python; every comparison is integer, so the flags hash-match
+    cross-engine without tolerance.  Per-rule both-ways coverage over
+    a handcrafted corpus is in tests/test_llm_ops.py.
+    Beyond-reference: training-data curation surface."""
+    flow = Flow({"docs": spread(load_table(spark, sf_dir, "documents"))})
+    c4 = TXT.c4_rules("text")
+    out = Transformer(
+        "docs",
+        select={
+            "doc_id": "doc_id",
+            "n_lines": c4["n_lines"],
+            "n_kept_lines": c4["n_kept_lines"],
+            "n_sentences": c4["n_sentences"],
+            "kept_chars": c4["kept_chars"],
+            "has_lorem_ipsum": c4["has_lorem_ipsum"],
+            "has_curly_brace": c4["has_curly_brace"],
+            "c4_keep": c4["c4_keep"],
+        },
+    )(flow)
+    return out["docs"]
+
+
+@_q(
     "langid_counts",
     f"""
 WITH {_NORM_DOCS},

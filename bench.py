@@ -125,6 +125,7 @@ HEADLINE = [
     # near-dups through θ=0.9, 8×12) — TOTAL covers 56 from here
     "lsh_recall_floor",
     "minhash_recall_floor",
+    "c4_quality_flags",
     # round 7: published Gopher quality gates, pure Column HOFs —
     # TOTAL covers 57 from here
     "gopher_quality_flags",

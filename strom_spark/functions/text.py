@@ -208,6 +208,74 @@ def quality_features(col: "Column | str") -> dict[str, Column]:
     }
 
 
+def c4_rules(col: "Column | str") -> dict[str, Column]:
+    """The published C4 cleaning heuristics (Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning…", §2.2 — the rule set
+    that produced the C4 corpus), as pure Column expressions (JVM
+    codegen, zero Python, one narrow scan):
+
+    Line filter (a line survives iff ALL of):
+      1. ends in a terminal punctuation mark ('.', '!', '?', '"')
+      2. contains at least 5 words
+      3. does not contain the word "javascript" (case-insensitive)
+    Page gates:
+      4. at least 3 sentences (counted as terminal-punctuation marks
+         in the SURVIVING lines — a deterministic engine-portable
+         stand-in for C4's sentence splitter)
+      5. no "lorem ipsum" (case-insensitive)
+      6. no curly brace '{'
+
+    (C4's badwords blocklist is deliberately NOT inlined here —
+    compose with :class:`PhraseBlocklist`, which is that rule as a
+    first-class scalable operator.)
+
+    Returns per-doc counts (``n_lines``, ``n_kept_lines``,
+    ``n_sentences``, ``kept_chars``), the page flags
+    (``has_lorem_ipsum``, ``has_curly_brace``), the combined
+    ``c4_keep`` gate, and ``kept_text`` (the surviving lines
+    newline-joined — the cleaned document a pipeline would feed
+    downstream).  All counts are integers and every comparison is
+    integer — cross-engine deterministic with no rounding."""
+    c = F.coalesce(_c(col), F.lit(""))
+    lines = F.split(c, "\n")
+
+    def words(l):  # noqa: E743 — same normalization as gopher_rules
+        return F.filter(
+            F.split(F.trim(F.regexp_replace(l, r"\s+", " ")), " "),
+            lambda x: x != F.lit(""),
+        )
+
+    def keep_line(l):
+        t = F.trim(l)
+        return (
+            (
+                t.endswith(".")
+                | t.endswith("!")
+                | t.endswith("?")
+                | t.endswith('"')
+            )
+            & (F.size(words(l)) >= 5)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, keep_line)
+    kept_text = F.concat_ws("\n", kept)
+    n_sent = F.size(F.regexp_extract_all(kept_text, F.lit("[.!?]"), 0))
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{")
+    c4_keep = (n_sent >= 3) & ~has_lorem & ~has_brace
+    return {
+        "n_lines": F.size(lines).cast("bigint"),
+        "n_kept_lines": F.size(kept).cast("bigint"),
+        "n_sentences": n_sent.cast("bigint"),
+        "kept_chars": F.length(kept_text).cast("bigint"),
+        "has_lorem_ipsum": has_lorem.cast("bigint"),
+        "has_curly_brace": has_brace.cast("bigint"),
+        "c4_keep": c4_keep.cast("bigint"),
+        "kept_text": kept_text,
+    }
+
+
 #: the 8 canonical Gopher stop words (Rae et al. 2021, A1.1)
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 

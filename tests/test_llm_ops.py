@@ -1206,6 +1206,57 @@ def test_phrase_blocklist_word_boundary_semantics(spark):
         PhraseBlocklist("d", "p", "o", max_inline=-1)
 
 
+def test_c4_rules_each_rule_both_ways(spark):
+    """c4_rules (Raffel et al. 2020 §2.2): each line/page rule is
+    exercised both ways on a handcrafted corpus — kept lines, each
+    drop reason, the 3-sentence gate, lorem-ipsum and brace drops —
+    and kept_text is the exact newline-join of surviving lines."""
+    from strom_spark.functions.text import c4_rules
+
+    good = "this line has at least five words."
+    docs = [
+        # all lines survive, 4 sentences, clean page -> keep
+        {"doc_id": 1, "text": "\n".join([good] * 4)},
+        # line drops: no terminal punct / <5 words / javascript
+        {"doc_id": 2, "text": "\n".join([
+            good,
+            "this line has no terminal punctuation",
+            "too few words here.",
+            "this line mentions JavaScript code sadly.",
+            good,
+            good,
+        ])},
+        # page gate: only 2 sentences survive -> c4_keep = 0
+        {"doc_id": 3, "text": "\n".join([good] * 2)},
+        # lorem ipsum page drop (lines themselves fine)
+        {"doc_id": 4, "text": "\n".join([good] * 3 + ["some Lorem Ipsum filler text here."])},
+        # curly brace page drop
+        {"doc_id": 5, "text": "\n".join([good] * 3) + "\nvar x = {1};"},
+        {"doc_id": 6, "text": ""},
+        {"doc_id": 7, "text": None},
+    ]
+    c4 = c4_rules("text")
+    rows = {
+        r["doc_id"]: r
+        for r in spark.createDataFrame(
+            docs, "doc_id bigint, text string"
+        ).select("doc_id", *[c4[k].alias(k) for k in c4]).collect()
+    }
+    assert rows[1]["c4_keep"] == 1 and rows[1]["n_kept_lines"] == 4
+    assert rows[1]["n_sentences"] == 4
+    assert rows[1]["kept_text"] == "\n".join([good] * 4)
+    # three drop reasons each remove exactly one line
+    assert rows[2]["n_lines"] == 6 and rows[2]["n_kept_lines"] == 3
+    assert rows[2]["c4_keep"] == 1  # 3 surviving sentences
+    assert rows[3]["n_sentences"] == 2 and rows[3]["c4_keep"] == 0
+    assert rows[4]["has_lorem_ipsum"] == 1 and rows[4]["c4_keep"] == 0
+    assert rows[4]["n_kept_lines"] == 4  # the lorem LINE itself survives
+    assert rows[5]["has_curly_brace"] == 1 and rows[5]["c4_keep"] == 0
+    for i in (6, 7):
+        assert rows[i]["n_kept_lines"] == 0 and rows[i]["c4_keep"] == 0
+        assert rows[i]["kept_text"] == ""
+
+
 def test_gopher_rules_each_rule_both_ways(spark):
     """gopher_rules (Rae et al. 2021 A1.1): a handcrafted corpus where
     each rule fails in exactly one doc while a baseline doc passes all
