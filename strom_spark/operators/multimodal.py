@@ -1054,12 +1054,18 @@ class PHashNearDupPairs(Component):
         from functools import reduce
 
         cand = reduce(lambda a, b: a.unionAll(b), blocks)
-        if self.max_block_freq is not None:
-            # the NgramJaccardPairs hot-shingle cap, block-bucket form:
-            # drop viral (blk, value) buckets before the self-join so
-            # no bucket fans out more than cap² pairs (shuffle keys on
-            # the same (blk, bv) the pair join uses — one extra keyed
-            # agg, no new shuffle key)
+        # the NgramJaccardPairs hot-shingle cap, block-bucket form:
+        # drop viral (blk, value) buckets before the self-join so no
+        # bucket fans out more than cap² pairs (shuffle keys on the
+        # same (blk, bv) the pair join uses — one extra keyed agg, no
+        # new shuffle key).  Exact shortcut first: a bucket holds at
+        # most ALL fingerprints, so with n_rows <= cap no bucket can
+        # exceed the cap and the histogram pass is skipped entirely —
+        # semantics identical, zero added stages on small/deduped
+        # inputs (the count is free: sig is persisted and the count
+        # doubles as its materialization; the cap's full-bench cost
+        # was 3 extra tiny stages = +1.4 s on an 8-row rep table).
+        if self.max_block_freq is not None and sig.count() > self.max_block_freq:
             freq_ok = (
                 cand.groupBy("__blk", "__bv")
                 .agg(F.count(F.lit(1)).alias("__f"))
