@@ -445,3 +445,74 @@ def test_stupid_backoff_matches_python_replay(spark, docs):
             total += round(cnt * -math.log(s), 6)
         assert abs(out.loc[i, "sb_nll"] - total / len(toks)) < 1e-9
         assert out.loc[i, "n_tok"] == len(toks)
+
+
+@given(
+    docs=st.lists(
+        st.lists(  # a doc = list of lines
+            st.lists(
+                st.sampled_from(
+                    ["alpha", "beta", "gamma.", "delta!", "eps?", 'quo"',
+                     "JavaScript", "lorem", "ipsum", "{x}", "a.b", "..."]
+                ),
+                min_size=0,
+                max_size=9,
+            ),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@SET
+def test_c4_rules_match_python_replay(spark, docs):
+    """c4_rules over random multi-line docs == a direct python replay
+    of the Raffel et al. definition — the benchmark corpus is
+    single-line with no terminal punctuation (every count 0 there),
+    so this is where the line filter, sentence gate, and page drops
+    are exercised on non-degenerate shapes, including lines that
+    combine drop reasons and pages mixing kept/dropped lines."""
+    import re as _re
+
+    from strom_spark.functions.text import c4_rules
+
+    rows = [
+        {"doc_id": i, "text": "\n".join(" ".join(l) for l in lines)}
+        for i, lines in enumerate(docs)
+    ]
+    c4 = c4_rules("text")
+    out = (
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+        .select("doc_id", *[c4[k].alias(k) for k in c4])
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for i, lines in enumerate(docs):
+        text = "\n".join(" ".join(l) for l in lines)
+        split_lines = text.split("\n")  # Spark split on '\n'
+
+        def keep(l: str) -> bool:
+            t = l.strip()
+            words = [w for w in _re.sub(r"\s+", " ", l).strip().split(" ") if w]
+            return (
+                t.endswith((".", "!", "?", '"'))
+                and len(words) >= 5
+                and "javascript" not in l.lower()
+            )
+
+        kept = [l for l in split_lines if keep(l)]
+        kept_text = "\n".join(kept)
+        n_sent = len(_re.findall(r"[.!?]", kept_text))
+        has_lorem = "lorem ipsum" in text.lower()
+        has_brace = "{" in text
+        assert out.loc[i, "n_lines"] == len(split_lines)
+        assert out.loc[i, "n_kept_lines"] == len(kept)
+        assert out.loc[i, "n_sentences"] == n_sent
+        assert out.loc[i, "kept_chars"] == len(kept_text)
+        assert out.loc[i, "has_lorem_ipsum"] == int(has_lorem)
+        assert out.loc[i, "has_curly_brace"] == int(has_brace)
+        assert out.loc[i, "c4_keep"] == int(
+            n_sent >= 3 and not has_lorem and not has_brace
+        )
+        assert out.loc[i, "kept_text"] == kept_text
