@@ -493,6 +493,22 @@ class DSIRWeights(Component):
 
     Output: one row per ``docs`` document — ``(id_col, n_feats,
     weight_col)``; documents with no features (empty text) weigh 0.
+
+    RAW/SCORE SPLIT + STREAMING (round 8): pass ``raw`` to estimate
+    the raw-corpus bucket distribution on a SEPARATE batch corpus and
+    score ``docs`` against the frozen (raw, target) log-ratio table —
+    after estimation the table is static, the Decontaminate /
+    StupidBackoffLM frozen-statistics shape.  A STREAMING ``docs``
+    then lowers to zero-shuffle, zero-state per-row scoring: the
+    ≤ ``n_buckets``-row ratio table is collected once, broadcast, and
+    an Arrow-batched pandas UDF replays the batch arithmetic exactly
+    (same Column-expression featurization and md5 bucket hash, exact
+    DECIMAL accumulation of cnt·log-ratio — differentially tested in
+    tests/test_streaming.py).  Both lowerings share the batch
+    semantics for buckets ABSENT from the raw estimate: those
+    features drop from n_feats and the weight (the batch inner join),
+    and a doc with no raw-seen feature scores (0, 0.0).  Broadcast
+    lifetime follows the Decontaminate contract.
     """
 
     def __init__(
@@ -506,6 +522,7 @@ class DSIRWeights(Component):
         n_buckets: int = 10_000,
         alpha: float = 1.0,
         weight_col: str = "dsir_weight",
+        raw: str | None = None,
         label: str | None = None,
     ):
         if n_buckets < 1:
@@ -517,12 +534,12 @@ class DSIRWeights(Component):
         self.n_buckets = int(n_buckets)
         self.alpha = float(alpha)
         self.weight_col = weight_col
+        self.raw = raw
         self.label = label
 
-    def _doc_buckets(self, df: DataFrame) -> DataFrame:
-        """(id, bucket, cnt) — unigram+bigram features hashed into
-        ``n_buckets`` via the portable md5-prefix, built with array
-        HOFs in the scan."""
+    def _grams(self) -> "Column":
+        """Unigram+bigram feature array over ``text_col`` — the one
+        featurization both lowerings share."""
         fw = F.filter(TXT.tokens(self.text_col), lambda x: x != F.lit(""))
         n = F.size(fw)
         bigrams = F.when(
@@ -533,10 +550,16 @@ class DSIRWeights(Component):
                 lambda a, b: F.concat(a, F.lit(" "), b),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        grams = F.concat(fw, bigrams)
+        return F.concat(fw, bigrams)
+
+    def _doc_buckets(self, df: DataFrame) -> DataFrame:
+        """(id, bucket, cnt) — unigram+bigram features hashed into
+        ``n_buckets`` via the portable md5-prefix, built with array
+        HOFs in the scan."""
         return (
             df.select(
-                F.col(self.id_col).alias("__id"), F.explode(grams).alias("__g")
+                F.col(self.id_col).alias("__id"),
+                F.explode(self._grams()).alias("__g"),
             )
             .select(
                 "__id",
@@ -548,44 +571,13 @@ class DSIRWeights(Component):
             .agg(F.count(F.lit(1)).alias("__cnt"))
         )
 
-    def transform(self, flow: Flow) -> Flow:
-        docs = flow[self.docs]
-        target = flow[self.target]
-        require_batch(
-            docs, "DSIRWeights", "corpus and target bucket distributions need full passes"
-        )
-        require_batch(
-            target, "DSIRWeights", "corpus and target bucket distributions need full passes"
-        )
-
-        # PERSIST the shared intermediates: without it, Catalyst plans
-        # every consumer with its own copy of the lineage (measured: 19
-        # exchanges / 6 scans — the corpus tokenize+hash+shuffle ran
-        # THREE times and the target's twice).  ``doc_b`` is the one
-        # corpus-sized pin (MEMORY_AND_DISK — same materialization cost
-        # class as the shuffle that produces it); the bucket tables are
-        # ≤ n_buckets rows.  Caches are left to Spark's LRU eviction —
-        # call ``.unpersist()`` on the output's lineage in a long-lived
-        # session if memory pressure matters before the next query.
-        from pyspark import StorageLevel
-
-        doc_b = self._doc_buckets(docs).persist(StorageLevel.MEMORY_AND_DISK)
-        raw_b = (
-            doc_b.groupBy("__b")
-            .agg(F.sum("__cnt").alias("__cr"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        tgt_b = (
-            self._doc_buckets(target)
-            .groupBy("__b")
-            .agg(F.sum("__cnt").alias("__ct"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+    def _ratio(self, raw_b: DataFrame, tgt_b: DataFrame) -> DataFrame:
+        """The ≤ n_buckets-row log-ratio table from the aggregated raw
+        and target bucket counts."""
         raw_tot = raw_b.agg(F.sum("__cr").alias("__nr"))
         tgt_tot = tgt_b.agg(F.sum("__ct").alias("__nt"))
-
         a, bkt = F.lit(self.alpha), F.lit(float(self.n_buckets))
-        ratio = (
+        return (
             raw_b.join(tgt_b, "__b", "left")
             .crossJoin(F.broadcast(raw_tot))
             .crossJoin(F.broadcast(tgt_tot))
@@ -604,6 +596,131 @@ class DSIRWeights(Component):
             )
         )
 
+    def _transform_streaming(
+        self, flow: Flow, docs: DataFrame, raw_src: DataFrame, target: DataFrame
+    ) -> Flow:
+        from pyspark import StorageLevel
+
+        raw_b = (
+            self._doc_buckets(raw_src)
+            .groupBy("__b")
+            .agg(F.sum("__cnt").alias("__cr"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        tgt_b = (
+            self._doc_buckets(target)
+            .groupBy("__b")
+            .agg(F.sum("__cnt").alias("__ct"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # ≤ n_buckets rows; __lr arrives as decimal.Decimal, so the
+        # replay accumulates cnt·lr EXACTLY like the batch DECIMAL sum
+        lrmap = {r["__b"]: r["__lr"] for r in self._ratio(raw_b, tgt_b).collect()}
+        blr = docs.sparkSession.sparkContext.broadcast(lrmap)
+
+        @F.pandas_udf("struct<n_feats:bigint,w:double>")
+        def _score(arrs: pd.Series) -> pd.DataFrame:
+            from collections import Counter
+            from decimal import Decimal
+
+            m = blr.value
+            ns: list = []
+            ws: list = []
+            for a in arrs:
+                cnts = Counter(int(b) for b in a) if a is not None else {}
+                nf = 0
+                tot = Decimal(0)
+                for b, c in cnts.items():
+                    lr = m.get(b)
+                    if lr is None:
+                        continue  # bucket unseen in raw: batch inner join drops it
+                    nf += c
+                    tot += lr * c
+                ns.append(nf)
+                ws.append(float(tot))
+            return pd.DataFrame({"n_feats": ns, "w": ws})
+
+        # bind the gram array to a real column before hashing (HOF
+        # lambdas re-evaluate derived subtrees per element)
+        out = (
+            docs.withColumn("__grams", self._grams())
+            .withColumn(
+                "__bs",
+                F.transform(
+                    F.col("__grams"),
+                    lambda g: F.pmod(TXT.kgram_hash(g), F.lit(self.n_buckets)),
+                ),
+            )
+            .withColumn("__s", _score("__bs"))
+            .select(
+                self.id_col,
+                F.col("__s.n_feats").alias("n_feats"),
+                F.col("__s.w").alias(self.weight_col),
+            )
+        )
+        return flow.without(self.docs, self.target, self.raw).with_stream(
+            self.output, out
+        )
+
+    def transform(self, flow: Flow) -> Flow:
+        docs = flow[self.docs]
+        target = flow[self.target]
+        raw_src = flow[self.raw] if self.raw is not None else None
+        require_batch(
+            target, "DSIRWeights", "corpus and target bucket distributions need full passes"
+        )
+        if raw_src is not None:
+            require_batch(
+                raw_src,
+                "DSIRWeights (raw side)",
+                "the raw bucket distribution is a full-corpus estimate",
+            )
+        if docs.isStreaming:
+            if raw_src is None:
+                raise TypeError(
+                    "DSIRWeights is batch-only without a `raw` corpus: a "
+                    "stream cannot estimate its own raw bucket "
+                    "distribution — pass raw=<batch corpus> to score the "
+                    "stream against the frozen (raw, target) log-ratio"
+                )
+            return self._transform_streaming(flow, docs, raw_src, target)
+        require_batch(
+            docs, "DSIRWeights", "corpus and target bucket distributions need full passes"
+        )
+
+        # PERSIST the shared intermediates: without it, Catalyst plans
+        # every consumer with its own copy of the lineage (measured: 19
+        # exchanges / 6 scans — the corpus tokenize+hash+shuffle ran
+        # THREE times and the target's twice).  ``doc_b`` is the one
+        # corpus-sized pin (MEMORY_AND_DISK — same materialization cost
+        # class as the shuffle that produces it); the bucket tables are
+        # ≤ n_buckets rows.  Caches are left to Spark's LRU eviction —
+        # call ``.unpersist()`` on the output's lineage in a long-lived
+        # session if memory pressure matters before the next query.
+        from pyspark import StorageLevel
+
+        doc_b = self._doc_buckets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        if raw_src is None:
+            raw_b = (
+                doc_b.groupBy("__b")
+                .agg(F.sum("__cnt").alias("__cr"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        else:
+            raw_b = (
+                self._doc_buckets(raw_src)
+                .groupBy("__b")
+                .agg(F.sum("__cnt").alias("__cr"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        tgt_b = (
+            self._doc_buckets(target)
+            .groupBy("__b")
+            .agg(F.sum("__cnt").alias("__ct"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        ratio = self._ratio(raw_b, tgt_b)
+
         weighted = (
             doc_b.join(F.broadcast(ratio), "__b")
             .groupBy("__id")
@@ -621,9 +738,16 @@ class DSIRWeights(Component):
                 F.coalesce("__w", F.lit(0.0)).alias(self.weight_col),
             )
         )
-        return flow.without(self.docs, self.target).with_stream(self.output, out)
+        drop = (
+            (self.docs, self.target)
+            if self.raw is None
+            else (self.docs, self.target, self.raw)
+        )
+        return flow.without(*drop).with_stream(self.output, out)
 
     def input_names(self) -> Sequence[str]:
+        if self.raw is not None:
+            return (self.docs, self.target, self.raw)
         return (self.docs, self.target)
 
     def output_names(self) -> Sequence[str]:

@@ -648,6 +648,60 @@ def test_streaming_stupid_backoff_matches_batch(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_dsir_matches_batch(spark, sf_dir):
+    """DSIRWeights raw/score split: the (raw, target) log-ratio table
+    is frozen and broadcast; a STREAM of docs scored against it must
+    drain availableNow to EXACTLY the batch cross-corpus weights —
+    including the raw-unseen-bucket contract (those features drop
+    from n_feats and the weight)."""
+    import shutil
+    import tempfile
+
+    from strom_spark import Flow
+    from strom_spark.operators.textrank import DSIRWeights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    raw = docs.filter(F.col("doc_id") % 3 == 1)
+    target = docs.filter(F.col("doc_id") % 29 == 0)
+    score_rows = docs.filter(F.col("doc_id") % 3 == 0).limit(50)
+    extra = spark.createDataFrame(
+        [(999_999, "zzqxv9 wwvvk3 unseen tokens only")],
+        "doc_id bigint, text string",
+    )
+    d = tempfile.mkdtemp(prefix="strom_dsir_stream_")
+    try:
+        score_rows.unionByName(extra).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(d)
+
+        def weights(df):
+            return DSIRWeights(
+                "docs", "tgt", "w", n_buckets=512, raw="rawc"
+            )(Flow({"docs": df, "tgt": target, "rawc": raw}))["w"]
+
+        out = weights(_read_stream(spark, d))
+        assert out.isStreaming
+        run_available(out, query_name="t_stream_dsir")
+        got = sorted(
+            (r.doc_id, r.n_feats, r.dsir_weight)
+            for r in spark.sql("SELECT * FROM t_stream_dsir").collect()
+        )
+        want = sorted(
+            (r.doc_id, r.n_feats, r.dsir_weight)
+            for r in weights(spark.read.parquet(d)).collect()
+        )
+        assert got == want and len(want) == 51
+        # without a raw corpus a stream must fail loudly
+        with pytest.raises(TypeError, match="batch-only without a `raw`"):
+            DSIRWeights("docs", "tgt", "w")(
+                Flow({"docs": _read_stream(spark, d), "tgt": target})
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_image_phash_matches_batch(spark):
     """ImagePHash is a narrow mapInPandas like MediaFeatures — the same
     component must drain availableNow to EXACTLY the batch hashes
