@@ -213,6 +213,19 @@ def main() -> None:
                 df.count()
                 runs.append(round(time.time() - t0, 3))
             cold[name] = runs[0]
+            # jitter guard (round 8): warm runs of sub-2s queries carry
+            # ±2× stage-scheduling noise under the full bench sequence
+            # (measured: simhash_pairs 1.6s and 3.2s in back-to-back r8
+            # runs, code identical).  When the warm runs disagree by
+            # >1.5×, take ONE extra run — the min over 3 is a far
+            # tighter estimator and the extra cost is bounded by the
+            # noisy queries themselves.
+            if n_warm >= 2 and min(runs[1:]) > 0 and (
+                max(runs[1:]) / min(runs[1:]) > 1.5
+            ):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                runs.append(round(time.time() - t0, 3))
             # headline = warm minimum: steady-state engine time, immune
             # to one-off GC/codegen stalls that poisoned the r5 artifact
             timings[name] = min(runs[1:]) if n_warm else runs[0]
