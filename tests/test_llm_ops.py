@@ -1795,6 +1795,71 @@ def test_capture_loop_plans_sees_iterative_bodies(spark):
     assert planprobe._active is None
 
 
+def test_static_adjacency_no_per_round_edge_shuffle(spark):
+    """The round-8 scale guarantee, pinned at the PLAN level: the
+    iterative graph operators' static edge tables are persisted
+    partitioned on their join keys, so a round body must read them
+    via InMemoryTableScan with NO Exchange between the cache scan and
+    the join (edges shuffle once for the whole run; only node-sized
+    state moves per round).  A refactor back to localCheckpoint (or a
+    lost repartition) reintroduces an edge-sized shuffle EVERY round
+    at 100 TB — this test fails on exactly that."""
+    from strom_spark import Flow, PageRank, capture_loop_plans
+    from strom_spark.operators.graph import ConnectedComponents
+
+    # big-enough synthetic edge list that AQE cannot hide the shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.range(20_000).selectExpr(
+            "CAST(id % 997 AS BIGINT) AS src",
+            "CAST((id * 31) % 1009 + 10000 AS BIGINT) AS dst",
+        ).distinct()
+        with capture_loop_plans() as cap:
+            PageRank("e", "pr", iterations=2)(Flow({"e": edges}))["pr"].count()
+            ConnectedComponents("e2", "cc", max_iterations=2)(
+                Flow({"e2": edges})
+            )["cc"].count()
+
+        def cache_scan_feeds_join_unshuffled(body) -> bool:
+            """True iff some InMemoryTableScan reaches its SMJ/SHJ with
+            no Exchange in between (scan…sort/filter…join only)."""
+            plan = body._jdf.queryExecution().executedPlan().toString()
+            lines = plan.splitlines()
+            for i, line in enumerate(lines):
+                if "InMemoryTableScan" not in line:
+                    continue
+                # walk UP (to lower indentation): the parent chain from
+                # the cache scan to its join must contain no Exchange
+                indent = len(line) - len(line.lstrip(" :+-*("))
+                j = i - 1
+                ok = True
+                cur = indent
+                while j >= 0 and ok:
+                    li = lines[j]
+                    ind = len(li) - len(li.lstrip(" :+-*("))
+                    if ind < cur:
+                        cur = ind
+                        if "Exchange" in li and "Reused" not in li:
+                            ok = False
+                        if "Join" in li:
+                            return ok
+                    j -= 1
+            return False
+
+        pr_body = [d for s, d in cap if s == "PageRank/round"][-1]
+        cc_body = [d for s, d in cap if s == "ConnectedComponents/round"][-1]
+        assert cache_scan_feeds_join_unshuffled(pr_body), (
+            "PageRank round body: the persisted adjacency no longer "
+            "reaches its join without an Exchange"
+        )
+        assert cache_scan_feeds_join_unshuffled(cc_body), (
+            "ConnectedComponents round body: the persisted sym edges no "
+            "longer reach their join without an Exchange"
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_pagerank_requires_batch(spark):
     from strom_spark import Flow, PageRank
 
