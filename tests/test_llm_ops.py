@@ -1795,6 +1795,43 @@ def test_capture_loop_plans_sees_iterative_bodies(spark):
     assert planprobe._active is None
 
 
+def test_loop_body_probe_exposes_hidden_quadratic_join(spark):
+    """End-to-end proof the round-8 gate closes the blindness it was
+    built for: an Iterate whose BODY plans a CartesianProduct is
+    invisible in the post-loop plan once lineage is truncated, but the
+    captured loop-body plan shows it — exactly what the CI sweep
+    (test_topology_dsl.test_no_quadratic_join_sweep) asserts on."""
+    from strom_spark import Flow, capture_loop_plans
+    from strom_spark.operators.loop import Iterate
+
+    df = spark.range(6).selectExpr("id AS v")
+    dim = spark.range(3).selectExpr("id AS d")
+
+    def body(looping):
+        # a quadratic accident: non-equi crossJoin inside the loop
+        return (
+            looping.crossJoin(dim)
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .selectExpr("v + 1 AS v")
+        )
+
+    with capture_loop_plans() as cap:
+        out = Iterate(
+            "s", "o", body=body, exit_when="v >= 6", checkpoint_every=1
+        )(Flow({"s": df}))["o"]
+        out.count()
+    bodies = [d for s, d in cap if s == "Iterate/round"]
+    assert bodies, "Iterate probe did not fire"
+    body_plans = [
+        b._jdf.queryExecution().executedPlan().toString() for b in bodies
+    ]
+    assert any(
+        "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
+        for p in body_plans
+    ), "the quadratic join inside the loop body is not visible to the probe"
+
+
 def test_static_adjacency_no_per_round_edge_shuffle(spark):
     """The round-8 scale guarantee, pinned at the PLAN level: the
     iterative graph operators' static edge tables are persisted
