@@ -41,6 +41,48 @@ def run_available(df: DataFrame, *, format: str = "memory", query_name: str = "o
     return q
 
 
+def transform_per_batch(
+    stream: DataFrame,
+    apply: Callable[[DataFrame], DataFrame],
+    write: "Callable[[DataFrame, int], None]",
+    *,
+    query_name: str = "per_batch",
+    available_now: bool = True,
+    **options,
+) -> StreamingQuery:
+    """Run a BATCH lowering over each micro-batch via ``foreachBatch``
+    — the documented fallback when a frozen-statistics broadcast bound
+    cannot hold (``StupidBackoffLM.max_broadcast_counts``,
+    ``DSIRWeights``' ratio table, ``Decontaminate.
+    max_broadcast_shingles``): each micro-batch arrives as a plain
+    batch DataFrame, ``apply`` runs the full shuffle-join batch
+    lowering on it (web-scale vocab tables join instead of
+    broadcasting), and ``write(result_df, batch_id)`` persists the
+    scored batch.
+
+    Delivery note: ``foreachBatch`` is at-least-once under retry —
+    make ``write`` idempotent (overwrite a batch_id-keyed partition,
+    or dedup downstream on a row key).  ``available_now=True`` drains
+    currently-available input and stops (the ``run_available``
+    discipline); pass False for a continuous query.  A streaming
+    checkpoint location can be passed via ``options``
+    (``checkpointLocation=...``); without one Spark uses a temporary
+    checkpoint, which is fine for drain-once scoring."""
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        write(apply(batch_df), batch_id)
+
+    w = stream.writeStream.foreachBatch(_fn).queryName(query_name).options(
+        **options
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def stop_when(query: StreamingQuery, condition: Callable[[StreamingQuery], bool], poll_s: float = 0.2, timeout_s: float = 60.0) -> None:
     """Poll ``condition(query)`` and stop the query when it holds —
     the generic custom-halt policy hook."""

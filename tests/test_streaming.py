@@ -702,6 +702,60 @@ def test_streaming_dsir_matches_batch(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_transform_per_batch_scores_beyond_broadcast_bound(spark, sf_dir, tmp_path):
+    """The documented escape hatch, as working code: when the train
+    vocabulary exceeds max_broadcast_counts the direct streaming
+    lowering refuses, and transform_per_batch runs the full BATCH
+    join lowering per micro-batch instead — same rows as scoring the
+    whole set in batch."""
+    import shutil
+    import tempfile
+
+    from strom_spark import Flow, StupidBackoffLM
+    from strom_spark.streaming.control import transform_per_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    score_rows = docs.filter(F.col("doc_id") % 3 == 0).limit(30)
+    d = tempfile.mkdtemp(prefix="strom_fb_stream_")
+    out_dir = str(tmp_path / "scored")
+    try:
+        score_rows.coalesce(3).write.mode("overwrite").parquet(d)
+
+        # the direct broadcast lowering refuses at this bound...
+        with pytest.raises(ValueError, match="max_broadcast_counts"):
+            StupidBackoffLM(
+                "docs", "s", id_col="doc_id", text_col="text",
+                train="corpus", max_broadcast_counts=10,
+            )(Flow({"docs": _read_stream(spark, d), "corpus": train}))
+
+        # ...and the per-batch fallback runs the batch join lowering
+        def apply(batch_df):
+            return StupidBackoffLM(
+                "docs", "s", id_col="doc_id", text_col="text", train="corpus"
+            )(Flow({"docs": batch_df, "corpus": train}))["s"]
+
+        transform_per_batch(
+            _read_stream(spark, d),
+            apply,
+            lambda df, bid: df.write.mode("append").parquet(out_dir),
+            query_name="t_fb_score",
+        )
+        got = sorted(
+            (r.doc_id, r.n_tok, r.sb_nll)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.n_tok, r.sb_nll)
+            for r in apply(spark.read.parquet(d)).collect()
+        )
+        assert got == want and len(want) == 30
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_image_phash_matches_batch(spark):
     """ImagePHash is a narrow mapInPandas like MediaFeatures — the same
     component must drain availableNow to EXACTLY the batch hashes
