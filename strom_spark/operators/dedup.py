@@ -998,7 +998,7 @@ class Decontaminate(Component):
                 "Decontaminate: eval shingle set exceeds "
                 f"max_broadcast_shingles={self.max_broadcast_shingles}; "
                 "raise the bound or run the batch join lowering per "
-                "micro-batch via foreachBatch"
+                "micro-batch via streaming.control.transform_per_batch"
             )
         bset = train.sparkSession.sparkContext.broadcast(frozenset(shingles))
         min_overlap = self.min_overlap
@@ -1453,7 +1453,7 @@ class PhraseBlocklist(Component):
                 "PhraseBlocklist: phrase table exceeds "
                 f"max_broadcast_phrases={self.max_broadcast_phrases} on a "
                 "streaming input; raise the bound or run the batch join "
-                "lowering per micro-batch via foreachBatch"
+                "lowering per micro-batch via streaming.control.transform_per_batch"
             )
         by_len: dict[int, frozenset] = {}
         for (ph,) in rows:

@@ -790,7 +790,7 @@ class StupidBackoffLM(Component):
     A STREAMING ``input`` then lowers to zero-shuffle, zero-state
     per-row scoring: the vocab-/bigram-vocab-sized count dicts are
     collected once (bounded by ``max_broadcast_counts`` — raise the
-    bound or score via ``foreachBatch`` if the train vocabulary
+    bound or score via ``streaming.control.transform_per_batch`` if the train vocabulary
     exceeds it), broadcast, and an Arrow-batched pandas UDF replays
     the batch arithmetic per document (same Column-expression
     tokenization, same per-(prev,cur) grouping, same HALF_UP 6-dp
@@ -882,7 +882,7 @@ class StupidBackoffLM(Component):
             raise ValueError(
                 "StupidBackoffLM: train vocabulary exceeds "
                 f"max_broadcast_counts={cap}; raise the bound or run the "
-                "batch join lowering per micro-batch via foreachBatch"
+                "batch join lowering per micro-batch via streaming.control.transform_per_batch"
             )
         u = {r["__t"]: r["__uc"] for r in uc_rows}
         b = {(r["__bp"], r["__bc_t"]): r["__bc"] for r in bc_rows}
