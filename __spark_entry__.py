@@ -2617,6 +2617,56 @@ def minhash_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "intra_doc_line_dedup",
+    r"""
+WITH g AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents
+),
+l AS (
+  SELECT doc_id, lines[i] AS line, i
+  FROM g, unnest(range(1, len(lines) + 1)) t(i)
+),
+f AS (SELECT doc_id, line, min(i) AS p FROM l GROUP BY doc_id, line),
+c AS (
+  SELECT doc_id, count(*) AS nd,
+    coalesce(length(string_agg(line, chr(10) ORDER BY p)), 0) AS cc
+  FROM f GROUP BY doc_id
+)
+SELECT g.doc_id,
+  CAST(len(g.lines) AS BIGINT) AS n_lines,
+  CAST(c.nd AS BIGINT) AS n_distinct_lines,
+  CAST(c.cc AS BIGINT) AS cleaned_chars
+FROM g JOIN c USING (doc_id)
+""",
+)
+def intra_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-LOCAL repeated-line collapse (functions/text.py:
+    collapse_repeated_lines): keep the first occurrence of each
+    distinct line WITHIN a document — the CCNet-style intra-page
+    boilerplate dedup, complementing corpus-level `line_dedup_docs`
+    (lines frequent across documents).  One narrow projection, zero
+    shuffle, zero Python (`array_distinct` preserves first-occurrence
+    order); the oracle replays it positionally (min-pos per line,
+    order-preserving re-join).  Beyond-reference: training-data
+    curation surface.  Per-line both-ways coverage over multi-line
+    corpora is the hypothesis property test (the synthetic corpus is
+    single-line, so every doc is a verified no-op here)."""
+    flow = Flow({"docs": spread(load_table(spark, sf_dir, "documents"))})
+    r = TXT.collapse_repeated_lines("text")
+    out = Transformer(
+        "docs",
+        select={
+            "doc_id": "doc_id",
+            "n_lines": r["n_lines"],
+            "n_distinct_lines": r["n_distinct_lines"],
+            "cleaned_chars": r["cleaned_chars"],
+        },
+    )(flow)
+    return out["docs"]
+
+
+@_q(
     "approx_distinct_users",
     """
 SELECT event_type,

@@ -276,6 +276,30 @@ def c4_rules(col: "Column | str") -> dict[str, Column]:
     }
 
 
+def collapse_repeated_lines(col: "Column | str") -> dict[str, Column]:
+    """Intra-document repeated-line collapse — the page-LOCAL
+    boilerplate dedup (CCNet-style: nav menus, footers, cookie
+    banners repeated within one page), complementing the corpus-level
+    :class:`LineDedup` (which drops lines frequent ACROSS documents):
+    keep the FIRST occurrence of each distinct line, preserving
+    order.  Pure Column expressions — ``array_distinct`` keeps
+    first-occurrence order, so the whole collapse is one narrow
+    projection, zero shuffle, zero Python.
+
+    Returns ``n_lines``, ``n_distinct_lines``, ``cleaned_chars`` and
+    ``cleaned_text`` (the collapsed document, newline-joined)."""
+    c = F.coalesce(_c(col), F.lit(""))
+    lines = F.split(c, "\n")
+    distinct = F.array_distinct(lines)
+    cleaned = F.array_join(distinct, "\n")
+    return {
+        "n_lines": F.size(lines).cast("bigint"),
+        "n_distinct_lines": F.size(distinct).cast("bigint"),
+        "cleaned_chars": F.length(cleaned).cast("bigint"),
+        "cleaned_text": cleaned,
+    }
+
+
 #: the 8 canonical Gopher stop words (Rae et al. 2021, A1.1)
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 

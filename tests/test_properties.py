@@ -516,3 +516,44 @@ def test_c4_rules_match_python_replay(spark, docs):
             n_sent >= 3 and not has_lorem and not has_brace
         )
         assert out.loc[i, "kept_text"] == kept_text
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["home", "about us", "contact", "body text one",
+                             "body text two", "", "  spaced  "]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@SET
+def test_collapse_repeated_lines_matches_python_replay(spark, docs):
+    """collapse_repeated_lines over random multi-line docs == the
+    order-preserving first-occurrence dedup (dict.fromkeys) — the
+    benchmark corpus is single-line (all no-ops), so this is where
+    repeated nav/footer lines, empty lines, and whitespace-distinct
+    lines are exercised."""
+    from strom_spark.functions.text import collapse_repeated_lines
+
+    rows = [
+        {"doc_id": i, "text": "\n".join(lines)} for i, lines in enumerate(docs)
+    ]
+    r = collapse_repeated_lines("text")
+    out = (
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+        .select("doc_id", *[r[k].alias(k) for k in r])
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for i, lines in enumerate(docs):
+        split_lines = "\n".join(lines).split("\n")  # Spark split semantics
+        kept = list(dict.fromkeys(split_lines))
+        cleaned = "\n".join(kept)
+        assert out.loc[i, "n_lines"] == len(split_lines)
+        assert out.loc[i, "n_distinct_lines"] == len(kept)
+        assert out.loc[i, "cleaned_chars"] == len(cleaned)
+        assert out.loc[i, "cleaned_text"] == cleaned
