@@ -2616,6 +2616,121 @@ def minhash_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_rep_oracle() -> str:
+    """Monolithic DuckDB replica of functions/text.py:
+    gopher_repetition_stats — generated programmatically: one gram/
+    count/top or gram/count/dup-cover CTE chain per n, sharing the
+    _NORM_DOCS tokenization.  All divisions CAST to DOUBLE (int/int is
+    the identical IEEE op both engines); flags evaluate on the
+    ROUNDED fractions, matching the Spark side exactly."""
+    from strom_spark.functions.text import GOPHER_REPETITION_THRESHOLDS as THR
+
+    parts = [
+        "lf AS (SELECT doc_id, line, count(*) AS c "
+        "FROM s, unnest(string_split(t, chr(10))) u(line) GROUP BY 1, 2)",
+        "lfa AS (SELECT doc_id, "
+        "CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dlf, "
+        "CAST(sum((c - 1) * length(line)) AS DOUBLE) "
+        "/ greatest(sum(c * length(line)), 1) AS dlcf "
+        "FROM lf GROUP BY 1)",
+        "pf AS (SELECT doc_id, para, count(*) AS c "
+        "FROM s, unnest(string_split(t, chr(10) || chr(10))) u(para) "
+        "GROUP BY 1, 2)",
+        "pfa AS (SELECT doc_id, "
+        "CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dpf, "
+        "CAST(sum((c - 1) * length(para)) AS DOUBLE) "
+        "/ greatest(sum(c * length(para)), 1) AS dpcf "
+        "FROM pf GROUP BY 1)",
+        "toksf AS (SELECT doc_id, list_filter(w, x -> x != '') AS w FROM toks)",
+        "tch AS (SELECT doc_id, "
+        "coalesce(length(array_to_string(w, '')), 0) AS tc FROM toksf)",
+    ]
+    for n in range(2, 11):
+        parts.append(
+            f"g{n} AS MATERIALIZED (SELECT doc_id, p.p AS p, "
+            f"array_to_string(w[p.p + 1 : p.p + {n}], ' ') AS g "
+            f"FROM toksf, unnest(range(0, greatest(len(w) - {n} + 1, 0))) p(p))"
+        )
+        parts.append(
+            f"c{n} AS MATERIALIZED "
+            f"(SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY 1, 2)"
+        )
+    for n in (2, 3, 4):
+        parts.append(
+            f"t{n} AS (SELECT doc_id, "
+            f"CAST(c * (length(g) - {n - 1}) AS DOUBLE) AS topch "
+            f"FROM (SELECT doc_id, c, g, row_number() OVER "
+            f"(PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c{n}) "
+            f"WHERE rn = 1)"
+        )
+    for n in range(5, 11):
+        parts.append(
+            f"dp{n} AS (SELECT DISTINCT g.doc_id, g.p + o.off AS tp "
+            f"FROM g{n} g, c{n} c, unnest(range(0, {n})) o(off) "
+            f"WHERE g.doc_id = c.doc_id AND g.g = c.g AND c.c > 1)"
+        )
+        parts.append(
+            f"dc{n} AS (SELECT d.doc_id, "
+            f"CAST(sum(length(t.w[d.tp + 1])) AS DOUBLE) AS dch "
+            f"FROM dp{n} d JOIN toksf t USING (doc_id) GROUP BY 1)"
+        )
+    frac_exprs = {
+        "dup_line_frac": "round(coalesce(l.dlf, 0), 6)",
+        "dup_line_char_frac": "round(coalesce(l.dlcf, 0), 6)",
+        "dup_para_frac": "round(coalesce(pp.dpf, 0), 6)",
+        "dup_para_char_frac": "round(coalesce(pp.dpcf, 0), 6)",
+        **{
+            f"top_{n}_gram_char_frac":
+            f"round(coalesce(t{n}.topch, 0) / greatest(tch.tc, 1), 6)"
+            for n in (2, 3, 4)
+        },
+        **{
+            f"dup_{n}_gram_char_frac":
+            f"round(coalesce(dc{n}.dch, 0) / greatest(tch.tc, 1), 6)"
+            for n in range(5, 11)
+        },
+    }
+    passed = " + ".join(
+        f"CAST({frac_exprs[k]} <= {thr} AS INT)" for k, thr in THR.items()
+    )
+    sel = ",\n  ".join(f"{e} AS {k}" for k, e in frac_exprs.items())
+    joins = (
+        "FROM s LEFT JOIN lfa l USING (doc_id) "
+        "LEFT JOIN pfa pp USING (doc_id) "
+        "JOIN tch USING (doc_id) "
+        + " ".join(f"LEFT JOIN t{n} USING (doc_id)" for n in (2, 3, 4))
+        + " "
+        + " ".join(f"LEFT JOIN dc{n} USING (doc_id)" for n in range(5, 11))
+    )
+    return (
+        f"WITH {_NORM_DOCS},\n"
+        "s AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),\n"
+        + ",\n".join(parts)
+        + f"\nSELECT s.doc_id,\n  {sel},\n"
+        f"  CAST({passed} AS BIGINT) AS n_rules_passed,\n"
+        f"  CAST(({passed}) = {len(THR)} AS BIGINT) AS repetition_pass\n"
+        f"{joins}"
+    )
+
+
+@_q("gopher_repetition_flags", _gopher_rep_oracle())
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete published Gopher REPETITION rule set (Rae et al.
+    2021 Table A1; functions/text.py:gopher_repetition_stats) per
+    document: duplicate line/paragraph fractions (count + character
+    forms), top-{2,3,4}-gram character fractions, and the
+    overlap-guarded duplicate-{5..10}-gram character fractions (the
+    SubstringDedup covered-position discipline), with the paper's 13
+    thresholds folded into n_rules_passed + repetition_pass.
+    Completes the Gopher pair: `gopher_quality_flags` is A1.1, this
+    is A1's repetition half — together the full published gate.  All
+    nine n-gram sizes ride ONE exploded (doc, n, pos, gram) pipeline;
+    every shuffle keys on (doc, …).  Beyond-reference: training-data
+    curation surface."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return TXT.gopher_repetition_stats(docs, "doc_id", "text")
+
+
 @_q(
     "intra_doc_line_dedup",
     r"""

@@ -127,6 +127,7 @@ HEADLINE = [
     "minhash_recall_floor",
     "c4_quality_flags",
     "intra_doc_line_dedup",
+    "gopher_repetition_flags",
     # round 7: published Gopher quality gates, pure Column HOFs —
     # TOTAL covers 57 from here
     "gopher_quality_flags",

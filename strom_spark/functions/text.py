@@ -420,6 +420,235 @@ def kgrams_of_tokens(t: Column, k: int) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
 
 
+#: the published Gopher repetition thresholds (Rae et al. 2021, Table
+#: A1): a document PASSES a rule when its fraction is <= the bound
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2_gram_char_frac": 0.20,
+    "top_3_gram_char_frac": 0.18,
+    "top_4_gram_char_frac": 0.16,
+    "dup_5_gram_char_frac": 0.15,
+    "dup_6_gram_char_frac": 0.14,
+    "dup_7_gram_char_frac": 0.13,
+    "dup_8_gram_char_frac": 0.12,
+    "dup_9_gram_char_frac": 0.11,
+    "dup_10_gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_stats(df, id_col: str, text_col: str):
+    """The complete published Gopher REPETITION rule set (Rae et al.
+    2021, "Scaling Language Models", Table A1 — the 13 repetitious-
+    text filters that complement the A1.1 quality rules in
+    :func:`gopher_rules`), per document:
+
+      * ``dup_line_frac`` / ``dup_para_frac`` — fraction of lines /
+        paragraphs ('\\n' / '\\n\\n' separated) that are repeats of an
+        earlier one: ``(n − n_distinct) / n``;
+      * ``dup_line_char_frac`` / ``dup_para_char_frac`` — fraction of
+        line/paragraph characters inside occurrences BEYOND the first
+        of each distinct value: ``Σ (c−1)·len / Σ c·len``;
+      * ``top_{2,3,4}_gram_char_frac`` — characters covered by the
+        most frequent n-gram over total token characters:
+        ``c_top · charlen(top) / Σ len(token)`` (ties break to the
+        lexicographically smallest gram — deterministic, engine-
+        portable); charlen counts token characters only (gram length
+        minus its n−1 separators).  Faithful-to-paper quirk: the
+        published recipe does NOT de-overlap the top family (only the
+        dup family is overlap-guarded), so a degenerate
+        ``spam spam spam…`` doc scores > 1 here — exactly what public
+        reimplementations compute, and far beyond every threshold
+        either way;
+      * ``dup_{5..10}_gram_char_frac`` — characters of token
+        POSITIONS covered by any n-gram occurring more than once,
+        over total token characters — overlapping occurrences count
+        each position once (the paper's "taking care not to count
+        characters … more than once"; the SubstringDedup
+        covered-position discipline).
+
+    Emits every fraction (rounded 6 dp — int/int divisions, engine-
+    exact), ``n_rules_passed`` against the published thresholds
+    (``GOPHER_REPETITION_THRESHOLDS``) and the all-rules
+    ``repetition_pass`` gate.
+
+    Plan shape: lines/paragraphs are two keyed (doc, value)
+    aggregates; ALL NINE n-gram sizes ride ONE exploded (doc, n, pos,
+    gram) pipeline (n joins the explode as a column — no nine-fold
+    scan), one keyed count, a pivot per family; covered positions
+    explode+distinct exactly like SubstringDedup.  Every shuffle keys
+    on (doc, …) — linear in corpus tokens at any scale."""
+    from pyspark.sql import DataFrame  # noqa: F401 — signature doc
+
+    slim = df.select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    )
+    ids = slim.select("__id").distinct()
+
+    def _family(sep: str, prefix: str) -> DataFrame:
+        vals = slim.select(
+            "__id", F.explode(F.split("__t", sep)).alias("__v")
+        )
+        per = vals.groupBy("__id", "__v").agg(F.count(F.lit(1)).alias("__c"))
+        return per.groupBy("__id").agg(
+            (
+                (F.sum("__c") - F.count(F.lit(1)))
+                / F.sum("__c")
+            ).alias(f"{prefix}_frac_raw"),
+            (
+                F.sum((F.col("__c") - 1) * F.length("__v"))
+                / F.greatest(
+                    F.sum(F.col("__c") * F.length("__v")), F.lit(1)
+                )
+            ).alias(f"{prefix}_char_frac_raw"),
+        )
+
+    lines = _family("\n", "dup_line")
+    paras = _family("\n\n", "dup_para")
+
+    toks = slim.select(
+        "__id",
+        F.filter(tokens("__t"), lambda x: x != F.lit("")).alias("__w"),
+    )
+    tchars = toks.select(
+        "__id",
+        F.aggregate(
+            "__w", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("__tc"),
+    )
+    poslen = toks.select(
+        "__id", F.posexplode("__w").alias("__tp", "__tok")
+    ).select("__id", "__tp", F.length("__tok").alias("__len"))
+
+    # ONE (doc, n, pos, gram) pipeline for all nine n values
+    wn = toks.select(
+        "__id",
+        "__w",
+        F.explode(F.array(*[F.lit(n) for n in range(2, 11)])).alias("__nn"),
+    ).filter(F.size("__w") >= F.col("__nn"))
+    grams = wn.select(
+        "__id",
+        "__nn",
+        F.explode(
+            F.sequence(F.lit(0), F.size("__w") - F.col("__nn"))
+        ).alias("__p"),
+        "__w",
+    ).select(
+        "__id",
+        "__nn",
+        "__p",
+        F.array_join(
+            F.slice("__w", F.col("__p") + 1, F.col("__nn")), " "
+        ).alias("__g"),
+    )
+    gcnt = grams.groupBy("__id", "__nn", "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+
+    # top family (n = 2..4): min(struct(-c, g)) == ORDER BY c DESC, g
+    top = (
+        gcnt.filter(F.col("__nn") <= 4)
+        .groupBy("__id", "__nn")
+        .agg(
+            F.min(
+                F.struct((-F.col("__c")).alias("nc"), F.col("__g").alias("g"))
+            ).alias("__top")
+        )
+        .select(
+            "__id",
+            "__nn",
+            (
+                (-F.col("__top.nc"))
+                * (F.length("__top.g") - (F.col("__nn") - 1))
+            ).alias("__topch"),
+        )
+        .groupBy("__id")
+        .pivot("__nn", [2, 3, 4])
+        .agg(F.first("__topch"))
+        .select(
+            "__id",
+            *[F.col(str(n)).alias(f"__top{n}") for n in (2, 3, 4)],
+        )
+    )
+
+    # dup family (n = 5..10): covered token positions of repeated grams
+    dup_pos = (
+        grams.filter(F.col("__nn") >= 5)
+        .join(
+            gcnt.filter((F.col("__nn") >= 5) & (F.col("__c") > 1)).select(
+                "__id", "__nn", "__g"
+            ),
+            ["__id", "__nn", "__g"],
+        )
+        .select(
+            "__id",
+            "__nn",
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__p") + F.col("__nn") - 1)
+            ).alias("__tp"),
+        )
+        .distinct()
+    )
+    dup = (
+        dup_pos.join(poslen, ["__id", "__tp"])
+        .groupBy("__id", "__nn")
+        .agg(F.sum("__len").alias("__dch"))
+        .groupBy("__id")
+        .pivot("__nn", list(range(5, 11)))
+        .agg(F.first("__dch"))
+        .select(
+            "__id",
+            *[F.col(str(n)).alias(f"__dup{n}") for n in range(5, 11)],
+        )
+    )
+
+    joined = (
+        ids.join(lines, "__id", "left")
+        .join(paras, "__id", "left")
+        .join(tchars, "__id", "left")
+        .join(top, "__id", "left")
+        .join(dup, "__id", "left")
+    )
+    tc = F.greatest(F.coalesce("__tc", F.lit(0)), F.lit(1))
+    fracs = {
+        "dup_line_frac": F.coalesce("dup_line_frac_raw", F.lit(0.0)),
+        "dup_line_char_frac": F.coalesce("dup_line_char_frac_raw", F.lit(0.0)),
+        "dup_para_frac": F.coalesce("dup_para_frac_raw", F.lit(0.0)),
+        "dup_para_char_frac": F.coalesce("dup_para_char_frac_raw", F.lit(0.0)),
+        **{
+            f"top_{n}_gram_char_frac": F.coalesce(
+                F.col(f"__top{n}") / tc, F.lit(0.0)
+            )
+            for n in (2, 3, 4)
+        },
+        **{
+            f"dup_{n}_gram_char_frac": F.coalesce(
+                F.col(f"__dup{n}") / tc, F.lit(0.0)
+            )
+            for n in range(5, 11)
+        },
+    }
+    rounded = {
+        k: F.round(v, 6).cast("decimal(18,6)").cast("double")
+        for k, v in fracs.items()
+    }
+    passed = None
+    for k, thr in GOPHER_REPETITION_THRESHOLDS.items():
+        flag = (rounded[k] <= F.lit(thr)).cast("int")
+        passed = flag if passed is None else passed + flag
+    return joined.select(
+        F.col("__id").alias(id_col),
+        *[v.alias(k) for k, v in rounded.items()],
+        passed.cast("bigint").alias("n_rules_passed"),
+        (passed == len(GOPHER_REPETITION_THRESHOLDS))
+        .cast("bigint")
+        .alias("repetition_pass"),
+    )
+
+
 def repetition_stats(df, id_col: str, text_col: str, k: int = 3):
     """Gopher-style repetition signal per document: ``rep_ratio`` =
     occurrences of the single most frequent k-gram / total k-gram

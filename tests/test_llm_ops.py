@@ -1257,6 +1257,56 @@ def test_c4_rules_each_rule_both_ways(spark):
         assert rows[i]["kept_text"] == ""
 
 
+def test_gopher_repetition_stats_hand_computed(spark):
+    """gopher_repetition_stats (Rae et al. 2021 Table A1): every
+    family checked against hand-computed fractions — dup lines (count
+    + char forms), dup paragraphs, top-n-gram char fractions
+    (including the faithful-to-paper >1 on overlapping repeats), and
+    the overlap-guarded dup-n-gram covered-position fractions."""
+    from strom_spark.functions.text import gopher_repetition_stats
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "menu\nmenu\nmenu\nbody text here\nfooter\nfooter"),
+        (3, "spam spam spam spam spam spam"),
+        (4, "one two three four five six one two three four five six extra"),
+        (5, ""),
+        (6, None),
+        (7, "para one here\n\npara one here\n\npara two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = (
+        gopher_repetition_stats(df, "doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 2: lines menu×3 / body×1 / footer×2 → (6-3)/6; chars (2·4 +
+    # 1·6) / (3·4 + 14 + 2·6)
+    assert out.loc[2, "dup_line_frac"] == 0.5
+    assert out.loc[2, "dup_line_char_frac"] == round(14 / 38, 6)
+    # doc 3: top 2-gram "spam spam" c=5, token-chars 8, tc=24 → >1
+    # (the paper's un-de-overlapped top family); dup-5-gram covers all
+    # six positions exactly once
+    assert out.loc[3, "top_2_gram_char_frac"] == round(40 / 24, 6)
+    assert out.loc[3, "dup_5_gram_char_frac"] == 1.0
+    assert out.loc[3, "repetition_pass"] == 0
+    # doc 4: the repeated 6-token span covers 12 of 13 positions →
+    # 44 of 49 token chars, for BOTH n=5 and n=6
+    assert out.loc[4, "dup_5_gram_char_frac"] == round(44 / 49, 6)
+    assert out.loc[4, "dup_6_gram_char_frac"] == round(44 / 49, 6)
+    # doc 7: paragraphs 'para one here'×2 + 'para two' → (3-2)/3;
+    # chars 13 / (2·13 + 8)
+    assert out.loc[7, "dup_para_frac"] == round(1 / 3, 6)
+    assert out.loc[7, "dup_para_char_frac"] == round(13 / 34, 6)
+    # clean doc 1: all dup fractions 0; empty/null docs pass all 13
+    assert out.loc[1, "dup_line_frac"] == 0.0
+    assert out.loc[1, "dup_5_gram_char_frac"] == 0.0
+    for i in (5, 6):
+        assert out.loc[i, "repetition_pass"] == 1
+        assert out.loc[i, "n_rules_passed"] == 13
+
+
 def test_gopher_rules_each_rule_both_ways(spark):
     """gopher_rules (Rae et al. 2021 A1.1): a handcrafted corpus where
     each rule fails in exactly one doc while a baseline doc passes all
