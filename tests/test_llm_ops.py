@@ -1305,6 +1305,15 @@ def test_gopher_repetition_stats_hand_computed(spark):
     for i in (5, 6):
         assert out.loc[i, "repetition_pass"] == 1
         assert out.loc[i, "n_rules_passed"] == 13
+    # the >= persist_min_rows branch (100 TB pinned-subtree path) is
+    # bit-identical to the small-corpus unpinned path
+    forced = (
+        gopher_repetition_stats(df, "doc_id", "text", persist_min_rows=1)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.equals(forced)
 
 
 def test_gopher_rules_each_rule_both_ways(spark):
