@@ -1162,6 +1162,89 @@ def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "fineweb_quality_flags",
+    r"""
+WITH l AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
+  FROM documents
+),
+lc AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS len,
+    CAST(ends_with(trim(line), '.') OR ends_with(trim(line), '!')
+      OR ends_with(trim(line), '?') OR ends_with(trim(line), '"') AS INT) AS is_punct,
+    CAST(length(line) < 30 AS INT) AS is_short
+  FROM l GROUP BY doc_id, line
+),
+m AS (
+  SELECT doc_id,
+    sum(c) AS n_lines,
+    greatest(sum(c), 1) AS sn,
+    sum(c * is_punct) AS n_punct,
+    sum(c * is_short) AS n_short,
+    sum(c * len) AS total_chars,
+    sum(CASE WHEN c >= 2 THEN c * len ELSE 0 END) AS dup_chars
+  FROM lc GROUP BY doc_id
+),
+f AS (
+  SELECT doc_id, n_lines,
+    n_punct / sn AS punct_ratio,
+    dup_chars / greatest(total_chars, 1) AS dup_frac,
+    n_short / sn AS short_ratio
+  FROM m
+)
+SELECT doc_id,
+  CAST(punct_ratio > 0.12 AS BIGINT) AS r_line_punct,
+  CAST(dup_frac < 0.1 AS BIGINT) AS r_dup_line_chars,
+  CAST(short_ratio < 0.67 AS BIGINT) AS r_short_lines,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  round(punct_ratio, 6) AS line_punct_ratio,
+  round(dup_frac, 6) AS dup_line_char_frac,
+  round(short_ratio, 6) AS short_line_ratio,
+  CAST(CAST(punct_ratio > 0.12 AS INT) + CAST(dup_frac < 0.1 AS INT)
+       + CAST(short_ratio < 0.67 AS INT) AS BIGINT) AS n_rules_passed,
+  CAST(punct_ratio > 0.12 AND dup_frac < 0.1 AND short_ratio < 0.67 AS BIGINT) AS fineweb_keep
+FROM f
+""",
+)
+def fineweb_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three published FineWeb custom filters (Penedo et al. 2024
+    §3.6; functions/text.py:fineweb_rules) per document:
+    terminal-punctuation line fraction, duplicated-line char fraction,
+    short-line fraction — the gates FineWeb adds on top of its
+    Gopher/C4 baseline.  Pure Column HOFs: the duplicated-line scan is
+    array_sort + sorted-neighbor equality INSIDE the row (zero
+    shuffle), where the oracle uses a per-(doc,line) GROUP BY — two
+    shapes, same counts.  Every ratio is long/long IEEE division, so
+    flags hash-match cross-engine without tolerance.
+
+    Corpus note: the SYNTHETIC testdata is single-line docs with no
+    terminal punctuation, so r_line_punct = 0 and fineweb_keep = 0 for
+    every doc by construction (the paper's rules target multi-line web
+    pages); the driver row certifies the ratio arithmetic via
+    short_line_ratio/n_lines variation, and per-rule both-ways
+    coverage is in tests/test_llm_ops.py over a handcrafted corpus.
+    Beyond-reference: training-data curation surface."""
+    flow = Flow({"docs": spread(load_table(spark, sf_dir, "documents"))})
+    fw = TXT.fineweb_rules("text")
+    out = Transformer(
+        "docs",
+        select={
+            "doc_id": "doc_id",
+            "r_line_punct": fw["r_line_punct"],
+            "r_dup_line_chars": fw["r_dup_line_chars"],
+            "r_short_lines": fw["r_short_lines"],
+            "n_lines": fw["n_lines"],
+            "line_punct_ratio": fw["line_punct_ratio"],
+            "dup_line_char_frac": fw["dup_line_char_frac"],
+            "short_line_ratio": fw["short_line_ratio"],
+            "n_rules_passed": fw["n_rules_passed"],
+            "fineweb_keep": fw["fineweb_keep"],
+        },
+    )(flow)
+    return out["docs"]
+
+
+@_q(
     "langid_counts",
     f"""
 WITH {_NORM_DOCS},

@@ -126,6 +126,7 @@ HEADLINE = [
     "lsh_recall_floor",
     "minhash_recall_floor",
     "c4_quality_flags",
+    "fineweb_quality_flags",
     "intra_doc_line_dedup",
     "gopher_repetition_flags",
     # round 7: published Gopher quality gates, pure Column HOFs —

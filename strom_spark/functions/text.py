@@ -369,6 +369,81 @@ def gopher_rules(col: "Column | str") -> dict[str, Column]:
     return out
 
 
+def fineweb_rules(col: "Column | str") -> dict[str, Column]:
+    """The three published FineWeb custom filters (Penedo et al. 2024,
+    "The FineWeb Datasets", §3.6 — the rules FineWeb adds ON TOP of
+    its Gopher/C4 baseline, selected there for the largest measured
+    downstream win), as pure Column expressions (JVM codegen, zero
+    Python, zero shuffle).  A document is DROPPED when any of:
+
+      1. fraction of lines ending in terminal punctuation
+         ('.', '!', '?', '"') is <= 0.12
+      2. fraction of characters in duplicated lines (line occurrences
+         whose exact text appears >= 2 times in the document) is
+         >= 0.1
+      3. fraction of lines shorter than 30 characters is >= 0.67
+
+    Lines are ``split(text, '\\n')`` (empty lines count, matching the
+    published per-line accounting); the punctuation check trims the
+    line first, the length check uses the raw line.  Duplicated-line
+    chars are found without any shuffle: ``array_sort`` the line list
+    and keep occurrences equal to a sorted neighbor (``F.get`` is
+    0-based and NULL out-of-bounds, so the ends need no guard) —
+    O(L log L) per document inside one narrow projection.
+
+    Every ratio is the same long/long IEEE division in any engine, so
+    the flags hash-match cross-engine without tolerance.  Returns the
+    audit ratios (rounded 6dp), per-rule flags, the passed count, and
+    the combined ``fineweb_keep`` gate.
+
+    Compose after :func:`gopher_rules` / :func:`c4_rules` the way the
+    published pipeline does; corpus-level dedup stays with the
+    dedicated operators (operators/dedup.py)."""
+    c = F.coalesce(_c(col), F.lit(""))
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1))
+
+    def _terminal(l):  # noqa: E743 — same trim discipline as c4_rules
+        t = F.trim(l)
+        return t.endswith(".") | t.endswith("!") | t.endswith("?") | t.endswith('"')
+
+    n_punct_lines = F.size(F.filter(lines, _terminal))
+    n_short_lines = F.size(F.filter(lines, lambda l: F.length(l) < 30))
+
+    srt = F.array_sort(lines)
+    dup_occ = F.filter(
+        srt,
+        lambda x, i: (x == F.get(srt, i - 1)) | (x == F.get(srt, i + 1)),
+    )
+    chars_of = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    total_chars = chars_of(lines)
+    dup_chars = chars_of(dup_occ)
+
+    punct_ratio = n_punct_lines / safe_lines
+    short_ratio = n_short_lines / safe_lines
+    dup_frac = dup_chars / F.greatest(total_chars, F.lit(1))
+    flags = {
+        "r_line_punct": punct_ratio > 0.12,
+        "r_dup_line_chars": dup_frac < 0.1,
+        "r_short_lines": short_ratio < 0.67,
+    }
+    passed = sum(
+        (v.cast("int") for v in list(flags.values())[1:]),
+        list(flags.values())[0].cast("int"),
+    )
+    out = {k: v.cast("bigint") for k, v in flags.items()}
+    out["n_lines"] = n_lines.cast("bigint")
+    out["line_punct_ratio"] = F.round(punct_ratio, 6).cast("double")
+    out["dup_line_char_frac"] = F.round(dup_frac, 6).cast("double")
+    out["short_line_ratio"] = F.round(short_ratio, 6).cast("double")
+    out["n_rules_passed"] = passed.cast("bigint")
+    out["fineweb_keep"] = (passed == len(flags)).cast("bigint")
+    return out
+
+
 #: PII patterns — conservative subset whose regex semantics are
 #: identical under Java regex (Spark) and RE2 (DuckDB): no backrefs,
 #: no lookaround, explicit character classes only.

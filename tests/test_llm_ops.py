@@ -1257,6 +1257,52 @@ def test_c4_rules_each_rule_both_ways(spark):
         assert rows[i]["kept_text"] == ""
 
 
+def test_fineweb_rules_each_rule_both_ways(spark):
+    """fineweb_rules (Penedo et al. 2024 §3.6): each of the three
+    FineWeb custom filters fails in exactly one handcrafted doc while
+    a baseline doc passes all three, and the duplicated-line char
+    fraction matches a hand-computed value (the sorted-neighbor scan
+    must count EVERY occurrence of a repeated line, not n-1)."""
+    from strom_spark.functions.text import fineweb_rules
+
+    long_a = "this long line ends with terminal punctuation mark."  # 52
+    long_b = "another long line that also ends with a full stop."
+    long_c = "a third long distinct line closing with a period too."
+    nopunct = "this long line has no terminal punctuation at its end"
+    docs = [
+        # baseline: all three pass
+        {"doc_id": 1, "text": "\n".join([long_a, long_b, long_c])},
+        # fails only r_line_punct (ratio 0 <= 0.12)
+        {"doc_id": 2, "text": "\n".join([nopunct, nopunct + " xx", nopunct + " yy"])},
+        # fails only r_dup_line_chars: long_a twice -> 104/155 >= 0.1
+        {"doc_id": 3, "text": "\n".join([long_a, long_a, long_b])},
+        # fails only r_short_lines: 3/3 short but all punctuated
+        {"doc_id": 4, "text": "short one.\nshort two.\nshort three."},
+        {"doc_id": 5, "text": ""},
+        {"doc_id": 6, "text": None},
+    ]
+    fw = fineweb_rules("text")
+    rows = {
+        r["doc_id"]: r
+        for r in spark.createDataFrame(
+            docs, "doc_id bigint, text string"
+        ).select("doc_id", *[fw[k].alias(k) for k in fw]).collect()
+    }
+    assert rows[1]["fineweb_keep"] == 1 and rows[1]["n_rules_passed"] == 3
+    assert rows[2]["r_line_punct"] == 0 and rows[2]["n_rules_passed"] == 2
+    assert rows[3]["r_dup_line_chars"] == 0 and rows[3]["n_rules_passed"] == 2
+    # both occurrences of the duplicated line count toward dup chars
+    assert rows[3]["dup_line_char_frac"] == round(
+        2 * len(long_a) / (2 * len(long_a) + len(long_b)), 6
+    )
+    assert rows[4]["r_short_lines"] == 0 and rows[4]["short_line_ratio"] == 1.0
+    assert rows[4]["r_line_punct"] == 1 and rows[4]["n_rules_passed"] == 2
+    # empty/null: one empty line -> punct+short fail, dup passes (0 chars)
+    for i in (5, 6):
+        assert rows[i]["n_lines"] == 1 and rows[i]["n_rules_passed"] == 1
+        assert rows[i]["r_dup_line_chars"] == 1 and rows[i]["fineweb_keep"] == 0
+
+
 def test_gopher_repetition_stats_hand_computed(spark):
     """gopher_repetition_stats (Rae et al. 2021 Table A1): every
     family checked against hand-computed fractions — dup lines (count
