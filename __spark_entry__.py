@@ -4700,6 +4700,85 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "hybrid_rrf_search",
+    rf"""
+WITH {_NORM_DOCS},
+tw AS (SELECT doc_id, list_filter(w, x -> x != '') AS w FROM toks),
+stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM tw),
+tf AS (
+  SELECT doc_id, dl, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM tw)
+  WHERE t IN ('spark', 'window', 'merge')
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+    round(
+      ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)),
+      6) AS c
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+),
+bm AS (
+  SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS s
+  FROM contrib GROUP BY doc_id
+),
+bmr AS (SELECT doc_id, row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rank FROM bm),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cs AS (
+  SELECT vec_id AS doc_id, round(list_cosine_similarity(qv, embedding::DOUBLE[]), 6) AS s
+  FROM embeddings CROSS JOIN q WHERE vec_id != 0
+),
+csr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank FROM cs),
+lists AS (
+  SELECT doc_id, rank FROM bmr WHERE rank <= 20
+  UNION ALL
+  SELECT doc_id, rank FROM csr WHERE rank <= 20
+)
+SELECT doc_id,
+  CAST(SUM(CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(18,6))) AS DOUBLE) AS rrf_score,
+  count(*) AS n_lists,
+  min(rank) AS best_rank
+FROM lists GROUP BY doc_id
+""",
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: Reciprocal Rank Fusion (Cormack et al. 2009;
+    operators/similarity.py:RRFFusion) of a lexical BM25 ranking over
+    ``documents.text`` and a dense cosine ranking of ``embeddings``
+    against one query vector (vec_id 0; ids align 1:1 with doc_id) —
+    the standard two-tower retrieval stack fused without score
+    calibration, because only RANKS enter ``sum(1/(60+rank))``.
+
+    Scale shape: each list is cut to top-20 by a distributed
+    TakeOrderedAndProject (per-partition top-k + k-row merge — no
+    global sort), so the ranking window and the fusion group-by only
+    ever see <= 2×20 rows regardless of corpus size; the BM25 side
+    carries its adjudicated 1-row stat attach and the cosine side the
+    guard-bounded single-query broadcast scan (same bounds as
+    bm25_search / knn_topk).  Contributions are rounded 6dp and summed
+    as DECIMAL so the fused score is shuffle-order independent.
+    Beyond-reference: retrieval surface for RAG-style data pipelines."""
+    from strom_spark import BM25Score, RRFFusion
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = BM25Score(
+        "docs", "bm", id_col="doc_id", text_col="text",
+        terms=["spark", "window", "merge"],
+    )(Flow({"docs": docs}))["bm"]
+    vec = CosineTopK(
+        "corpus", "queries", "vec", k=20,
+    )(Flow({"corpus": emb, "queries": emb.filter(F.col("vec_id") == 0)}))["vec"]
+    vec = vec.select(F.col("neighbor_id").alias("doc_id"), "cosine")
+    return RRFFusion(
+        ["bm", "vec"], "fused",
+        id_col="doc_id", score_cols=["bm25", "cosine"], k0=60, per_list_k=20,
+    )(Flow({"bm": bm, "vec": vec}))["fused"]
+
+
+@_q(
     "tfidf_top_terms",
     rf"""
 WITH {_NORM_DOCS},

@@ -76,6 +76,7 @@ HEADLINE = [
     "range_join_windows",
     "range_join_overlap",
     "bm25_search",
+    "hybrid_rrf_search",
     "value_quantiles",
     # round-4 additions: skew-salted fact join; sign-LSH near-dup
     # pairs (GEMM signatures); the full curation pipeline composite —

@@ -50,7 +50,7 @@ from .operators.dedup import (
     EmbeddingNearDupPairs,
     SemDeDup,
 )
-from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, ivf_search
+from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, RRFFusion, ivf_search
 from .operators.asof import AsofJoin
 from .operators.rangejoin import RangeJoin
 from .operators.textrank import (
@@ -149,6 +149,7 @@ __all__ = [
     "EmbeddingNearDupPairs",
     "SemDeDup",
     "CosineTopK",
+    "RRFFusion",
     "CosineLSHJoin",
     "IVFTopK",
     "IVFIndex",

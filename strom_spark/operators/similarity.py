@@ -634,3 +634,93 @@ class CosineLSHJoin(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class RRFFusion(Component):
+    """Reciprocal Rank Fusion of N retrieval result lists (Cormack,
+    Clarke & Buettcher, SIGIR 2009): ``RRF(d) = sum over lists of
+    1 / (k0 + rank_list(d))`` — the standard score-free fusion for
+    HYBRID retrieval (lexical BM25 + dense embedding top-k), robust to
+    incomparable score scales because only ranks enter the sum.
+
+    Each input stream holds (id_col, score_col) rows from one ranker.
+    The list is first cut to ``per_list_k`` by (score desc, id asc) —
+    in Spark that is a distributed TakeOrderedAndProject (per-partition
+    top-k, then a k-row merge: no global sort, no full shuffle), which
+    is what makes the fusion safe at corpus scale: the only
+    single-partition step, the row_number ranking window, ever sees at
+    most ``per_list_k`` rows per list.  Ranks are assigned on the
+    6dp-ROUNDED score with the id as tie-break, and each contribution
+    ``1/(k0+rank)`` is rounded to 6dp and summed as DECIMAL(18,6), so
+    the fused score is independent of union/shuffle order and
+    hash-matches a SQL oracle exactly.
+
+    Output: (id_col, rrf_score, n_lists, best_rank) — every id that
+    appears in at least one cut list; downstream callers take their
+    own top-n.  k0=60 is the published default.
+    """
+
+    def __init__(
+        self,
+        inputs: Sequence[str],
+        output: str,
+        *,
+        id_col: str = "doc_id",
+        score_cols: Sequence[str] | None = None,
+        k0: int = 60,
+        per_list_k: int = 20,
+        label: str | None = None,
+    ):
+        if len(inputs) < 2:
+            raise ValueError("RRFFusion: need at least 2 ranked lists to fuse")
+        if score_cols is not None and len(score_cols) != len(inputs):
+            raise ValueError("RRFFusion: score_cols must match inputs 1:1")
+        if k0 < 1 or per_list_k < 1:
+            raise ValueError("RRFFusion: k0 and per_list_k must be >= 1")
+        self.inputs = tuple(inputs)
+        self.output = output
+        self.id_col = id_col
+        self.score_cols = tuple(score_cols) if score_cols else ("score",) * len(inputs)
+        self.k0 = k0
+        self.per_list_k = per_list_k
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        from functools import reduce
+
+        ranked = []
+        for name, score_col in zip(self.inputs, self.score_cols):
+            lst = flow[name].select(
+                F.col(self.id_col).alias("__id"),
+                F.round(F.col(score_col).cast("double"), 6).alias("__s"),
+            )
+            # distributed top-k cut; the global window below then ranks
+            # a bounded (<= per_list_k) single partition — by design.
+            cut = lst.orderBy(F.col("__s").desc(), F.col("__id")).limit(self.per_list_k)
+            w = W.orderBy(F.col("__s").desc(), F.col("__id"))
+            ranked.append(
+                cut.withColumn("__rank", F.row_number().over(w)).select("__id", "__rank")
+            )
+        fused = (
+            reduce(lambda a, b: a.unionByName(b), ranked)
+            .withColumn(
+                "__c",
+                F.round(F.lit(1.0) / (F.lit(self.k0) + F.col("__rank")), 6).cast(
+                    "decimal(18,6)"
+                ),
+            )
+            .groupBy("__id")
+            .agg(
+                F.sum("__c").cast("double").alias("rrf_score"),
+                F.count("*").alias("n_lists"),
+                F.min("__rank").alias("best_rank"),
+            )
+            .withColumnRenamed("__id", self.id_col)
+        )
+        return flow.without(*self.inputs).with_stream(self.output, fused)
+
+    def input_names(self) -> Sequence[str]:
+        return self.inputs
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -124,6 +124,40 @@ def test_cosine_topk(spark, emb):
         assert all(r.neighbor_id != q for r in rs)
 
 
+def test_rrf_fusion_hand_computed(spark):
+    """RRFFusion (Cormack et al. 2009): hand-computed fusion of two
+    3-row lists with one overlapping id — contributions are
+    round(1/(k0+rank), 6), ranks break score ties on the id, and the
+    per_list_k cut drops ids beyond the cut BEFORE ranking."""
+    import pytest
+    from strom_spark import RRFFusion
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0), (4, 1.0)], "doc_id bigint, score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (5, 0.8), (6, 0.7)], "doc_id bigint, score double"
+    )
+    out = RRFFusion(
+        ["a", "b"], "fused", id_col="doc_id", k0=60, per_list_k=3
+    )(Flow({"a": a, "b": b}))["fused"]
+    rows = {r.doc_id: r for r in out.collect()}
+    # list a ranks: 1->1, 2->2 (tie 5.0 broken on id), 3->3; 4 is cut
+    # list b ranks: 3->1, 5->2, 6->3
+    assert set(rows) == {1, 2, 3, 5, 6}
+    assert 4 not in rows
+    assert rows[1].rrf_score == round(1 / 61, 6)
+    assert rows[2].rrf_score == round(1 / 62, 6)
+    # overlap: doc 3 sums both lists' contributions, best_rank = 1
+    assert rows[3].rrf_score == round(round(1 / 63, 6) + round(1 / 61, 6), 6)
+    assert rows[3].n_lists == 2 and rows[3].best_rank == 1
+    assert rows[5].n_lists == 1 and rows[5].best_rank == 2
+    with pytest.raises(ValueError):
+        RRFFusion(["a"], "f")
+    with pytest.raises(ValueError):
+        RRFFusion(["a", "b"], "f", score_cols=["s"])
+
+
 def test_text_functions(spark, docs):
     flow = Flow({"docs": docs})
     out = Transformer(
