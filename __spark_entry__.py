@@ -1162,6 +1162,59 @@ def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cms_user_counts",
+    """
+WITH seeds AS (SELECT unnest(range(4)) AS seed),
+grid AS (
+  SELECT seed,
+    ('0x' || substring(md5(seed || ':' || user_id), 1, 8))::UBIGINT % 512 AS bucket,
+    count(*) AS cnt
+  FROM events CROSS JOIN seeds
+  GROUP BY 1, 2
+),
+truth AS (SELECT user_id, count(*) AS true_count FROM events GROUP BY user_id),
+est AS (
+  SELECT t.user_id, min(g.cnt) AS est_count
+  FROM truth t CROSS JOIN seeds s
+  JOIN grid g ON g.seed = s.seed
+   AND g.bucket = ('0x' || substring(md5(s.seed || ':' || t.user_id), 1, 8))::UBIGINT % 512
+  GROUP BY 1
+)
+SELECT t.user_id, e.est_count, t.true_count,
+  CAST(e.est_count >= t.true_count AS BIGINT) AS overestimate
+FROM truth t JOIN est e USING (user_id)
+""",
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point estimates (Cormode & Muthukrishnan 2005;
+    operators/sketch.py) of per-user event counts, joined against the
+    exact counts: the CMS invariant ``est >= true`` is emitted as a
+    per-key ``overestimate`` flag the driver hash-certifies.
+
+    The sketch is THE mergeable bounded-state frequency primitive for
+    100 TB monitoring: depth*width (4*512) counters regardless of
+    cardinality, built in ONE map-side-combinable keyed shuffle,
+    merged across partitions/days/streams by summing — where an exact
+    per-key count would carry vocabulary-sized state.  Buckets use the
+    repo's portable md5-prefix hash, so every counter (and therefore
+    every estimate) is bit-identical in the DuckDB oracle."""
+    from strom_spark import CountMinSketch, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = CountMinSketch("ev", "sk", key_col="user_id", depth=4, width=512)(
+        Flow({"ev": ev})
+    )["sk"]
+    truth = ev.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    est = cms_estimate(sk, truth, key_col="user_id", depth=4, width=512)
+    return truth.join(est, "user_id").select(
+        "user_id",
+        "est_count",
+        "true_count",
+        (F.col("est_count") >= F.col("true_count")).cast("bigint").alias("overestimate"),
+    )
+
+
+@_q(
     "fineweb_quality_flags",
     r"""
 WITH l AS (

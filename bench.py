@@ -126,6 +126,7 @@ HEADLINE = [
     # near-dups through θ=0.9, 8×12) — TOTAL covers 56 from here
     "lsh_recall_floor",
     "minhash_recall_floor",
+    "cms_user_counts",
     "c4_quality_flags",
     "fineweb_quality_flags",
     "intra_doc_line_dedup",

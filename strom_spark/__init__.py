@@ -51,6 +51,7 @@ from .operators.dedup import (
     SemDeDup,
 )
 from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, RRFFusion, ivf_search
+from .operators.sketch import CountMinSketch, cms_estimate
 from .operators.asof import AsofJoin
 from .operators.rangejoin import RangeJoin
 from .operators.textrank import (
@@ -150,6 +151,8 @@ __all__ = [
     "SemDeDup",
     "CosineTopK",
     "RRFFusion",
+    "CountMinSketch",
+    "cms_estimate",
     "CosineLSHJoin",
     "IVFTopK",
     "IVFIndex",

@@ -1,0 +1,135 @@
+"""Count-Min Sketch: bounded-state approximate frequency counting.
+
+CMS (Cormode & Muthukrishnan 2005, "An improved data stream summary:
+the count-min sketch and its applications") keeps a ``depth x width``
+counter grid; each key increments one counter per row (seeded hash),
+and a point estimate is the MIN over its ``depth`` counters — always
+``>= true count`` (one-sided error), with overestimate bounded by
+``2N/width`` at confidence ``1 - 2^-depth``.
+
+Why this matters at 100 TB: the sketch is the canonical MERGEABLE
+aggregate — ``sum`` by (seed, bucket) merges sketches built on
+different partitions, days, or streams, so frequency monitoring over
+an unbounded corpus carries ``depth*width`` counters of state instead
+of a vocabulary-sized hash map (complementing the Misra-Gries
+HeavyHitters in relational.py, which keeps top-k CANDIDATES; CMS
+answers point queries for ANY key).  The build is one map-side-
+combinable keyed shuffle; estimation broadcasts the tiny counter grid.
+
+Hashes are the repo's PORTABLE recipe — the first 8 hex chars of
+``md5(seed || ':' || key)`` as an integer — identical in Spark
+(``conv(substr(md5(..),1,8),16,10)``) and DuckDB
+(``('0x'||substring(md5(..),1,8))::UBIGINT``), so estimates are
+bit-reproducible cross-engine and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..component import Component
+from ..flow import Flow
+
+
+def _cms_bucket(seed_col, key_col, width: int):
+    """Portable bucket hash: md5-prefix integer of 'seed:key' mod width."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", seed_col.cast("string"), key_col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+class CountMinSketch(Component):
+    """Build a CMS over ``key_col`` (optionally weighted): output is
+    the counter grid (seed int, bucket int, cnt bigint) — at most
+    ``depth * width`` rows, independent of input size.
+
+    Plan: explode ``depth`` seed replicas (map-side), ONE keyed
+    shuffle on (seed, bucket) with partial aggregation.  Two grids
+    built with the same (depth, width) merge by unioning and summing
+    ``cnt`` per (seed, bucket) — the property that makes the sketch a
+    per-partition / per-day / per-stream rollup primitive.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str,
+        *,
+        key_col: str,
+        weight_col: str | None = None,
+        depth: int = 4,
+        width: int = 512,
+        label: str | None = None,
+    ):
+        if depth < 1 or width < 1:
+            raise ValueError("CountMinSketch: depth and width must be >= 1")
+        self.input = input
+        self.output = output
+        self.key_col = key_col
+        self.weight_col = weight_col
+        self.depth = depth
+        self.width = width
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        w = (
+            F.col(self.weight_col).cast("bigint")
+            if self.weight_col
+            else F.lit(1).cast("bigint")
+        )
+        grid = (
+            df.select(F.col(self.key_col).alias("__k"), w.alias("__w"))
+            .withColumn("seed", F.explode(F.array(*[F.lit(s) for s in range(self.depth)])))
+            .select(
+                F.col("seed"),
+                _cms_bucket(F.col("seed"), F.col("__k"), self.width).alias("bucket"),
+                F.col("__w"),
+            )
+            .groupBy("seed", "bucket")
+            .agg(F.sum("__w").alias("cnt"))
+        )
+        return flow.without(self.input).with_stream(self.output, grid)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    *,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point-estimate counts for ``keys`` against a CMS grid built
+    with the SAME (depth, width): per key, min over its ``depth``
+    counters; buckets a key never touched read as 0.
+
+    The grid is at most ``depth * width`` rows, so the join side is
+    broadcast — estimation is a linear scan of the key set with no
+    shuffle of the keys themselves (one keyed agg for the min).
+    """
+    probes = keys.select(F.col(key_col)).withColumn(
+        "seed", F.explode(F.array(*[F.lit(s) for s in range(depth)]))
+    )
+    probes = probes.withColumn(
+        "bucket", _cms_bucket(F.col("seed"), F.col(key_col), width)
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")))
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias(out_col))
+    )

@@ -603,6 +603,56 @@ def test_heavy_hitters_differential(spark):
     assert {(r.v, r.n) for r in iout.collect()} == {(0, 100), (1, 100), (2, 100)}
 
 
+def test_count_min_sketch_invariants(spark):
+    """CountMinSketch (Cormode & Muthukrishnan 2005): every point
+    estimate is >= the true count (one-sided error); with a width
+    comfortably above the key cardinality the estimates are EXACT for
+    this seed set; and two partition sketches merged by summing
+    (seed, bucket) counters equal the single-pass sketch — the
+    mergeability that makes CMS the bounded-state rollup primitive."""
+    import pytest
+    from collections import Counter
+
+    from strom_spark import CountMinSketch, Flow, cms_estimate
+
+    vals = [i % 7 for i in range(350)] + [99] * 13
+    truth = Counter(vals)
+    df = spark.createDataFrame([{"k": v} for v in vals], "k bigint").repartition(6)
+    flow = Flow({"s": df})
+    sk = CountMinSketch("s", "o", key_col="k", depth=4, width=512)(flow)["o"]
+    grid = sk.collect()
+    assert len(grid) <= 4 * 512
+    assert sum(r.cnt for r in grid) == 4 * len(vals)
+
+    keys = spark.createDataFrame([{"k": k} for k in truth], "k bigint")
+    est = {
+        r.k: r.est_count
+        for r in cms_estimate(sk, keys, key_col="k", depth=4, width=512).collect()
+    }
+    for k, c in truth.items():
+        assert est[k] >= c
+        assert est[k] == c  # 8 keys x 512 buckets: collision-free here
+
+    # a key never inserted estimates from untouched buckets -> 0
+    ghost = spark.createDataFrame([{"k": 123456}], "k bigint")
+    assert cms_estimate(sk, ghost, key_col="k", depth=4, width=512).collect()[0].est_count == 0
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B)
+    a, b = vals[:100], vals[100:]
+    mk = lambda part: CountMinSketch("s", "o", key_col="k", depth=4, width=512)(  # noqa: E731
+        Flow({"s": spark.createDataFrame([{"k": v} for v in part], "k bigint")})
+    )["o"]
+    merged = (
+        mk(a).unionByName(mk(b)).groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert {(r.seed, r.bucket, r.cnt) for r in merged.collect()} == {
+        (r.seed, r.bucket, r.cnt) for r in grid
+    }
+
+    with pytest.raises(ValueError, match="depth"):
+        CountMinSketch("s", "o", key_col="k", depth=0)
+
+
 def test_batch_only_components_reject_streams(spark):
     """Corpus-statistics components raise a TYPED, actionable error on
     streaming frames instead of Spark's opaque AnalysisException; the

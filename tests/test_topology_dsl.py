@@ -152,6 +152,10 @@ def test_no_fact_broadcast_sweep(spark, sf_dir):
         # adjudication to hold.
         "dsir_weights": ("Aggregate [__b#", "pmod("),
         "dsir_sample": ("Aggregate [__b#", "pmod("),
+        # broadcast side is the CMS counter grid: an Aggregate keyed
+        # on (seed, pmod(hash, width)) — ≤ depth×width (4×512) rows at
+        # ANY input size.
+        "cms_user_counts": ("Aggregate [seed#", "pmod("),
     }
 
     failures = {}
