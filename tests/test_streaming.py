@@ -344,6 +344,34 @@ def test_streaming_curation_narrow_stages_match_batch(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_cms_matches_batch(spark, stream_dir):
+    """CountMinSketch is ONE keyed aggregation, so the SAME component
+    runs unmodified over a stream (complete mode — the grid is the
+    bounded depth×width state Structured Streaming keeps anyway) and
+    must drain availableNow to EXACTLY the batch counter grid.  This
+    is the sketch's whole point at 100 TB: the streaming rollup
+    carries 2048 counters of state, never a per-key map."""
+    from strom_spark import CountMinSketch
+
+    def sketch(df):
+        return CountMinSketch("s", "o", key_col="user_id", depth=4, width=64)(
+            Flow({"s": df})
+        )["o"]
+
+    out = sketch(_read_stream(spark, stream_dir))
+    assert out.isStreaming
+    run_available(out, query_name="t_stream_cms", output_mode="complete")
+    got = sorted(
+        (r.seed, r.bucket, r.cnt)
+        for r in spark.sql("SELECT * FROM t_stream_cms").collect()
+    )
+    want = sorted(
+        (r.seed, r.bucket, r.cnt)
+        for r in sketch(spark.read.parquet(stream_dir)).collect()
+    )
+    assert got == want and len(want) > 0
+
+
 def test_streaming_mixture_sample_matches_batch(spark, sf_dir):
     """MixtureSample membership is a pure function of (key, salt) and
     the plan is a narrow CASE-threshold filter, so the SAME component
