@@ -4831,6 +4831,100 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )(Flow({"bm": bm, "vec": vec}))["fused"]
 
 
+def _mmr_oracle(k: int = 5, lam: float = 0.7, n_q: int = 5, top_c: int = 20) -> str:
+    """Generate the unrolled MMR greedy oracle: k MATERIALIZED
+    selection rounds (DuckDB inlines plain CTEs per-reference —
+    exponential here), each picking the argmax of
+    round(lam*rel - (1-lam)*max_sim_to_selected, 6) with ties on the
+    candidate id — the exact arithmetic MMRRerank's loop performs on
+    the same 6dp-rounded cosines.  The combination runs in EXACT
+    DECIMAL: lam*rel lands on a decimal half whenever rel is 6dp-
+    rounded (0.7*0.371485 = 0.2600395), where double rounding diverges
+    across engines; decimal products of 6dp inputs are exact, so
+    HALF_UP to 6dp is engine-independent."""
+    from decimal import Decimal
+
+    l6 = str(Decimal(str(lam)))
+    mu = str(Decimal("1") - Decimal(str(lam)))
+    parts = [f"""
+WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {n_q}),
+cs AS (
+  SELECT qid, vec_id AS cid, round(list_cosine_similarity(qv, embedding::DOUBLE[]), 6) AS rel
+  FROM embeddings CROSS JOIN qs WHERE vec_id != qid
+),
+c AS MATERIALIZED (
+  SELECT qid, cid, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn FROM cs
+  ) WHERE rn <= {top_c}
+),
+vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+ps AS MATERIALIZED (
+  SELECT x.qid, x.cid AS a, y.cid AS b, round(list_cosine_similarity(xv.v, yv.v), 6) AS s
+  FROM c x JOIN c y ON x.qid = y.qid AND x.cid != y.cid
+  JOIN vv xv ON xv.id = x.cid JOIN vv yv ON yv.id = y.cid
+),
+selacc_0 AS (SELECT qid, cid, 1 AS rank, 0.0 AS score FROM c WHERE false)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+scored_{i} AS MATERIALIZED (
+  SELECT c.qid, c.cid,
+    CAST(round(CAST({l6} AS DECIMAL(9,6)) * CAST(c.rel AS DECIMAL(18,6))
+             - CAST({mu} AS DECIMAL(9,6)) * CAST(coalesce(m.ms, 0.0) AS DECIMAL(18,6)), 6) AS DOUBLE) AS score
+  FROM c
+  LEFT JOIN (
+    SELECT ps.qid, ps.a AS cid, max(ps.s) AS ms
+    FROM ps JOIN selacc_{i - 1} sp ON sp.qid = ps.qid AND sp.cid = ps.b
+    GROUP BY ps.qid, ps.a
+  ) m ON m.qid = c.qid AND m.cid = c.cid
+  WHERE NOT EXISTS (SELECT 1 FROM selacc_{i - 1} sp WHERE sp.qid = c.qid AND sp.cid = c.cid)
+),
+sel_{i} AS MATERIALIZED (
+  SELECT qid, cid, {i} AS rank, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM scored_{i}
+  ) WHERE rn = 1
+),
+selacc_{i} AS MATERIALIZED (
+  SELECT * FROM selacc_{i - 1} UNION ALL SELECT qid, cid, rank, score FROM sel_{i}
+)""")
+    parts.append(f"""
+SELECT qid AS query_id, cid AS cand_id, rank AS mmr_rank, score AS mmr_score
+FROM selacc_{k}""")
+    return "".join(parts)
+
+
+@_q("mmr_rerank", _mmr_oracle())
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-5 (Carbonell &
+    Goldstein 1998; operators/similarity.py:MMRRerank) over the top-20
+    cosine candidates of 5 query vectors — the standard
+    redundancy-suppressing rerank between dense retrieval and a
+    context window.
+
+    Scale shape: candidates are top-C bounded by the upstream
+    CosineTopK, so the per-query pairwise self-join is C^2 rows and
+    the greedy loop runs in an applyInPandas group of <= C(C+1)/2 rows
+    — linear in queries, never in the corpus (max_candidates
+    hard-fails if the bound is lost).  All cosines are rounded 6dp
+    JVM-side; the Python loop combines them with the same IEEE ops and
+    HALF_UP rounding the unrolled 5-round MATERIALIZED-CTE oracle
+    performs, so selections (including tie-breaks) hash-match exactly.
+    Beyond-reference: retrieval surface for RAG-style data pipelines."""
+    from strom_spark import MMRRerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = CosineTopK(
+        "corpus", "queries", "knn", k=20,
+    )(Flow({"corpus": emb, "queries": emb.filter(F.col("vec_id") < 5)}))["knn"]
+    cands = cands.select(
+        "query_id", F.col("neighbor_id").alias("cand_id"), "cosine"
+    )
+    return MMRRerank(
+        "cands", "vecs", "out",
+        k=5, lambda_=0.7,
+        query_col="query_id", cand_col="cand_id", rel_col="cosine",
+    )(Flow({"cands": cands, "vecs": emb}))["out"]
+
+
 @_q(
     "tfidf_top_terms",
     rf"""

@@ -77,6 +77,7 @@ HEADLINE = [
     "range_join_overlap",
     "bm25_search",
     "hybrid_rrf_search",
+    "mmr_rerank",
     "value_quantiles",
     # round-4 additions: skew-salted fact join; sign-LSH near-dup
     # pairs (GEMM signatures); the full curation pipeline composite —

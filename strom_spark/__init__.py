@@ -50,7 +50,7 @@ from .operators.dedup import (
     EmbeddingNearDupPairs,
     SemDeDup,
 )
-from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, RRFFusion, ivf_search
+from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, RRFFusion, MMRRerank, ivf_search
 from .operators.sketch import CountMinSketch, cms_estimate
 from .operators.asof import AsofJoin
 from .operators.rangejoin import RangeJoin
@@ -151,6 +151,7 @@ __all__ = [
     "SemDeDup",
     "CosineTopK",
     "RRFFusion",
+    "MMRRerank",
     "CountMinSketch",
     "cms_estimate",
     "CosineLSHJoin",

@@ -69,20 +69,33 @@ class CosineTopK(Component):
     def transform(self, flow: Flow) -> Flow:
         from functools import reduce
 
+        # Norms are precomputed ONCE per row (scalar next to the raw
+        # vector) and the per-pair cosine is dot/(qn*cn) — the exact
+        # double sequence DuckDB's list_cosine_similarity evaluates, so
+        # 6dp-rounded scores are BIT-identical to the SQL oracle (the
+        # earlier normalize-then-dot form rounded each element first
+        # and could flip the 6th decimal on boundary pairs).
         corpus = flow[self.input].select(
-            F.col(self.id_col).alias("neighbor_id"), V.l2_normalize(self.vec_col).alias("__cv")
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("__cv"),
+            V.norm(self.vec_col).alias("__cn"),
         )
         # Materialize the slim query projection ONCE: the guard's count
         # and the broadcast scan (and every tile filter) then reuse the
         # checkpointed rows instead of recomputing upstream lineage.
         queries = flow[self.queries].select(
-            F.col(self.id_col).alias("query_id"), V.l2_normalize(self.vec_col).alias("__qv")
+            F.col(self.id_col).alias("query_id"),
+            F.col(self.vec_col).alias("__qv"),
+            V.norm(self.vec_col).alias("__qn"),
         ).localCheckpoint(eager=True)
 
         def scan(qtile):
             return (
                 corpus.join(F.broadcast(qtile), F.col("query_id") != F.col("neighbor_id"))
-                .withColumn("cosine", F.round(V.dot("__qv", "__cv"), 6))
+                .withColumn(
+                    "cosine",
+                    F.round(V.dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")), 6),
+                )
                 .select("query_id", "neighbor_id", "cosine")
             )
 
@@ -226,18 +239,21 @@ class IVFTopK(Component):
                 B = np.stack(batch["v"].to_list()).astype("float64")
                 B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
                 cid = np.argmax(B @ M.T, axis=1)
+                # normalization is INTERNAL to centroid assignment; the
+                # RAW vector rides on so the exact rerank uses the same
+                # dot/(qn*nn) double sequence as CosineTopK/the oracle
                 yield pd.DataFrame(
                     {
                         "neighbor_id": batch["neighbor_id"],
                         "centroid_id": cid.astype("int32"),
-                        "nv": list(B),
+                        "nv": list(batch["v"]),
                     }
                 )
 
         assigned = slim.mapInPandas(
             assign,
             schema=f"neighbor_id {nid_type}, centroid_id int, nv array<double>",
-        )
+        ).withColumn("nn", V.norm("nv"))
 
         probe_df = _probe_assign(
             flow[self.queries], C, self.n_probe, self.id_col, self.vec_col
@@ -245,7 +261,10 @@ class IVFTopK(Component):
         sims = (
             _probe_join(assigned, probe_df, self.max_broadcast_rows)
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("cosine", F.round(V.dot("qv", "nv"), 6))
+            .withColumn(
+                "cosine",
+                F.round(V.dot("qv", "nv") / (F.col("qn") * F.col("nn")), 6),
+            )
             .select("query_id", "neighbor_id", "cosine")
         )
         w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -326,11 +345,13 @@ class IVFIndex(Component):
                     continue
                 B = np.stack(batch["v"].to_list()).astype("float64")
                 B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+                # store the RAW vector: the search-time rerank computes
+                # dot/(qn*nn) JVM-side (CosineTopK's exact sequence)
                 yield pd.DataFrame(
                     {
                         "neighbor_id": batch["neighbor_id"],
                         "centroid_id": np.argmax(B @ M.T, axis=1).astype("int32"),
-                        "nv": list(B),
+                        "nv": list(batch["v"]),
                     }
                 )
 
@@ -354,7 +375,8 @@ def _probe_assign(
     queries: DataFrame, C: np.ndarray, n_probe: int, id_col: str, vec_col: str
 ) -> DataFrame:
     """Per-query probe list as a DISTRIBUTED frame: one exploded row
-    (query_id, centroid_id, normalized qv) per probed centroid, built
+    (query_id, centroid_id, RAW qv + its JVM-computed norm qn) per
+    probed centroid, built
     with a mapInPandas GEMM against the broadcast centroid matrix.  No
     driver-side collect of the query set — a billion-row query load
     assigns probes with the same embarrassingly-parallel scan the
@@ -381,16 +403,18 @@ def _probe_assign(
             Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
             idx = np.argsort(-(Q @ M.T), axis=1)[:, :n_probe]
             qids, cids, qvs = [], [], []
-            for qid, qv, row in zip(batch["query_id"], Q, idx):
+            # normalization ranks centroids only; the RAW vector rides
+            # on for the JVM-side exact rerank (dot/(qn*nn))
+            for qid, qv, row in zip(batch["query_id"], batch["v"], idx):
                 for cid in row:
                     qids.append(qid)
                     cids.append(int(cid))
-                    qvs.append(qv.tolist())
+                    qvs.append(list(qv))
             yield pd.DataFrame({"query_id": qids, "centroid_id": cids, "qv": qvs})
 
     out = slim.mapInPandas(
         probe, schema=f"query_id {id_type}, centroid_id int, qv array<double>"
-    )
+    ).withColumn("qn", V.norm("qv"))
     return out.localCheckpoint(eager=True)
 
 
@@ -439,11 +463,18 @@ def ivf_search(
     needed = sorted(
         r.centroid_id for r in probe_df.select("centroid_id").distinct().collect()
     )
-    index = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(needed))
+    index = (
+        spark.read.parquet(index_path)
+        .filter(F.col("centroid_id").isin(needed))
+        .withColumn("nn", V.norm("nv"))
+    )
     sims = (
         _probe_join(index, probe_df, max_broadcast_rows)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(V.dot("qv", "nv"), 6))
+        .withColumn(
+            "cosine",
+            F.round(V.dot("qv", "nv") / (F.col("qn") * F.col("nn")), 6),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -721,6 +752,190 @@ class RRFFusion(Component):
 
     def input_names(self) -> Sequence[str]:
         return self.inputs
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+class MMRRerank(Component):
+    """Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    Goldstein, SIGIR 1998): greedily select k results where each pick
+    maximizes ``lambda * rel(d) - (1 - lambda) * max sim(d, s)`` over
+    the already-selected set s — the standard redundancy-suppressing
+    rerank after a dense top-k retrieval.
+
+    Inputs: ``candidates`` (query_col, cand_col, rel_col — e.g. the
+    output of CosineTopK) and ``vectors`` (id_col, vec_col) to score
+    candidate-candidate redundancy.  Scale shape: the candidate list
+    per query is top-C bounded UPSTREAM, so the per-query self-join is
+    C^2 rows and the greedy loop runs in an applyInPandas group of at
+    most C(C-1)/2 + C rows — linear in the number of queries, never in
+    the corpus.  ``max_candidates`` enforces the bound (hard error,
+    not a silent spill into O(C^2) over an unbounded list).
+
+    Determinism / oracle parity: relevance and every pairwise cosine
+    are 6dp-rounded JVM-side (F.round, with the dot/(na*nb) double
+    sequence a SQL oracle computes); the Python loop combines them in
+    EXACT DECIMAL arithmetic — ``lambda`` is taken as a decimal
+    literal, products of 6dp inputs are exact, HALF_UP to 6dp — so the
+    score never depends on binary-double rounding at a decimal half
+    (where engines disagree); argmax ties break on the smaller
+    candidate id.  Output: (query_col, cand_col, mmr_rank 1..k,
+    mmr_score at selection time).
+    """
+
+    def __init__(
+        self,
+        candidates: str,
+        vectors: str,
+        output: str,
+        *,
+        k: int = 5,
+        lambda_: float = 0.7,
+        query_col: str = "query_id",
+        cand_col: str = "cand_id",
+        rel_col: str = "rel",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_candidates: int = 1000,
+        label: str | None = None,
+    ):
+        if not 0.0 <= lambda_ <= 1.0:
+            raise ValueError("MMRRerank: lambda_ must be in [0, 1]")
+        if k < 1:
+            raise ValueError("MMRRerank: k must be >= 1")
+        self.candidates = candidates
+        self.vectors = vectors
+        self.output = output
+        self.k = k
+        self.lambda_ = lambda_
+        self.query_col = query_col
+        self.cand_col = cand_col
+        self.rel_col = rel_col
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.max_candidates = max_candidates
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        cands = flow[self.candidates].select(
+            F.col(self.query_col).alias("__q"),
+            F.col(self.cand_col).alias("__c"),
+            F.round(F.col(self.rel_col).cast("double"), 6).alias("__rel"),
+        )
+        # raw vector + precomputed norm: per-pair cosine is dot/(na*nb)
+        # — the same double sequence as DuckDB's list_cosine_similarity
+        # (see CosineTopK), so pairwise redundancy rounds identically
+        vecs = flow[self.vectors].select(
+            F.col(self.id_col).alias("__id"),
+            F.col(self.vec_col).alias("__v"),
+            V.norm(self.vec_col).alias("__n"),
+        )
+        cv = cands.join(vecs, F.col("__c") == F.col("__id")).select(
+            "__q", "__c", "__rel", "__v", "__n"
+        )
+        a, b = cv.alias("a"), cv.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.__q") == F.col("b.__q")) & (F.col("a.__c") < F.col("b.__c")),
+        ).select(
+            F.col("a.__q").alias("__q"),
+            F.col("a.__c").alias("ca"),
+            F.col("b.__c").alias("cb"),
+            F.round(
+                V.dot(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__n") * F.col("b.__n")),
+                6,
+            ).alias("s"),
+            F.col("a.__rel").alias("rel_a"),
+            F.col("b.__rel").alias("rel_b"),
+        )
+        # self rows carry singleton candidates (and every rel) through
+        # the pair representation, so a 1-candidate query still ranks
+        selfrows = cv.select(
+            "__q",
+            F.col("__c").alias("ca"),
+            F.col("__c").alias("cb"),
+            F.lit(1.0).alias("s"),
+            F.col("__rel").alias("rel_a"),
+            F.col("__rel").alias("rel_b"),
+        )
+        packed = pairs.unionByName(selfrows)
+
+        qt = dict(cands.dtypes)["__q"]
+        ct = dict(cands.dtypes)["__c"]
+        k, lam, max_c = self.k, self.lambda_, self.max_candidates
+
+        def greedy(pdf):
+            import pandas as pd
+            from decimal import Decimal, ROUND_HALF_UP
+
+            # The score combination runs in EXACT DECIMAL arithmetic:
+            # lam * rel lands exactly on a decimal half whenever rel is
+            # a 6dp-rounded value (e.g. 0.7 * 0.371485 = 0.2600395),
+            # where binary-double rounding (DuckDB rounds the binary
+            # value: -> ...039) and shortest-repr HALF_UP (Spark/Python:
+            # -> ...040) disagree.  Decimal products of 6dp inputs with
+            # the decimal literal weights are exact, so HALF_UP to 6dp
+            # is the same number in every engine.
+            LAM = Decimal(str(lam))
+            MU = Decimal("1") - LAM
+            Q6 = Decimal("0.000001")
+
+            def score_of(rel: float, ms: float) -> float:
+                d = LAM * Decimal(f"{rel:.6f}") - MU * Decimal(f"{ms:.6f}")
+                return float(d.quantize(Q6, ROUND_HALF_UP))
+
+            rels: dict = {}
+            sim: dict = {}
+            for ca, cb, s, ra, rb in zip(
+                pdf["ca"], pdf["cb"], pdf["s"], pdf["rel_a"], pdf["rel_b"]
+            ):
+                rels[ca] = ra
+                rels[cb] = rb
+                if ca != cb:
+                    sim[(ca, cb)] = s
+                    sim[(cb, ca)] = s
+            if len(rels) > max_c:
+                raise ValueError(
+                    f"MMRRerank: {len(rels)} candidates in one query group > "
+                    f"max_candidates={max_c}; bound the list upstream (top-C)"
+                )
+            qid = pdf["__q"].iloc[0]
+            selected: list = []
+            out = []
+            remaining = set(rels)
+            while remaining and len(selected) < k:
+                best, best_score = None, None
+                for d in sorted(remaining):
+                    # max redundancy to the selected set — may be
+                    # NEGATIVE (cosine), so only an empty set gives 0
+                    ms = (
+                        max(sim.get((d, s2), 0.0) for s2 in selected)
+                        if selected
+                        else 0.0
+                    )
+                    score = score_of(rels[d], ms)
+                    if best is None or score > best_score:
+                        best, best_score = d, score
+                selected.append(best)
+                remaining.discard(best)
+                out.append((qid, best, len(selected), best_score))
+            return pd.DataFrame(
+                out, columns=["query_id", "cand_id", "mmr_rank", "mmr_score"]
+            )
+
+        out = packed.groupBy("__q").applyInPandas(
+            greedy,
+            schema=f"query_id {qt}, cand_id {ct}, mmr_rank int, mmr_score double",
+        )
+        out = out.withColumnRenamed("query_id", self.query_col).withColumnRenamed(
+            "cand_id", self.cand_col
+        )
+        return flow.without(self.candidates, self.vectors).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.candidates, self.vectors)
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)

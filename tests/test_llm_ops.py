@@ -158,6 +158,55 @@ def test_rrf_fusion_hand_computed(spark):
         RRFFusion(["a", "b"], "f", score_cols=["s"])
 
 
+def test_mmr_rerank_hand_computed(spark):
+    """MMRRerank (Carbonell & Goldstein 1998) on a 3-candidate set
+    with EQUAL relevance where diversity must decide: a and a2 are
+    identical vectors (sim 1), b sits at sim 0.8 to a — after a wins
+    rank 1 on the id tie-break, b must beat the redundant a2 at rank 2
+    despite equal relevance.  Scores are hand-computed in the exact
+    decimal arithmetic the operator and oracle share."""
+    import pytest
+    from strom_spark import MMRRerank
+
+    r = 3 / 10**0.5 / 1.0  # cos(q, a) = 3/sqrt(10) -> rounds 0.948683
+    cands = spark.createDataFrame(
+        [(0, 1, r), (0, 2, r), (0, 3, r), (9, 5, 0.5)],
+        "query_id bigint, cand_id bigint, rel double",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [3.0, 1.0, 0.0]), (2, [3.0, 1.0, 0.0]), (3, [3.0, -1.0, 0.0]),
+         (5, [1.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = MMRRerank(
+        "c", "v", "o", k=3, lambda_=0.7, rel_col="rel",
+    )(Flow({"c": cands, "v": vecs}))["o"]
+    rows = sorted(
+        ((r_.query_id, r_.mmr_rank, r_.cand_id, r_.mmr_score) for r_ in out.collect())
+    )
+    # q0 rank1: all rels tie at 0.948683 -> smallest id (1); score
+    # 0.7*0.948683 = 0.6640781 -> 0.664078
+    # q0 rank2: b (id 3) 0.664078-0.3*0.8 beats a2 (id 2) 0.664078-0.3*1
+    assert rows == [
+        (0, 1, 1, 0.664078),
+        (0, 2, 3, 0.424078),
+        (0, 3, 2, 0.364078),
+        (9, 1, 5, 0.35),
+    ]
+    # k cuts the selection, not just the output
+    out2 = MMRRerank("c", "v", "o", k=1, lambda_=0.7, rel_col="rel")(
+        Flow({"c": cands, "v": vecs})
+    )["o"]
+    assert sorted((r_.query_id, r_.cand_id) for r_ in out2.collect()) == [(0, 1), (9, 5)]
+    with pytest.raises(ValueError, match="lambda_"):
+        MMRRerank("c", "v", "o", lambda_=1.5)
+    # the bound raises inside the Python worker -> surfaces wrapped
+    with pytest.raises(Exception, match="max_candidates"):
+        MMRRerank("c", "v", "o", max_candidates=2)(
+            Flow({"c": cands, "v": vecs})
+        )["o"].collect()
+
+
 def test_text_functions(spark, docs):
     flow = Flow({"docs": docs})
     out = Transformer(
