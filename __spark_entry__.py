@@ -1162,6 +1162,44 @@ def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_entropy_stats",
+    rf"""
+WITH {_NORM_DOCS},
+tw AS (SELECT doc_id, list_filter(w, x -> x != '') AS w FROM toks),
+t AS (SELECT doc_id, unnest(w) AS t FROM tw),
+pw AS (SELECT doc_id, t, count(*) AS c FROM t GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_types FROM pw GROUP BY 1),
+contrib AS (
+  SELECT pw.doc_id, round(-(pw.c / n.n) * ln(pw.c / n.n), 6) AS e
+  FROM pw JOIN n USING (doc_id)
+)
+SELECT n.doc_id,
+  n.n AS n_tokens,
+  n.n_types,
+  n.n_types / n.n AS type_token_ratio,
+  CAST(SUM(CAST(e AS DECIMAL(18,6))) AS DOUBLE) AS unigram_entropy
+FROM contrib JOIN n ON contrib.doc_id = n.doc_id
+GROUP BY n.doc_id, n.n, n.n_types
+""",
+)
+def doc_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy + type/token ratio — the
+    ``rps_doc_unigram_entropy`` quality signal RedPajama-V2 publishes
+    (functions/text.py:unigram_entropy_stats): low word-type entropy
+    flags keyword-stuffed / template pages the repetition RATIOS miss
+    when repeats are spread across positions.  One exploded (doc,
+    word) keyed count, a window sum on the already-shuffled rows, one
+    final keyed agg; per-type contributions rounded 6dp and summed as
+    DECIMAL so the entropy is shuffle-order independent and
+    hash-matches the oracle.  Beyond-reference: training-data
+    curation surface."""
+    from strom_spark.functions.text import unigram_entropy_stats
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return unigram_entropy_stats(docs, "doc_id", "text")
+
+
+@_q(
     "cms_user_counts",
     """
 WITH seeds AS (SELECT unnest(range(4)) AS seed),

@@ -128,6 +128,7 @@ HEADLINE = [
     "lsh_recall_floor",
     "minhash_recall_floor",
     "cms_user_counts",
+    "doc_entropy_stats",
     "c4_quality_flags",
     "fineweb_quality_flags",
     "intra_doc_line_dedup",

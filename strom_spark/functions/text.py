@@ -772,3 +772,48 @@ def repetition_stats(df, id_col: str, text_col: str, k: int = 3):
             F.col("n_grams").cast("bigint").alias("n_grams"),
         )
     )
+
+
+def unigram_entropy_stats(df, id_col: str, text_col: str):
+    """Per-document unigram (word-type) entropy and type/token ratio —
+    the ``rps_doc_unigram_entropy`` quality signal RedPajama-V2
+    publishes (Together 2023), complementing the Gopher/C4/FineWeb
+    rule families: ``H = sum over types of -(c/n) * ln(c/n)`` — low H
+    flags keyword-stuffed / template pages that repetition RATIOS can
+    miss when the repeats are spread across many positions.
+
+    Plan: explode tokens -> ONE keyed (doc, word) count, a window sum
+    for the doc total on the already-shuffled rows, one final keyed
+    agg.  Per-type contributions are rounded 6dp and summed as
+    DECIMAL(18,6), so the entropy is independent of shuffle order and
+    hash-matches a SQL oracle.  Documents with zero tokens have no
+    types and are omitted (both engines).
+
+    Returns (id_col, n_tokens, n_types, type_token_ratio,
+    unigram_entropy)."""
+    from pyspark.sql import Window as W
+
+    slim = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    per_w = (
+        slim.select("__id", F.explode(tokens("__text")).alias("__w"))
+        .filter(F.col("__w") != "")  # empty text tokenizes to ['']
+        .groupBy("__id", "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    p = F.col("__c") / F.col("__n")  # bigint/bigint -> IEEE double
+    per = per_w.withColumn("__n", F.sum("__c").over(W.partitionBy("__id")))
+    return (
+        per.groupBy("__id")
+        .agg(
+            F.max("__n").alias("__nn"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.round((-p) * F.log(p), 6).cast("decimal(18,6)")).alias("__e"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__nn").cast("bigint").alias("n_tokens"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            (F.col("n_types") / F.col("__nn")).alias("type_token_ratio"),
+            F.col("__e").cast("double").alias("unigram_entropy"),
+        )
+    )

@@ -1386,6 +1386,45 @@ def test_fineweb_rules_each_rule_both_ways(spark):
         assert rows[i]["r_dup_line_chars"] == 1 and rows[i]["fineweb_keep"] == 0
 
 
+def test_unigram_entropy_stats_hand_computed(spark):
+    """unigram_entropy_stats (RedPajama-V2 rps_doc_unigram_entropy):
+    hand-computed entropy on a 3-token doc, zero entropy on a
+    single-type doc (including the -0.0 contribution path), empty and
+    null docs omitted, and normalization (case/whitespace) folds
+    variants into one type."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from strom_spark.functions.text import unigram_entropy_stats
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "x x x"),
+            (3, ""),
+            (4, None),
+            (5, "The   THE the"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in unigram_entropy_stats(df, "doc_id", "text").collect()
+    }
+    assert set(rows) == {1, 2, 5}  # empty/null docs have no types
+    assert rows[1].n_tokens == 3 and rows[1].n_types == 2
+    assert rows[1].type_token_ratio == 2 / 3
+    want = r6(-(2 / 3) * math.log(2 / 3)) + r6(-(1 / 3) * math.log(1 / 3))
+    assert rows[1].unigram_entropy == r6(want)
+    assert rows[2].n_types == 1 and rows[2].unigram_entropy == 0.0
+    # normalization: case + whitespace variants are ONE type
+    assert rows[5].n_tokens == 3 and rows[5].n_types == 1
+    assert rows[5].unigram_entropy == 0.0
+
+
 def test_gopher_repetition_stats_hand_computed(spark):
     """gopher_repetition_stats (Rae et al. 2021 Table A1): every
     family checked against hand-computed fractions — dup lines (count
