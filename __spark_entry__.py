@@ -944,6 +944,141 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CosineTopK("corpus", "queries", "knn", k=5)(flow)["knn"]
 
 
+#: shared SQ8 quantization CTE (DuckDB) — mirrors ScalarQuantize:
+#: round-to-integer is engine-safe (a shortest-repr "N.5" double IS
+#: exactly N.5, where HALF_UP and half-away-from-zero agree)
+_SQ8 = """
+qz AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[], x -> CAST(round(x * s) AS BIGINT)) AS q
+  FROM (
+    SELECT vec_id, embedding,
+      CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS s
+    FROM (SELECT vec_id, embedding,
+            list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+          FROM embeddings)
+  )
+)
+"""
+
+
+@_q(
+    "quantized_knn",
+    f"""
+WITH {_SQ8},
+qs AS (SELECT vec_id AS qid, q AS qv FROM qz WHERE vec_id < 10),
+srt AS (
+  SELECT qid AS query_id, vec_id AS neighbor_id,
+    round(list_cosine_similarity(qv::DOUBLE[], q::DOUBLE[]), 6) AS cosine
+  FROM qz CROSS JOIN qs WHERE vec_id != qid
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM srt
+) WHERE rank <= 5
+""",
+)
+def quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine search over INT8-QUANTIZED vectors (similarity.py:
+    ScalarQuantize — FAISS-style SQ8): per-vector symmetric
+    quantization preserves direction, so the SAME CosineTopK runs on
+    the int arrays unchanged, at 4x less vector memory/bandwidth — the
+    knob that matters at 100 TB, where vector BYTES (not arithmetic)
+    drive cost.  Every dot/norm term is an exact small integer, so the
+    quantized scores are bit-identical cross-engine BY CONSTRUCTION
+    (no float-fold ulp budget at all — stronger than the raw-vector
+    path).  Hash-verified value-for-value against the oracle's
+    replicated quantization.  Beyond-reference: ANN scale path."""
+    from strom_spark import ScalarQuantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = ScalarQuantize("e", "q")(Flow({"e": emb}))["q"]
+    flow = Flow({"corpus": qz, "queries": qz.filter(F.col("vec_id") < 10)})
+    return CosineTopK("corpus", "queries", "knn", k=5, vec_col="qvec")(flow)["knn"]
+
+
+@_q(
+    "sq8_recall_floor",
+    f"""
+WITH {_SQ8},
+eq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+es AS (
+  SELECT qid AS query_id, vec_id AS neighbor_id,
+    round(list_cosine_similarity(qv, embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings CROSS JOIN eq WHERE vec_id != qid
+),
+exact5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM es) WHERE rank <= 5
+),
+qq AS (SELECT vec_id AS qid, q AS qv FROM qz WHERE vec_id < 10),
+qsims AS (
+  SELECT qid AS query_id, vec_id AS neighbor_id,
+    round(list_cosine_similarity(qv::DOUBLE[], q::DOUBLE[]), 6) AS cosine
+  FROM qz CROSS JOIN qq WHERE vec_id != qid
+),
+quant5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM qsims) WHERE rank <= 5
+),
+tot AS (SELECT count(*) AS n_exact, count(DISTINCT query_id) AS n_queries FROM exact5),
+hit AS (SELECT count(*) AS n_overlap FROM exact5 JOIN quant5 USING (query_id, neighbor_id))
+SELECT CAST(n_queries AS BIGINT) AS n_queries,
+  CAST(5 AS BIGINT) AS k,
+  CAST(n_overlap AS BIGINT) AS n_overlap,
+  n_overlap / n_exact AS recall,
+  CAST(n_overlap / n_exact >= 0.8 AS BIGINT) AS recall_ok
+FROM tot CROSS JOIN hit
+""",
+)
+def sq8_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured top-5 recall of int8-quantized search against the
+    exact raw-vector CosineTopK, as a driver-checked flag row (the
+    ann_recall_floor pattern): both rankings recompute per run, so the
+    oracle's constant flag flips red if quantization quality (or
+    either ranking path) regresses.  Exact-integer quantized scores
+    and 6dp raw scores make both sides engine-deterministic; recall is
+    bigint/bigint IEEE division."""
+    from strom_spark import ScalarQuantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def q():
+        return emb.filter(F.col("vec_id") < 10)
+
+    exact = (
+        CosineTopK("c", "q", "o", k=5)(Flow({"c": emb, "q": q()}))["o"]
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    qz = ScalarQuantize("e", "q")(Flow({"e": emb}))["q"]
+    quant = (
+        CosineTopK("c", "q", "o", k=5, vec_col="qvec")(
+            Flow({"c": qz, "q": qz.filter(F.col("vec_id") < 10)})
+        )["o"]
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    tot = exact.groupBy(F.lit(1).alias("__k")).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct("query_id").alias("n_queries"),
+    )
+    hit = exact.join(quant, ["query_id", "neighbor_id"]).groupBy(
+        F.lit(1).alias("__k")
+    ).agg(F.count(F.lit(1)).alias("n_overlap"))
+    return tot.join(hit, "__k", "left").select(
+        F.col("n_queries").cast("bigint"),
+        F.lit(5).cast("bigint").alias("k"),
+        F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        (F.coalesce("n_overlap", F.lit(0)) / F.col("n_exact")).alias("recall"),
+        (F.coalesce("n_overlap", F.lit(0)) / F.col("n_exact") >= 0.8)
+        .cast("bigint")
+        .alias("recall_ok"),
+    )
+
+
 @_q(
     "text_stats",
     rf"""

@@ -129,6 +129,8 @@ HEADLINE = [
     "minhash_recall_floor",
     "cms_user_counts",
     "doc_entropy_stats",
+    "quantized_knn",
+    "sq8_recall_floor",
     "c4_quality_flags",
     "fineweb_quality_flags",
     "intra_doc_line_dedup",

@@ -50,7 +50,7 @@ from .operators.dedup import (
     EmbeddingNearDupPairs,
     SemDeDup,
 )
-from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, RRFFusion, MMRRerank, ivf_search
+from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, RRFFusion, MMRRerank, ScalarQuantize, ivf_search
 from .operators.sketch import CountMinSketch, cms_estimate
 from .operators.asof import AsofJoin
 from .operators.rangejoin import RangeJoin
@@ -152,6 +152,7 @@ __all__ = [
     "CosineTopK",
     "RRFFusion",
     "MMRRerank",
+    "ScalarQuantize",
     "CountMinSketch",
     "cms_estimate",
     "CosineLSHJoin",

@@ -939,3 +939,60 @@ class MMRRerank(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class ScalarQuantize(Component):
+    """Per-vector symmetric int8 scalar quantization of an embedding
+    column — the standard SQ8 memory path for vector search at scale
+    (FAISS ``SQ8`` / IVF-SQ8): ``q_i = round(v_i * 127 / amax)`` with
+    ``amax = max |v_i|``, stored alongside the ``scale = 127/amax``
+    needed to dequantize.  4x smaller vectors mean 4x more corpus per
+    executor page and 4x less shuffle/broadcast bandwidth — at 100 TB
+    the vector bytes, not the arithmetic, are the cost driver.
+
+    COSINE survives quantization without the scale: per-vector uniform
+    scaling preserves direction, so ``cos(q_a, q_b)`` needs only the
+    int arrays — and because every term of the int dot/norms is an
+    exact small integer, the downstream CosineTopK arithmetic is
+    bit-identical in any engine (no float-fold ulp concerns at all).
+    Rounding-to-integer is itself engine-safe: a shortest-repr "N.5"
+    double IS exactly N.5 (representable), where Spark's HALF_UP and
+    DuckDB's half-away-from-zero agree — unlike 6dp rounding, there is
+    no repr-vs-binary boundary.
+
+    Pure Column expressions (one narrow projection, zero Python, zero
+    shuffle).  Zero vectors quantize to all-zero ints with scale 0.
+    Output: (id_col, qvec array<int>, scale double).
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        v = F.col(self.vec_col).cast("array<double>")
+        amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        s = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+        out = flow[self.input].select(
+            F.col(self.id_col),
+            F.transform(v, lambda x: F.round(x * s).cast("int")).alias("qvec"),
+            s.alias("scale"),
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

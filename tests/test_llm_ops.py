@@ -124,6 +124,35 @@ def test_cosine_topk(spark, emb):
         assert all(r.neighbor_id != q for r in rs)
 
 
+def test_scalar_quantize_hand_computed(spark):
+    """ScalarQuantize (SQ8): hand-computed int8 codes — the max-|v|
+    element maps to ±127 exactly, zero vectors quantize to zeros with
+    scale 0, and quantized cosine of identical-direction vectors stays
+    exactly 1 (uniform per-vector scaling preserves direction)."""
+    from strom_spark import CosineTopK, Flow, ScalarQuantize
+
+    df = spark.createDataFrame(
+        [
+            (1, [2.0, -4.0, 1.0]),     # amax 4 -> s = 31.75
+            (2, [0.0, 0.0, 0.0]),      # zero vector
+            (3, [20.0, -40.0, 10.0]),  # same direction as 1, 10x scale
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in ScalarQuantize("e", "q")(Flow({"e": df}))["q"].collect()}
+    # 2*31.75 = 63.5 -> HALF_UP 64; -4 -> -127 exactly; 1 -> 31.75 -> 32
+    assert out[1].qvec == [64, -127, 32]
+    assert out[1].scale == 127.0 / 4.0
+    assert out[2].qvec == [0, 0, 0] and out[2].scale == 0.0
+    assert out[3].qvec == [64, -127, 32]  # direction preserved exactly
+    # quantized cosine of same-direction vectors is exactly 1
+    qz = ScalarQuantize("e", "q")(Flow({"e": df.filter(F.col("vec_id") != 2)}))["q"]
+    knn = CosineTopK("c", "q", "o", k=1, vec_col="qvec")(
+        Flow({"c": qz, "q": qz.filter(F.col("vec_id") == 1)})
+    )["o"].collect()
+    assert knn[0].neighbor_id == 3 and knn[0].cosine == 1.0
+
+
 def test_rrf_fusion_hand_computed(spark):
     """RRFFusion (Cormack et al. 2009): hand-computed fusion of two
     3-row lists with one overlapping id — contributions are
