@@ -1080,6 +1080,59 @@ def sq8_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "triangle_counts",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+n AS (
+  SELECT a AS part_id FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+)
+SELECT part_id, CAST(count(*) AS BIGINT) AS n_triangles FROM n GROUP BY part_id
+""",
+)
+def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the CO-PURCHASE graph (parts
+    sharing an order; ~1.2M edges / 1.9M triangles at sf0.1) via
+    degree-oriented wedge joins (graph.py:TriangleCount — Suri &
+    Vassilvitskii 2011): the orientation bounds wedge fan-out at
+    sqrt(2m) per node, so a celebrity part cannot own a last-reducer
+    blowup at 100 TB.  Each triangle is generated exactly once (one
+    vertex sees both partners as (deg,id)-larger), counts are exact
+    integers — the oracle closes wedges with plain id-orientation and
+    MUST produce the identical multiset.  Edge build is an equi-join
+    keyed on the order (basket <= 17 rows).  Beyond-reference: graph
+    analytics surface next to PageRank/ConnectedComponents."""
+    from strom_spark import TriangleCount
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return TriangleCount(
+        "edges", "tri", node_col="part_id", count_col="n_triangles"
+    )(Flow({"edges": edges}))["tri"]
+
+
+@_q(
     "text_stats",
     rf"""
 WITH {_NORM_DOCS},

@@ -131,6 +131,7 @@ HEADLINE = [
     "doc_entropy_stats",
     "quantized_knn",
     "sq8_recall_floor",
+    "triangle_counts",
     "c4_quality_flags",
     "fineweb_quality_flags",
     "intra_doc_line_dedup",

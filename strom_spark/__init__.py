@@ -62,7 +62,7 @@ from .operators.textrank import (
     TfIdfTopTerms,
     UnigramLMScore,
 )
-from .operators.graph import ConnectedComponents, PageRank
+from .operators.graph import ConnectedComponents, PageRank, TriangleCount
 from .operators.sampling import GroupCap, HashSample, HashSplit, MixtureSample, TemperatureMix
 from .operators.packing import ChunkDocuments, PackSequences
 from .operators.fuzzy import EditDistanceJoin
@@ -173,6 +173,7 @@ __all__ = [
     "LloydKMeans",
     "ConnectedComponents",
     "PageRank",
+    "TriangleCount",
     "Quantiles",
     "HeavyHitters",
     "GroupCap",

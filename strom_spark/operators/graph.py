@@ -299,3 +299,110 @@ class PageRank(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class TriangleCount(Component):
+    """Exact per-node triangle counts over an undirected edge list via
+    DEGREE-ORIENTED wedge joins (Suri & Vassilvitskii 2011, "Counting
+    triangles and the curse of the last reducer"; the MapReduce-native
+    triangle algorithm).  Orient every edge from its (degree, id)-
+    smaller endpoint to the larger; generate wedges only at each
+    node's oriented OUT-neighbors and close them against the oriented
+    edge set.  Every triangle has exactly ONE vertex both of whose
+    partners are (degree, id)-larger, so each triangle is emitted
+    exactly once — no /3 correction, no duplicates.
+
+    Why the orientation is the whole scale story: wedge fan-out is
+    sum over v of d_out(v)^2 with d_out <= sqrt(2m) GUARANTEED, so one
+    celebrity node with a million raw neighbors no longer owns a
+    10^12-row reducer — the skew is provably sheared before the join.
+
+    Plan: canonical-edge distinct (1 shuffle), degree agg (1), two
+    keyed degree joins, the wedge self-join keyed on the apex, the
+    closure equi-join on the (x, y) pair, one final exploded count —
+    every join is equi-keyed, nothing is quadratic in a raw degree.
+    The oriented edge table is consumed three times (both wedge sides
+    + closure) and is persisted, not recomputed (the shared-lineage
+    discipline).  Counts are exact integers: bit-identical in any
+    engine.
+
+    Output: (node_col, count_col) for every node in >= 1 triangle.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        src: str = "src",
+        dst: str = "dst",
+        node_col: str = "node",
+        count_col: str = "n_triangles",
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.src, self.dst = src, dst
+        self.node_col, self.count_col = node_col, count_col
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        from pyspark import StorageLevel
+
+        df = flow[self.input]
+        und = (
+            df.filter(F.col(self.src) != F.col(self.dst))
+            .select(
+                F.least(self.src, self.dst).alias("u"),
+                F.greatest(self.src, self.dst).alias("v"),
+            )
+            .distinct()
+        )
+        deg = (
+            und.select(F.col("u").alias("n"))
+            .unionAll(und.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        withdeg = (
+            und.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+            .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        )
+        fwd = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        ori = withdeg.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        e1, e2 = ori.alias("e1"), ori.alias("e2")
+        # (deg, id)-order the wedge pair so the closing edge, if it
+        # exists, appears in ori in exactly this orientation
+        wedges = e1.join(
+            e2,
+            (F.col("e1.a") == F.col("e2.a"))
+            & (
+                (F.col("e1.db") < F.col("e2.db"))
+                | ((F.col("e1.db") == F.col("e2.db")) & (F.col("e1.b") < F.col("e2.b")))
+            ),
+        ).select(
+            F.col("e1.a").alias("apex"),
+            F.col("e1.b").alias("x"),
+            F.col("e2.b").alias("y"),
+        )
+        closing = ori.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        tris = wedges.join(closing, ["x", "y"])
+        counts = (
+            tris.select(F.explode(F.array("apex", "x", "y")).alias(self.node_col))
+            .groupBy(self.node_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias(self.count_col))
+        )
+        return flow.without(self.input).with_stream(self.output, counts)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -1936,6 +1936,34 @@ def test_phash_pairs_nbits_mismatch_fails_loudly(spark):
     assert isinstance(ok, list)
 
 
+def test_triangle_count_hand_computed(spark):
+    """TriangleCount (Suri & Vassilvitskii 2011) on the diamond K4
+    minus one edge: triangles {1,2,3} and {2,3,4} -> participation
+    1:1, 2:2, 3:2, 4:1.  Duplicate edges (both orders), self-loops,
+    and triangle-free nodes must not perturb the counts; a
+    triangle-free graph returns zero rows."""
+    from strom_spark import Flow, TriangleCount
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (2, 3), (2, 4), (3, 4),
+            (2, 1),          # reversed duplicate
+            (3, 2), (3, 2),  # repeated duplicate
+            (4, 4),          # self loop
+            (4, 5),          # dangling edge: node 5 is in no triangle
+        ],
+        "src bigint, dst bigint",
+    )
+    out = {
+        r.node: r.n_triangles
+        for r in TriangleCount("e", "t")(Flow({"e": edges}))["t"].collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+    # triangle-free: a path graph
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint")
+    assert TriangleCount("e", "t")(Flow({"e": path}))["t"].count() == 0
+
+
 def test_pagerank_empty_and_damping_guards(spark):
     from strom_spark import Flow, PageRank
 
