@@ -1133,6 +1133,56 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "copurchase_similar_parts",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+ok AS (SELECT g FROM li GROUP BY g HAVING count(*) <= 1000),
+li2 AS (SELECT li.g, li.i FROM li JOIN ok USING (g)),
+sz AS (SELECT i, count(*) AS n FROM li2 GROUP BY i),
+pr AS (
+  SELECT a.i AS u, b.i AS v, count(*) AS c
+  FROM li2 a JOIN li2 b ON a.g = b.g AND a.i < b.i
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT u, v, round(c / (su.n + sv.n - c), 6) AS jaccard
+  FROM pr JOIN sz su ON su.i = pr.u JOIN sz sv ON sv.i = pr.v
+),
+b AS (
+  SELECT u AS part_id, v AS other, jaccard FROM j
+  UNION ALL SELECT v, u, jaccard FROM j
+)
+SELECT part_id, other, jaccard, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY part_id ORDER BY jaccard DESC, other) AS rank
+  FROM b
+) WHERE rank <= 3
+""",
+)
+def copurchase_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most similar parts per part by co-purchase Jaccard
+    (similarity.py:CoOccurrenceJaccard — item-item collaborative
+    filtering, Linden et al. 2003) over the order baskets: the
+    transactional twin of the text-side NgramJaccardPairs, showing the
+    posting-list discipline generalizes beyond shingles.  Pair fan-out
+    is one order-keyed equi-self-join bounded by basket size (<= 17
+    here; max_group_size=1000 is the stop-shingle-style cap that
+    sheds pathological mega-carts at 100 TB — provably non-binding on
+    this corpus); Jaccard is a small-integer ratio rounded 6dp
+    (engine-exact), ranks tie-break on the part id.
+    Beyond-reference: recommender/analytics surface."""
+    from strom_spark import CoOccurrenceJaccard
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return CoOccurrenceJaccard(
+        "li", "sim",
+        group_col="l_orderkey", item_col="l_partkey",
+        top_k=3, max_group_size=1000,
+    )(Flow({"li": li}))["sim"].select(
+        F.col("l_partkey").alias("part_id"), "other", "jaccard", "rank"
+    )
+
+
+@_q(
     "text_stats",
     rf"""
 WITH {_NORM_DOCS},

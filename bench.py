@@ -132,6 +132,7 @@ HEADLINE = [
     "quantized_knn",
     "sq8_recall_floor",
     "triangle_counts",
+    "copurchase_similar_parts",
     "c4_quality_flags",
     "fineweb_quality_flags",
     "intra_doc_line_dedup",

@@ -50,7 +50,7 @@ from .operators.dedup import (
     EmbeddingNearDupPairs,
     SemDeDup,
 )
-from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, RRFFusion, MMRRerank, ScalarQuantize, ivf_search
+from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, RRFFusion, MMRRerank, ScalarQuantize, CoOccurrenceJaccard, ivf_search
 from .operators.sketch import CountMinSketch, cms_estimate
 from .operators.asof import AsofJoin
 from .operators.rangejoin import RangeJoin
@@ -153,6 +153,7 @@ __all__ = [
     "RRFFusion",
     "MMRRerank",
     "ScalarQuantize",
+    "CoOccurrenceJaccard",
     "CountMinSketch",
     "cms_estimate",
     "CosineLSHJoin",

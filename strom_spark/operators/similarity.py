@@ -996,3 +996,109 @@ class ScalarQuantize(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class CoOccurrenceJaccard(Component):
+    """Item-item Jaccard similarity from (group, item) co-occurrence —
+    the classic "customers who bought X" / item-based collaborative
+    filtering primitive (Linden et al. 2003, Amazon item-item CF),
+    and the transactional twin of the text-side NgramJaccardPairs:
+    ``J(u, v) = |groups(u) ∩ groups(v)| / |groups(u) ∪ groups(v)|``.
+
+    Plan: distinct (group, item) postings; groups larger than
+    ``max_group_size`` are DROPPED (the stop-shingle discipline — a
+    pathological mega-basket would contribute |basket|^2 pairs and
+    owns the worst reducer; a ceiling this generous only ever sheds
+    degenerate carts); pair counts from ONE equi-self-join keyed on
+    the group; sizes joined in; Jaccard rounded 6dp (small-integer
+    ratios — engine-exact).  With ``top_k`` set, pairs are
+    symmetrized and ranked per item ((jaccard desc, id) — one keyed
+    window).  Fan-out is sum of |group|^2 — linear in rows when group
+    sizes are bounded, which the cap enforces rather than assumes.
+
+    Output: (item_col, other, jaccard) pairs (item < other), or with
+    ``top_k``: (item_col, other, jaccard, rank) per-item top-k.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str,
+        *,
+        group_col: str,
+        item_col: str,
+        top_k: int | None = None,
+        min_jaccard: float = 0.0,
+        max_group_size: int = 10_000,
+        label: str | None = None,
+    ):
+        if top_k is not None and top_k < 1:
+            raise ValueError("CoOccurrenceJaccard: top_k must be >= 1")
+        if max_group_size < 2:
+            raise ValueError("CoOccurrenceJaccard: max_group_size must be >= 2")
+        self.input = input
+        self.output = output
+        self.group_col = group_col
+        self.item_col = item_col
+        self.top_k = top_k
+        self.min_jaccard = min_jaccard
+        self.max_group_size = max_group_size
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        li = (
+            flow[self.input]
+            .select(F.col(self.group_col).alias("__g"), F.col(self.item_col).alias("__i"))
+            .distinct()
+        )
+        ok = li.groupBy("__g").agg(F.count(F.lit(1)).alias("__n")).filter(
+            F.col("__n") <= self.max_group_size
+        )
+        li = li.join(ok.select("__g"), "__g")
+        sizes = li.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+        a, b = li.alias("a"), li.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__i") < F.col("b.__i")),
+            )
+            .groupBy(F.col("a.__i").alias("u"), F.col("b.__i").alias("v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        jac = (
+            pairs.join(sizes.withColumnRenamed("__i", "u").withColumnRenamed("__n", "nu"), "u")
+            .join(sizes.withColumnRenamed("__i", "v").withColumnRenamed("__n", "nv"), "v")
+            .select(
+                "u",
+                "v",
+                F.round(
+                    F.col("__c") / (F.col("nu") + F.col("nv") - F.col("__c")), 6
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= self.min_jaccard)
+        )
+        if self.top_k is None:
+            out = jac.select(
+                F.col("u").alias(self.item_col), F.col("v").alias("other"), "jaccard"
+            )
+        else:
+            both = jac.select(
+                F.col("u").alias(self.item_col), F.col("v").alias("other"), "jaccard"
+            ).unionByName(
+                jac.select(
+                    F.col("v").alias(self.item_col), F.col("u").alias("other"), "jaccard"
+                )
+            )
+            w = W.partitionBy(self.item_col).orderBy(
+                F.col("jaccard").desc(), F.col("other")
+            )
+            out = both.withColumn("rank", F.row_number().over(w)).filter(
+                F.col("rank") <= self.top_k
+            )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -153,6 +153,39 @@ def test_scalar_quantize_hand_computed(spark):
     assert knn[0].neighbor_id == 3 and knn[0].cosine == 1.0
 
 
+def test_cooccurrence_jaccard_hand_computed(spark):
+    """CoOccurrenceJaccard (item-item CF): hand-computed Jaccard over
+    3 baskets, tie-break on the item id at top-k, min_jaccard filter,
+    and the max_group_size cap dropping a mega-basket's pairs
+    entirely (the stop-shingle discipline)."""
+    from strom_spark import CoOccurrenceJaccard, Flow
+
+    rows = [("g1", 1), ("g1", 2), ("g1", 3), ("g2", 1), ("g2", 2),
+            ("g3", 2), ("g3", 4),
+            # mega-basket: size 4 > cap 3 -> contributes nothing
+            ("g4", 10), ("g4", 11), ("g4", 12), ("g4", 13)]
+    df = spark.createDataFrame(rows, "g string, i bigint")
+    pairs = CoOccurrenceJaccard(
+        "s", "o", group_col="g", item_col="i", max_group_size=3
+    )(Flow({"s": df}))["o"]
+    got = {(r.i, r.other): r.jaccard for r in pairs.collect()}
+    assert got == {
+        (1, 2): round(2 / 3, 6),  # shares g1, g2
+        (1, 3): 0.5,              # 1/(2+1-1)
+        (2, 3): round(1 / 3, 6),
+        (2, 4): round(1 / 3, 6),
+    }
+    top = CoOccurrenceJaccard(
+        "s", "o", group_col="g", item_col="i", top_k=2, max_group_size=3
+    )(Flow({"s": df}))["o"]
+    by2 = sorted((r.rank, r.other) for r in top.filter(F.col("i") == 2).collect())
+    assert by2 == [(1, 1), (2, 3)]  # J=2/3 first; 1/3 tie broken on id 3 < 4
+    flt = CoOccurrenceJaccard(
+        "s", "o", group_col="g", item_col="i", min_jaccard=0.4, max_group_size=3
+    )(Flow({"s": df}))["o"]
+    assert {(r.i, r.other) for r in flt.collect()} == {(1, 2), (1, 3)}
+
+
 def test_rrf_fusion_hand_computed(spark):
     """RRFFusion (Cormack et al. 2009): hand-computed fusion of two
     3-row lists with one overlapping id — contributions are
