@@ -1183,6 +1183,60 @@ def copurchase_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "profile_lineitem",
+    """
+WITH p AS (
+  SELECT 'l_orderkey' AS name, count(*) AS n_rows,
+    count(*) - count(l_orderkey) AS n_nulls, count(DISTINCT l_orderkey) AS n_distinct,
+    CAST(CAST(min(l_orderkey) AS DECIMAL(18,6)) AS VARCHAR) AS min_val,
+    CAST(CAST(max(l_orderkey) AS DECIMAL(18,6)) AS VARCHAR) AS max_val
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', count(*), count(*) - count(l_quantity), count(DISTINCT l_quantity),
+    CAST(CAST(min(l_quantity) AS DECIMAL(18,6)) AS VARCHAR),
+    CAST(CAST(max(l_quantity) AS DECIMAL(18,6)) AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice), count(DISTINCT l_extendedprice),
+    CAST(CAST(min(l_extendedprice) AS DECIMAL(18,6)) AS VARCHAR),
+    CAST(CAST(max(l_extendedprice) AS DECIMAL(18,6)) AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(*), count(*) - count(l_discount), count(DISTINCT l_discount),
+    CAST(CAST(min(l_discount) AS DECIMAL(18,6)) AS VARCHAR),
+    CAST(CAST(max(l_discount) AS DECIMAL(18,6)) AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag), count(DISTINCT l_returnflag),
+    min(l_returnflag), max(l_returnflag) FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus), count(DISTINCT l_linestatus),
+    min(l_linestatus), max(l_linestatus) FROM lineitem
+)
+SELECT name AS column, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+  CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val
+FROM p
+""",
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass long-form column profile of lineitem (relational.py:
+    ProfileColumns — the scalable df.summary()): per-column row/null/
+    exact-distinct counts and typed min/max in ONE wide global
+    aggregate (partial+final, no keyed shuffle) + a narrow struct
+    explode.  Exact multi-column distinct plans through Spark's
+    EXPAND — the honest cost of exactness, documented next to the
+    'approx' HLL mode that profiles 100 TB in one true pass.  The
+    oracle computes the same eight stats per column the pedestrian
+    way (one UNION ALL branch each) — shape-independent agreement.
+    Beyond-reference: data-quality/profiling surface."""
+    from strom_spark import ProfileColumns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ProfileColumns(
+        "li", "prof",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_returnflag", "l_linestatus"],
+    )(Flow({"li": li}))["prof"]
+
+
+@_q(
     "text_stats",
     rf"""
 WITH {_NORM_DOCS},

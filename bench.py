@@ -133,6 +133,7 @@ HEADLINE = [
     "sq8_recall_floor",
     "triangle_counts",
     "copurchase_similar_parts",
+    "profile_lineitem",
     "c4_quality_flags",
     "fineweb_quality_flags",
     "intra_doc_line_dedup",

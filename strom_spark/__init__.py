@@ -31,7 +31,7 @@ from .operators.splitter import Splitter, SplitterTree, Repartition
 from .operators.renamer import Renamer
 from .operators.stateful import StatefulTransformer
 from .operators.windows import CountWindow, SlidingCountWindow, TimeWindow, SessionWindow
-from .operators.relational import HeavyHitters, Sort, Limit, Distinct, TopK, TopKPerGroup, RowNumber, SetOp, Quantiles, global_row_number
+from .operators.relational import HeavyHitters, Sort, Limit, Distinct, TopK, TopKPerGroup, RowNumber, SetOp, Quantiles, global_row_number, ProfileColumns
 from .operators.loop import Iterate
 from .operators.cep import MatchDecide
 from .operators.dedup import (
@@ -177,6 +177,7 @@ __all__ = [
     "TriangleCount",
     "Quantiles",
     "HeavyHitters",
+    "ProfileColumns",
     "GroupCap",
     "HashSample",
     "HashSplit",

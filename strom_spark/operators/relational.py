@@ -532,3 +532,97 @@ class HeavyHitters(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class ProfileColumns(Component):
+    """One-pass column profiler — the scalable ``df.summary()``:
+    per-column row/null/distinct counts plus min/max, emitted
+    LONG-FORM (one row per column) so the profile of a 1,000-column
+    table is still one tidy frame.  min/max are rendered as STRINGS —
+    numerics through DECIMAL(18,6) (the one double→text path that is
+    byte-identical across engines; raw double formatting is not),
+    strings lexicographically (byte order in both Spark and DuckDB),
+    other types as '' — so the output has NO null cells and
+    hash-compares cleanly (engine NULL/NaN renderings differ).
+
+    Plan: ONE wide global aggregate (partial+final — a single scan,
+    no keyed shuffle), then a narrow explode of the per-column struct
+    array into rows.  ``distinct='exact'`` uses count(DISTINCT) —
+    Spark plans the multi-column distinct via EXPAND (one duplicated
+    pass per profiled column), which is the honest cost of exactness
+    and the right choice up to tens of columns; ``distinct='approx'``
+    swaps in HLL (approx_count_distinct) for ONE true pass at 100 TB
+    — same plan shape, estimates instead of exact counts (and no SQL
+    oracle hash, so the registered query profiles with exact mode).
+
+    Output: (column, n_rows, n_nulls, n_distinct, min_val, max_val).
+    """
+
+    _NUMERIC = ("tinyint", "smallint", "int", "integer", "bigint", "long",
+                "float", "double", "decimal")
+
+    def __init__(
+        self,
+        input: str,
+        output: str,
+        *,
+        columns: "Sequence[str] | None" = None,
+        distinct: str = "exact",
+        label: str | None = None,
+    ):
+        if distinct not in ("exact", "approx"):
+            raise ValueError("ProfileColumns: distinct must be 'exact' or 'approx'")
+        self.input = input
+        self.output = output
+        self.columns = tuple(columns) if columns else None
+        self.distinct = distinct
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        cols = self.columns or tuple(df.columns)
+        dtypes = dict(df.dtypes)
+        missing = [c for c in cols if c not in dtypes]
+        if missing:
+            raise ValueError(f"ProfileColumns: columns not in input: {missing}")
+        cnt_d = (
+            (lambda c: F.count_distinct(F.col(c)))
+            if self.distinct == "exact"
+            else (lambda c: F.approx_count_distinct(F.col(c)))
+        )
+        def render(agg_col, t):
+            numeric = any(t.startswith(n) for n in self._NUMERIC)
+            if numeric:
+                return agg_col.cast("decimal(18,6)").cast("string")
+            if t == "string":
+                return agg_col
+            return F.lit("")
+
+        structs = []
+        for c in cols:
+            t = dtypes[c]
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    (F.count(F.lit(1)) - F.count(F.col(c))).alias("n_nulls"),
+                    cnt_d(c).alias("n_distinct"),
+                    F.coalesce(render(F.min(F.col(c)), t), F.lit("")).alias("min_val"),
+                    F.coalesce(render(F.max(F.col(c)), t), F.lit("")).alias("max_val"),
+                )
+            )
+        wide = df.agg(F.array(*structs).alias("__p"))
+        out = wide.select(F.explode("__p").alias("__s")).select("__s.*").select(
+            "column",
+            F.col("n_rows").cast("bigint"),
+            F.col("n_nulls").cast("bigint"),
+            F.col("n_distinct").cast("bigint"),
+            "min_val", "max_val",
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

@@ -653,6 +653,48 @@ def test_count_min_sketch_invariants(spark):
         CountMinSketch("s", "o", key_col="k", depth=0)
 
 
+def test_profile_columns(spark):
+    """ProfileColumns: null/distinct counts exact, numeric min/max
+    rendered through DECIMAL(18,6) (no engine-specific double text),
+    strings lexicographic, unsupported types profile counts-only with
+    '' min/max, approx mode estimates within HLL tolerance, unknown
+    columns raise."""
+    import datetime
+
+    import pytest
+    from strom_spark import Flow, ProfileColumns
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 0.5, "b", ts),
+        (2, None, "a", ts),
+        (2, 1.25, None, ts),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, x double, s string, t timestamp")
+    out = {
+        r.column: r
+        for r in ProfileColumns("d", "p")(Flow({"d": df}))["p"].collect()
+    }
+    assert set(out) == {"k", "x", "s", "t"}
+    assert out["k"].n_rows == 3 and out["k"].n_nulls == 0 and out["k"].n_distinct == 2
+    assert out["k"].min_val == "1.000000" and out["k"].max_val == "2.000000"
+    assert out["x"].n_nulls == 1 and out["x"].n_distinct == 2
+    assert out["x"].min_val == "0.500000" and out["x"].max_val == "1.250000"
+    assert out["s"].min_val == "a" and out["s"].max_val == "b" and out["s"].n_nulls == 1
+    assert out["t"].min_val == "" and out["t"].n_distinct == 1  # counts-only type
+    approx = {
+        r.column: r.n_distinct
+        for r in ProfileColumns("d", "p", distinct="approx")(
+            Flow({"d": df})
+        )["p"].collect()
+    }
+    assert approx["k"] in (1, 2, 3)  # HLL estimate, tiny input -> exact-ish
+    with pytest.raises(ValueError, match="not in input"):
+        ProfileColumns("d", "p", columns=["nope"])(Flow({"d": df}))
+    with pytest.raises(ValueError, match="distinct"):
+        ProfileColumns("d", "p", distinct="nope")
+
+
 def test_batch_only_components_reject_streams(spark):
     """Corpus-statistics components raise a TYPED, actionable error on
     streaming frames instead of Spark's opaque AnalysisException; the
