@@ -268,9 +268,90 @@ def graph_main() -> None:
     spark.stop()
 
 
+def triangles_main() -> None:
+    """TriangleCount 10× probe: the co-purchase graph of sf0.1
+    lineitem at 1× and 10× (key-offset DISJOINT copies — identical
+    per-copy structure, so the true triangle count is exactly 10×),
+    recording wall time, wedge-stage shuffle volume, and the
+    count ratio (a correctness cross-check at scale: anything but
+    exactly 10.0 means the orientation double-counts or drops).
+    Broadcast disabled like the graph probe, pinning the shuffle-join
+    regime the operator would run in at 100 TB."""
+    os.environ["STROM_SPARK_UI"] = "true"
+    spark = get_spark("tri_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.range(2_000_000).selectExpr("sum(id*2)").collect()  # JIT warmup
+
+    from strom_spark.operators.graph import TriangleCount
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    base = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    ).distinct()
+    out: dict = {"probe": "triangles_10x_scaling", "runs": {}}
+    for copies in (1, 10):
+        parts = [
+            base.select(
+                (F.col("src") + F.lit(i * 10_000_000_000)).alias("src"),
+                (F.col("dst") + F.lit(i * 10_000_000_000)).alias("dst"),
+            )
+            for i in range(copies)
+        ]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big = big.repartition(32).cache()
+        n_edges = big.count()
+        secs, tri_total = [], None
+        for _ in range(2):  # cold + warm; headline = min
+            before = {s["stageId"] for s in _completed_stages()}
+            t0 = time.time()
+            counts = TriangleCount("e", "t")(Flow({"e": big}))["t"]
+            agg = counts.agg(
+                F.sum("n_triangles").alias("s"), F.count(F.lit(1)).alias("n")
+            ).collect()[0]
+            secs.append(round(time.time() - t0, 1))
+            tri_total = int(agg["s"]) // 3  # each triangle counted at 3 nodes
+            nodes = int(agg["n"])
+            stages = [s for s in _completed_stages() if s["stageId"] not in before]
+        out["runs"][f"{copies}x"] = {
+            "n_edges": n_edges,
+            "n_triangles": tri_total,
+            "nodes_in_triangles": nodes,
+            "sec": min(secs),
+            "shuffle_write_mb": round(
+                sum(s["shuffleWriteBytes"] for s in stages) / 1e6, 1
+            ),
+        }
+        big.unpersist()
+    r1, r10 = out["runs"]["1x"], out["runs"]["10x"]
+    out["triangle_count_ratio_10x"] = round(
+        r10["n_triangles"] / max(r1["n_triangles"], 1), 4
+    )
+    out["time_ratio_10x"] = round(r10["sec"] / max(r1["sec"], 0.1), 2)
+    out["shuffle_ratio_10x"] = round(
+        r10["shuffle_write_mb"] / max(r1["shuffle_write_mb"], 0.1), 2
+    )
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "curation":
         curation_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "triangles":
+        triangles_main()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "graph":
         graph_main()
