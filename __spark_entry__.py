@@ -1237,6 +1237,62 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "retention_cohorts",
+    """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+c AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY 1),
+r AS (
+  SELECT c.cohort, date_diff('day', c.cohort, a.d) AS off, a.user_id
+  FROM act a JOIN c ON a.user_id = c.user_id
+),
+sz AS (SELECT cohort, count(DISTINCT user_id) AS cohort_size FROM r WHERE off = 0 GROUP BY 1),
+ret AS (
+  SELECT cohort, off, count(DISTINCT user_id) AS retained
+  FROM r WHERE off IN (1, 7, 30) GROUP BY 1, 2
+)
+SELECT strftime(ret.cohort, '%Y-%m-%d') AS cohort_day,
+  CAST(ret.off AS BIGINT) AS day_offset,
+  CAST(ret.retained AS BIGINT) AS retained,
+  CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+  ret.retained / sz.cohort_size AS retention
+FROM ret JOIN sz ON ret.cohort = sz.cohort
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic D1/D7/D30 retention cohort matrix over the events
+    stream: cohort = a user's first active day; for each (cohort,
+    offset) the distinct retained users and the retention rate.  Two
+    keyed aggs + one keyed join — the canonical product-analytics
+    query every event pipeline serves, expressed declaratively so
+    Catalyst fuses the distinct-day projection into both aggregations.
+    Retention is bigint/bigint IEEE division — hash-exact cross-
+    engine.  Beyond-reference: product-analytics surface."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    c = act.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    r = act.join(c, "user_id").select(
+        "user_id", "cohort", F.datediff("d", "cohort").alias("off")
+    )
+    sz = (
+        r.filter(F.col("off") == 0)
+        .groupBy("cohort")
+        .agg(F.count_distinct("user_id").alias("cohort_size"))
+    )
+    ret = (
+        r.filter(F.col("off").isin(1, 7, 30))
+        .groupBy("cohort", "off")
+        .agg(F.count_distinct("user_id").alias("retained"))
+    )
+    return ret.join(sz, "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("off").cast("bigint").alias("day_offset"),
+        F.col("retained").cast("bigint"),
+        F.col("cohort_size").cast("bigint"),
+        (F.col("retained") / F.col("cohort_size")).alias("retention"),
+    )
+
+
+@_q(
     "text_stats",
     rf"""
 WITH {_NORM_DOCS},

@@ -134,6 +134,7 @@ HEADLINE = [
     "triangle_counts",
     "copurchase_similar_parts",
     "profile_lineitem",
+    "retention_cohorts",
     "c4_quality_flags",
     "fineweb_quality_flags",
     "intra_doc_line_dedup",
