@@ -1046,15 +1046,22 @@ class CoOccurrenceJaccard(Component):
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
-        li = (
+        from pyspark import StorageLevel
+
+        li0 = (
             flow[self.input]
             .select(F.col(self.group_col).alias("__g"), F.col(self.item_col).alias("__i"))
             .distinct()
         )
-        ok = li.groupBy("__g").agg(F.count(F.lit(1)).alias("__n")).filter(
+        ok = li0.groupBy("__g").agg(F.count(F.lit(1)).alias("__n")).filter(
             F.col("__n") <= self.max_group_size
         )
-        li = li.join(ok.select("__g"), "__g")
+        # the capped postings are consumed 3x (sizes + both self-join
+        # sides): persist THIS table once — its materialization runs
+        # the scan+distinct+cap lineage a single time, and the two
+        # join sides + sizes read the cache (without it the plan
+        # re-derives the postings five times)
+        li = li0.join(ok.select("__g"), "__g").persist(StorageLevel.MEMORY_AND_DISK)
         sizes = li.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
         a, b = li.alias("a"), li.alias("b")
         pairs = (
