@@ -831,8 +831,16 @@ class MMRRerank(Component):
             F.col(self.vec_col).alias("__v"),
             V.norm(self.vec_col).alias("__n"),
         )
-        cv = cands.join(vecs, F.col("__c") == F.col("__id")).select(
-            "__q", "__c", "__rel", "__v", "__n"
+        from pyspark import StorageLevel
+
+        # cv is TINY (top-C candidates per query) but its lineage is
+        # the whole upstream retrieval — consumed by both self-join
+        # sides, so pin it once (shared-lineage rule; persisting a
+        # candidate-sized table is always worth the cache write)
+        cv = (
+            cands.join(vecs, F.col("__c") == F.col("__id"))
+            .select("__q", "__c", "__rel", "__v", "__n")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         a, b = cv.alias("a"), cv.alias("b")
         pairs = a.join(

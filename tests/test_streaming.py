@@ -344,6 +344,45 @@ def test_streaming_curation_narrow_stages_match_batch(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_fineweb_and_entropy_contracts(spark, sf_dir):
+    """fineweb_rules is pure Column expressions (including the
+    sorted-neighbor duplicated-line scan — array ops, zero shuffle),
+    so the SAME Transformer runs over a stream and drains availableNow
+    to EXACTLY the batch flags, row for row."""
+    import shutil
+    import tempfile
+
+    from strom_spark import load_table
+    from strom_spark.functions import text as TXT
+
+    d = tempfile.mkdtemp(prefix="strom_fw_stream_")
+    try:
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(d)
+
+        def flags(df):
+            fw = TXT.fineweb_rules("text")
+            return Transformer(
+                "docs",
+                select={"doc_id": "doc_id", **{k: fw[k] for k in
+                        ("n_rules_passed", "fineweb_keep", "dup_line_char_frac")}},
+            )(Flow({"docs": df}))["docs"]
+
+        out = flags(_read_stream(spark, d))
+        assert out.isStreaming
+        run_available(out, query_name="t_stream_fw")
+        got = sorted(
+            (r.doc_id, r.n_rules_passed, r.fineweb_keep, r.dup_line_char_frac)
+            for r in spark.sql("SELECT * FROM t_stream_fw").collect()
+        )
+        want = sorted(
+            (r.doc_id, r.n_rules_passed, r.fineweb_keep, r.dup_line_char_frac)
+            for r in flags(spark.read.parquet(d)).collect()
+        )
+        assert got == want and len(want) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_cms_matches_batch(spark, stream_dir):
     """CountMinSketch is ONE keyed aggregation, so the SAME component
     runs unmodified over a stream (complete mode — the grid is the
