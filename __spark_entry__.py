@@ -1236,6 +1236,99 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )(Flow({"li": li}))["prof"]
 
 
+#: EWMA weights 0.5^j — dyadic, so every weight has an EXACT finite
+#: decimal expansion (<= 19 digits), shipped as DECIMAL(20,19)
+#: literals on BOTH sides: value*0.5^k of a 2dp value is exactly a
+#: (2+k)-digit decimal, which lands on 7th-decimal halves where
+#: double round() diverges between engines — exact decimal products
+#: + HALF_UP make the contribution engine-independent (the mmr_rerank
+#: lesson applied ahead of the failure this query hit on first run)
+from decimal import Decimal as _Dec
+
+_EWMA_W = [_Dec(0.5 ** j).quantize(_Dec("1E-19")) for j in range(20)]
+_EWMA_W_SQL = ", ".join(
+    f"({j}, CAST('{w:f}' AS DECIMAL(20,19)))" for j, w in enumerate(_EWMA_W)
+)
+_EWMA_W_DBL = [0.5 ** j for j in range(20)]
+
+
+@_q(
+    "ewma_user_values",
+    f"""
+WITH w(off, wt) AS (VALUES {_EWMA_W_SQL}),
+r AS (
+  SELECT event_id, user_id, ts, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+pairs AS (
+  SELECT cur.event_id, cur.user_id, cur.rn,
+    round(CAST(past.value AS DECIMAL(18,6)) * w.wt, 6) AS c
+  FROM r cur
+  JOIN r past ON past.user_id = cur.user_id
+    AND past.rn BETWEEN cur.rn - 19 AND cur.rn
+  JOIN w ON w.off = cur.rn - past.rn
+),
+s AS (
+  SELECT event_id, user_id, rn,
+    CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS num,
+    count(*) AS k
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT s.event_id, s.user_id,
+  s.num / (2 - wd.wt) AS ewma,
+  CAST(s.k AS BIGINT) AS n_window
+FROM s JOIN w wd ON wd.off = s.k - 1
+""",
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values (alpha=0.5, 20-event horizon, normalized) at every event —
+    the standard smoothing/anomaly-baseline signal per entity.
+
+    Oracle-exactness by construction: alpha=0.5 makes every weight a
+    POWER OF TWO shipped as a literal (no libm pow in either engine),
+    contributions are rounded 6dp and summed as DECIMAL (shuffle-order
+    independent), and the normalizer 2 - 0.5^(k-1) is exact double
+    arithmetic — so the Spark window-array shape and the oracle's
+    row_number self-join shape must agree bit-for-bit.  Plan: ONE
+    window shuffle on user_id (collect_list over a 20-row frame),
+    then narrow array math — no self-join on the Spark side."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-19, 0)
+    )
+    wlit = F.array(*[F.lit(x) for x in _EWMA_W])  # decimal(20,19) literals
+    wdbl = F.array(*[F.lit(x) for x in _EWMA_W_DBL])
+    arr = F.collect_list("value").over(win)
+    out = ev.select("event_id", "user_id", arr.alias("__a"))
+    n = F.size("__a")
+    contribs = F.transform(
+        "__a",
+        lambda x, i: F.round(
+            x.cast("decimal(18,6)") * F.element_at(wlit, n - i), 6
+        ).cast("decimal(18,6)"),
+    )
+    # exact DECIMAL fold (re-cast keeps the accumulator type stable
+    # under decimal-addition widening) == the oracle's decimal SUM
+    num = F.aggregate(
+        contribs,
+        F.lit(0).cast("decimal(18,6)"),
+        lambda acc, x: (acc + x).cast("decimal(18,6)"),
+    ).cast("double")
+    denom = F.lit(2.0) - F.element_at(wdbl, n)
+    return out.select(
+        "event_id",
+        "user_id",
+        (num / denom).alias("ewma"),
+        n.cast("bigint").alias("n_window"),
+    )
+
+
 @_q(
     "retention_cohorts",
     """

@@ -135,6 +135,7 @@ HEADLINE = [
     "copurchase_similar_parts",
     "profile_lineitem",
     "retention_cohorts",
+    "ewma_user_values",
     "c4_quality_flags",
     "fineweb_quality_flags",
     "intra_doc_line_dedup",
