@@ -1330,6 +1330,54 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "event_transition_probs",
+    """
+WITH s AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+c AS (
+  SELECT event_type AS cur_type, nxt AS next_type, count(*) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT cur_type, sum(n) AS total FROM c GROUP BY 1)
+SELECT c.cur_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+  CAST(t.total AS BIGINT) AS total,
+  c.n / t.total AS prob
+FROM c JOIN t USING (cur_type)
+""",
+)
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream: P(next | current) from lead() pairs in event-time order
+    (ties broken on event_id in both engines).  One window shuffle on
+    user_id, one keyed count, a type-count-sized totals join —
+    transition matrices are |types|^2 rows regardless of corpus size,
+    the right shape for behavioral modeling at 100 TB.  Probability is
+    bigint/bigint IEEE division — hash-exact.  Beyond-reference:
+    sequence-analytics surface."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = s.groupBy(
+        F.col("event_type").alias("cur_type"), F.col("nxt").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("cur_type").agg(F.sum("n").alias("total"))
+    return c.join(t, "cur_type").select(
+        "cur_type",
+        "next_type",
+        F.col("n").cast("bigint"),
+        F.col("total").cast("bigint"),
+        (F.col("n") / F.col("total")).alias("prob"),
+    )
+
+
+@_q(
     "retention_cohorts",
     """
 WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -136,6 +136,7 @@ HEADLINE = [
     "profile_lineitem",
     "retention_cohorts",
     "ewma_user_values",
+    "event_transition_probs",
     "c4_quality_flags",
     "fineweb_quality_flags",
     "intra_doc_line_dedup",
