@@ -1825,6 +1825,64 @@ def fineweb_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "readability_scores",
+    r"""
+WITH m AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' '), x -> x != '') AS w,
+    greatest(len(regexp_extract_all(coalesce(text, ''), '[.!?]')), 1) AS n_sent,
+    len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+')) AS vg
+  FROM documents
+),
+f AS (
+  SELECT doc_id, len(w) AS n_words, n_sent,
+    vg + len(list_filter(w, x -> NOT regexp_matches(x, '[aeiouy]'))) AS n_syl
+  FROM m
+),
+r AS (
+  SELECT doc_id, n_words, n_sent, n_syl,
+    round(n_words / n_sent, 6) AS r1,
+    round(n_syl / greatest(n_words, 1), 6) AS r2
+  FROM f
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_sent AS BIGINT) AS n_sentences,
+  CAST(n_syl AS BIGINT) AS n_syllables,
+  CAST(round(CAST(206.835 AS DECIMAL(9,3))
+           - CAST(1.015 AS DECIMAL(9,3)) * CAST(r1 AS DECIMAL(18,6))
+           - CAST(84.6 AS DECIMAL(9,3)) * CAST(r2 AS DECIMAL(18,6)), 6) AS DOUBLE) AS flesch
+FROM r
+""",
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per document (Flesch 1948; functions/
+    text.py:flesch_reading_ease) with deterministic engine-portable
+    stand-ins (terminal-mark sentences floored at 1, vowel-group
+    syllables with a >=1-per-word floor).  Ratios are int/int IEEE
+    rounded 6dp; the published constants combine in EXACT DECIMAL so
+    no double product lands on a decimal half.  Pure Column HOFs —
+    one narrow scan, zero shuffle.  Corpus note: the synthetic docs
+    have no terminal punctuation, so n_sentences = 1 and scores go
+    deeply negative — the driver row certifies the arithmetic, the
+    per-rule behavior is pytest-covered on a handcrafted corpus.
+    Beyond-reference: training-data curation surface."""
+    flow = Flow({"docs": spread(load_table(spark, sf_dir, "documents"))})
+    fr = TXT.flesch_reading_ease("text")
+    out = Transformer(
+        "docs",
+        select={
+            "doc_id": "doc_id",
+            "n_words": fr["n_words"],
+            "n_sentences": fr["n_sentences"],
+            "n_syllables": fr["n_syllables"],
+            "flesch": fr["flesch"],
+        },
+    )(flow)
+    return out["docs"]
+
+
+@_q(
     "langid_counts",
     f"""
 WITH {_NORM_DOCS},

@@ -137,6 +137,7 @@ HEADLINE = [
     "retention_cohorts",
     "ewma_user_values",
     "event_transition_probs",
+    "readability_scores",
     "c4_quality_flags",
     "fineweb_quality_flags",
     "intra_doc_line_dedup",

@@ -817,3 +817,47 @@ def unigram_entropy_stats(df, id_col: str, text_col: str):
             F.col("__e").cast("double").alias("unigram_entropy"),
         )
     )
+
+
+def flesch_reading_ease(col: "Column | str") -> dict[str, Column]:
+    """Flesch Reading Ease (Flesch 1948, the published formula used
+    as a document-quality signal in curation pipelines):
+
+        206.835 - 1.015 * (words/sentences) - 84.6 * (syllables/words)
+
+    Deterministic engine-portable stand-ins, documented like
+    :func:`c4_rules`' sentence counter: sentences = terminal-mark
+    count ('.', '!', '?'), floored at 1; syllables = vowel-group runs
+    ``[aeiouy]+`` in the lowercased text, plus 1 for each word with
+    no vowel (so every word counts >= 1 syllable).
+
+    Cross-engine arithmetic discipline: both ratios are int/int IEEE
+    divisions rounded 6dp (int ratios never land on the repr-half
+    boundary: power-of-two denominators are exactly representable —
+    both engines round away from zero — and any other denominator
+    has a 17-digit repr), then the three published constants combine
+    in EXACT DECIMAL so no double product can land on a decimal half.
+    Returns n_words, n_sentences, n_syllables, and ``flesch``."""
+    from decimal import Decimal
+
+    c = F.coalesce(_c(col), F.lit(""))
+    w = F.filter(tokens(c), lambda x: x != F.lit(""))
+    n_words = F.size(w)
+    safe_w = F.greatest(n_words, F.lit(1))
+    n_sent = F.greatest(F.size(F.regexp_extract_all(c, F.lit(r"[.!?]"), 0)), F.lit(1))
+    vowel_groups = F.size(F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), 0))
+    no_vowel_words = F.size(F.filter(w, lambda x: ~x.rlike("[aeiouy]")))
+    n_syl = vowel_groups + no_vowel_words
+    r1 = F.round(n_words / n_sent, 6).cast("decimal(18,6)")
+    r2 = F.round(n_syl / safe_w, 6).cast("decimal(18,6)")
+    flesch = (
+        F.lit(Decimal("206.835"))
+        - F.lit(Decimal("1.015")) * r1
+        - F.lit(Decimal("84.6")) * r2
+    )
+    return {
+        "n_words": n_words.cast("bigint"),
+        "n_sentences": n_sent.cast("bigint"),
+        "n_syllables": n_syl.cast("bigint"),
+        "flesch": F.round(flesch, 6).cast("double"),
+    }

@@ -1448,6 +1448,39 @@ def test_fineweb_rules_each_rule_both_ways(spark):
         assert rows[i]["r_dup_line_chars"] == 1 and rows[i]["fineweb_keep"] == 0
 
 
+def test_flesch_reading_ease_hand_computed(spark):
+    """flesch_reading_ease (Flesch 1948): hand-computed scores — the
+    published constants over exact ratios, the >=1 syllable-per-word
+    floor for vowel-free words, the sentence floor of 1, and the
+    empty-doc identity 206.835."""
+    from strom_spark.functions.text import flesch_reading_ease
+
+    docs = [
+        (1, "The cat sat. It ran!"),   # 5 words, 2 sentences, 5 syllables
+        (2, "tsk 123"),                # two vowel-free words -> 2 syllables
+        (3, ""),
+        (4, None),
+    ]
+    fr = flesch_reading_ease("text")
+    rows = {
+        r.doc_id: r
+        for r in spark.createDataFrame(docs, "doc_id bigint, text string")
+        .select("doc_id", *[fr[k].alias(k) for k in fr])
+        .collect()
+    }
+    assert (rows[1].n_words, rows[1].n_sentences, rows[1].n_syllables) == (5, 2, 5)
+    # 206.835 - 1.015*2.5 - 84.6*1.0
+    assert rows[1].flesch == 119.6975
+    assert (rows[2].n_words, rows[2].n_sentences, rows[2].n_syllables) == (2, 1, 2)
+    # exact-decimal combine: 206.835 - 1.015*2 - 84.6*1 (Python float
+    # subtraction of the same constants is off by an ulp — the
+    # operator's decimal arithmetic is the defined answer)
+    assert rows[2].flesch == 120.205
+    for i in (3, 4):
+        assert rows[i].n_words == 0 and rows[i].n_sentences == 1
+        assert rows[i].flesch == 206.835
+
+
 def test_unigram_entropy_stats_hand_computed(spark):
     """unigram_entropy_stats (RedPajama-V2 rps_doc_unigram_entropy):
     hand-computed entropy on a 3-token doc, zero entropy on a
