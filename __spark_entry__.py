@@ -963,6 +963,80 @@ qz AS (
 
 
 @_q(
+    "hard_negative_mining",
+    """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT qid, ql, vec_id AS nid, label AS nl,
+    round(list_cosine_similarity(qv, embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings CROSS JOIN q WHERE vec_id != qid
+),
+k50 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+    FROM s) WHERE rank <= 50
+),
+best AS (
+  SELECT * FROM (
+    SELECT qid, ql, nid, nl, cosine,
+      row_number() OVER (PARTITION BY qid, (nl = ql) ORDER BY cosine DESC, nid) AS rn
+    FROM k50) WHERE rn = 1
+)
+SELECT qid AS query_id, CAST(max(ql) AS BIGINT) AS query_label,
+  CAST(coalesce(max(CASE WHEN nl = ql THEN nid END), -1) AS BIGINT) AS pos_id,
+  coalesce(max(CASE WHEN nl = ql THEN cosine END), 0.0) AS pos_cosine,
+  CAST(coalesce(max(CASE WHEN nl != ql THEN nid END), -1) AS BIGINT) AS neg_id,
+  coalesce(max(CASE WHEN nl != ql THEN cosine END), 0.0) AS neg_cosine
+FROM best GROUP BY qid
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    vector, the highest-cosine SAME-label candidate (the positive) and
+    the highest-cosine DIFFERENT-label candidate (the hard negative —
+    the example that actually moves an embedding model, vs easy random
+    negatives) from the exact top-50.  Composes the guard-bounded
+    CosineTopK scan with a label join and one (query, same-label)
+    ranking window; candidates are top-k bounded, so the mining cost
+    is fixed per query regardless of corpus size.  Missing-class
+    sentinels (-1/0.0) keep the row NULL-free for cross-engine
+    hashing.  Beyond-reference: contrastive-training data surface."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = CosineTopK(
+        "corpus", "queries", "knn", k=50,
+    )(Flow({"corpus": emb, "queries": emb.filter(F.col("vec_id") < 10)}))["knn"]
+    lab = emb.select("vec_id", "label")
+    j = (
+        knn.join(
+            lab.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")),
+            "neighbor_id",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql")),
+            "query_id",
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id", F.col("nl") == F.col("ql")).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    best = j.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    same = F.col("nl") == F.col("ql")
+    return best.groupBy("query_id").agg(
+        F.max("ql").cast("bigint").alias("query_label"),
+        F.coalesce(F.max(F.when(same, F.col("neighbor_id"))), F.lit(-1))
+        .cast("bigint")
+        .alias("pos_id"),
+        F.coalesce(F.max(F.when(same, F.col("cosine"))), F.lit(0.0)).alias("pos_cosine"),
+        F.coalesce(F.max(F.when(~same, F.col("neighbor_id"))), F.lit(-1))
+        .cast("bigint")
+        .alias("neg_id"),
+        F.coalesce(F.max(F.when(~same, F.col("cosine"))), F.lit(0.0)).alias("neg_cosine"),
+    )
+
+
+@_q(
     "quantized_knn",
     f"""
 WITH {_SQ8},

@@ -130,6 +130,7 @@ HEADLINE = [
     "cms_user_counts",
     "doc_entropy_stats",
     "quantized_knn",
+    "hard_negative_mining",
     "sq8_recall_floor",
     "triangle_counts",
     "copurchase_similar_parts",
