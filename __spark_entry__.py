@@ -1037,6 +1037,80 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "knn_label_accuracy",
+    """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql FROM embeddings WHERE vec_id < 200),
+s AS (
+  SELECT qid, ql, vec_id AS nid,
+    round(list_cosine_similarity(qv, embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings CROSS JOIN q WHERE vec_id != qid
+),
+k5 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+    FROM s) WHERE rank <= 5
+),
+votes AS (
+  SELECT k5.qid, k5.ql, e.label AS nl, count(*) AS c
+  FROM k5 JOIN embeddings e ON e.vec_id = k5.nid
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT qid, ql, nl AS predicted FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nl) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+  CAST(5 AS BIGINT) AS k,
+  CAST(sum(CAST(predicted = ql AS INT)) AS BIGINT) AS n_correct,
+  sum(CAST(predicted = ql AS INT)) / count(*) AS accuracy
+FROM pred
+""",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN classifier accuracy over the embedding
+    labels — the standard embedding-quality eval (does cosine
+    neighborhood structure predict class?), as a driver-checked flag
+    row.  Majority vote with deterministic tie-break (count desc,
+    label asc); queries bounded to 200 (the guard-bounded CosineTopK
+    broadcast scan), votes and prediction are keyed aggregations over
+    the 5-row candidate lists; accuracy is bigint/bigint IEEE
+    division.  Beyond-reference: embedding-eval surface."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = CosineTopK(
+        "corpus", "queries", "knn", k=5,
+    )(Flow({"corpus": emb, "queries": emb.filter(F.col("vec_id") < 200)}))["knn"]
+    lab = emb.select("vec_id", "label")
+    votes = (
+        knn.join(
+            lab.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("nl"))
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("nl").alias("predicted"))
+        .join(
+            lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql")),
+            "query_id",
+        )
+    )
+    correct = (F.col("predicted") == F.col("ql")).cast("int")
+    return pred.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.lit(5).cast("bigint").alias("k"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        (F.sum(correct) / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+@_q(
     "quantized_knn",
     f"""
 WITH {_SQ8},

@@ -131,6 +131,7 @@ HEADLINE = [
     "doc_entropy_stats",
     "quantized_knn",
     "hard_negative_mining",
+    "knn_label_accuracy",
     "sq8_recall_floor",
     "triangle_counts",
     "copurchase_similar_parts",
