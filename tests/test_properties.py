@@ -557,3 +557,102 @@ def test_collapse_repeated_lines_matches_python_replay(spark, docs):
         assert out.loc[i, "n_distinct_lines"] == len(kept)
         assert out.loc[i, "cleaned_chars"] == len(cleaned)
         assert out.loc[i, "cleaned_text"] == cleaned
+
+
+@given(
+    lists=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.floats(-1, 1, allow_nan=False, width=32)),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=3,
+    ),
+    k0=st.sampled_from([1, 10, 60]),
+    cut=st.integers(1, 8),
+)
+@SET
+def test_rrf_fusion_matches_python_replay(spark, lists, k0, cut):
+    """Differential oracle: RRFFusion equals a direct python replay of
+    the same pipeline — 6dp-round scores, (score desc, id asc) rank,
+    per_list_k cut, round(1/(k0+rank), 6) contributions summed as
+    exact Decimal — on random (id, score) lists with duplicate ids
+    across lists and ties within a list."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from strom_spark import RRFFusion
+
+    def r6(x):
+        return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    want = defaultdict(lambda: [Decimal(0), 0, None])  # score, n, best
+    for lst in lists:
+        # de-dup ids within one list the way a ranker would (keep max
+        # score per id; ties on the rounded score break on id)
+        per_id = {}
+        for i, s in lst:
+            sc = float(r6(s))
+            if i not in per_id or sc > per_id[i]:
+                per_id[i] = sc
+        ranked = sorted(per_id.items(), key=lambda kv: (-kv[1], kv[0]))[:cut]
+        for rank, (i, _) in enumerate(ranked, start=1):
+            c = r6(1.0 / (k0 + rank))
+            want[i][0] += c
+            want[i][1] += 1
+            want[i][2] = rank if want[i][2] is None else min(want[i][2], rank)
+
+    flows = {}
+    names = []
+    for j, lst in enumerate(lists):
+        per_id = {}
+        for i, s in lst:
+            sc = float(r6(s))
+            if i not in per_id or sc > per_id[i]:
+                per_id[i] = sc
+        rows = [{"doc_id": i, "score": s} for i, s in per_id.items()]
+        name = f"l{j}"
+        flows[name] = spark.createDataFrame(rows, "doc_id bigint, score double")
+        names.append(name)
+    out = RRFFusion(names, "fused", id_col="doc_id", k0=k0, per_list_k=cut)(
+        Flow(flows)
+    )["fused"]
+    got = {
+        r.doc_id: (r.rrf_score, r.n_lists, r.best_rank) for r in out.collect()
+    }
+    assert set(got) == set(want)
+    for i, (sc, n, best) in want.items():
+        assert got[i] == (float(sc), n, best), (i, got[i], (float(sc), n, best))
+
+
+@given(
+    vals=st.lists(st.integers(0, 40), min_size=1, max_size=200),
+    depth=st.integers(1, 4),
+    width=st.sampled_from([8, 64, 512]),
+)
+@SET
+def test_cms_overestimates_and_totals(spark, vals, depth, width):
+    """CMS invariants on random multisets: every point estimate >= the
+    true count (one-sided error, narrow widths force collisions), the
+    grid mass is exactly depth * N, and the grid never exceeds
+    depth * width rows."""
+    from collections import Counter
+
+    from strom_spark import CountMinSketch, Flow, cms_estimate
+
+    truth = Counter(vals)
+    df = spark.createDataFrame([{"k": v} for v in vals], "k bigint")
+    grid = CountMinSketch("s", "o", key_col="k", depth=depth, width=width)(
+        Flow({"s": df})
+    )["o"]
+    rows = grid.collect()
+    assert len(rows) <= depth * width
+    assert sum(r.cnt for r in rows) == depth * len(vals)
+    keys = spark.createDataFrame([{"k": k} for k in truth], "k bigint")
+    est = {
+        r.k: r.est_count
+        for r in cms_estimate(grid, keys, key_col="k", depth=depth, width=width).collect()
+    }
+    for k, c in truth.items():
+        assert est[k] >= c, (k, est[k], c)
