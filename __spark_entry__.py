@@ -1512,9 +1512,18 @@ def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.select(
         "event_type", F.lead("event_type").over(w).alias("nxt")
     ).filter(F.col("nxt").isNotNull())
-    c = s.groupBy(
-        F.col("event_type").alias("cur_type"), F.col("nxt").alias("next_type")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark import StorageLevel
+
+    # the transition-count table is |types|^2-bounded and consumed by
+    # the totals agg AND the final join — pin it (small-intermediate
+    # persist rule) so the window+count pipeline runs once
+    c = (
+        s.groupBy(
+            F.col("event_type").alias("cur_type"), F.col("nxt").alias("next_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     t = c.groupBy("cur_type").agg(F.sum("n").alias("total"))
     return c.join(t, "cur_type").select(
         "cur_type",
@@ -1556,11 +1565,23 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst fuses the distinct-day projection into both aggregations.
     Retention is bigint/bigint IEEE division — hash-exact cross-
     engine.  Beyond-reference: product-analytics surface."""
+    from pyspark import StorageLevel
+
     ev = load_table(spark, sf_dir, "events")
-    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    # (user, active-day) distinct is BOUNDED (users x days, not
+    # events) and consumed by the cohort agg AND the offset join;
+    # the offset table r feeds both sz and ret — pin both (the
+    # small-intermediate persist rule), or the plan re-scans events 4x
+    act = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     c = act.groupBy("user_id").agg(F.min("d").alias("cohort"))
-    r = act.join(c, "user_id").select(
-        "user_id", "cohort", F.datediff("d", "cohort").alias("off")
+    r = (
+        act.join(c, "user_id")
+        .select("user_id", "cohort", F.datediff("d", "cohort").alias("off"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sz = (
         r.filter(F.col("off") == 0)
