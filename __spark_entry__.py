@@ -1111,6 +1111,56 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "knn_neighbor_mean",
+    """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 200),
+s AS (
+  SELECT qid, vec_id AS nid,
+    round(list_cosine_similarity(qv, embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings CROSS JOIN q WHERE vec_id != qid
+),
+k5 AS (
+  SELECT qid, nid FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+    FROM s) WHERE rank <= 5
+),
+x AS (
+  SELECT k5.qid, t.i - 1 AS dim,
+    round(e.embedding[t.i]::DOUBLE, 6) AS c
+  FROM k5 JOIN embeddings e ON e.vec_id = k5.nid,
+  unnest(range(1, len(e.embedding) + 1)) AS t(i)
+)
+SELECT qid AS node, CAST(dim AS INT) AS dim,
+  CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_val,
+  CAST(count(*) AS BIGINT) AS n_neighbors
+FROM x GROUP BY qid, dim
+""",
+)
+def knn_neighbor_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-mean neighbor aggregation (Hamilton et al. 2017;
+    graph.py:NeighborMeanFeatures) over the exact 5-NN graph of 200
+    query vectors: per (node, dim), the element-wise mean of the
+    neighbors' embedding components — the feature-propagation /
+    embedding-smoothing layer as a dataframe op.  Scale shape: the
+    neighbor vectors posexplode to (edge x dim) SKINNY rows and one
+    keyed agg on (node, dim) — a hot node's load spreads over dim
+    keys with map-side partial sums (no per-node vector collect).
+    Components are 6dp-rounded and decimal-summed, so the long-form
+    output hash-matches the oracle exactly.  Beyond-reference:
+    graph-feature surface."""
+    from strom_spark import NeighborMeanFeatures
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = CosineTopK(
+        "corpus", "queries", "knn", k=5,
+    )(Flow({"corpus": emb, "queries": emb.filter(F.col("vec_id") < 200)}))["knn"]
+    return NeighborMeanFeatures(
+        "edges", "feats", "out",
+        src="query_id", dst="neighbor_id", directed=True, node_col="node",
+    )(Flow({"edges": knn, "feats": emb}))["out"]
+
+
+@_q(
     "quantized_knn",
     f"""
 WITH {_SQ8},

@@ -132,6 +132,7 @@ HEADLINE = [
     "quantized_knn",
     "hard_negative_mining",
     "knn_label_accuracy",
+    "knn_neighbor_mean",
     "sq8_recall_floor",
     "triangle_counts",
     "copurchase_similar_parts",

@@ -62,7 +62,7 @@ from .operators.textrank import (
     TfIdfTopTerms,
     UnigramLMScore,
 )
-from .operators.graph import ConnectedComponents, PageRank, TriangleCount
+from .operators.graph import ConnectedComponents, NeighborMeanFeatures, PageRank, TriangleCount
 from .operators.sampling import GroupCap, HashSample, HashSplit, MixtureSample, TemperatureMix
 from .operators.packing import ChunkDocuments, PackSequences
 from .operators.fuzzy import EditDistanceJoin
@@ -175,6 +175,7 @@ __all__ = [
     "ConnectedComponents",
     "PageRank",
     "TriangleCount",
+    "NeighborMeanFeatures",
     "Quantiles",
     "HeavyHitters",
     "ProfileColumns",

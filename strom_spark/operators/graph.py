@@ -412,3 +412,94 @@ class TriangleCount(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class NeighborMeanFeatures(Component):
+    """One-hop neighbor feature aggregation — the GraphSAGE-mean layer
+    (Hamilton et al. 2017) as a dataframe op: for every node with
+    edges, the element-wise MEAN of its neighbors' feature vectors.
+    The building block of feature propagation / label spreading /
+    embedding smoothing over a similarity or interaction graph.
+
+    Plan: join features onto the edge list (keyed), ``posexplode`` the
+    neighbor vector, ONE keyed aggregation on (node, dim).  Exploding
+    to (edge x dim) skinny rows IS the scalable shape: the shuffle
+    carries fixed-width rows partitioned by (node, dim) — no
+    collect_list of whole vectors per node (a hot node with a million
+    neighbors would otherwise materialize a million vectors in one
+    aggregation buffer; here its load spreads over ``dim`` keys and
+    map-side partial sums bound the shuffle by cardinality, not
+    degree).
+
+    Cross-engine determinism: each component is 6dp-rounded and
+    summed as DECIMAL(18,6) (shuffle-order independent), then divided
+    by the bigint neighbor count — hash-exact against a SQL oracle.
+    Output is LONG-FORM (node_col, dim int, mean_val double, n_neighbors
+    bigint): engine-portable (no array-column hashing) and directly
+    joinable back into wide form when needed.
+    """
+
+    def __init__(
+        self,
+        edges: str,
+        features: str,
+        output: str,
+        *,
+        src: str = "src",
+        dst: str = "dst",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        node_col: str = "node",
+        directed: bool = False,
+        label: str | None = None,
+    ):
+        self.edges = edges
+        self.features = features
+        self.output = output
+        self.src, self.dst = src, dst
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.node_col = node_col
+        self.directed = directed
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        e = flow[self.edges].select(
+            F.col(self.src).alias("__n"), F.col(self.dst).alias("__nb")
+        )
+        if not self.directed:
+            e = e.unionAll(
+                flow[self.edges].select(
+                    F.col(self.dst).alias("__n"), F.col(self.src).alias("__nb")
+                )
+            )
+        feats = flow[self.features].select(
+            F.col(self.id_col).alias("__nb"),
+            F.col(self.vec_col).cast("array<double>").alias("__v"),
+        )
+        joined = e.join(feats, "__nb")
+        exploded = joined.select(
+            "__n", F.posexplode("__v").alias("dim", "__x")
+        )
+        out = (
+            exploded.groupBy("__n", "dim")
+            .agg(
+                F.sum(F.round(F.col("__x"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                .alias("__s"),
+                F.count(F.lit(1)).alias("n_neighbors"),
+            )
+            .select(
+                F.col("__n").alias(self.node_col),
+                "dim",
+                (F.col("__s") / F.col("n_neighbors")).alias("mean_val"),
+                F.col("n_neighbors").cast("bigint").alias("n_neighbors"),
+            )
+        )
+        return flow.without(self.edges, self.features).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.edges, self.features)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

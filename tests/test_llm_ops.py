@@ -2002,6 +2002,32 @@ def test_phash_pairs_nbits_mismatch_fails_loudly(spark):
     assert isinstance(ok, list)
 
 
+def test_neighbor_mean_features_hand_computed(spark):
+    """NeighborMeanFeatures (GraphSAGE-mean): hand-computed per-dim
+    neighbor means on a 3-node directed star, undirected symmetrize
+    doubles the edge set correctly, and nodes without in-edges
+    (directed mode) produce no rows."""
+    from strom_spark import Flow, NeighborMeanFeatures
+
+    edges = spark.createDataFrame([(1, 2), (1, 3)], "src bigint, dst bigint")
+    feats = spark.createDataFrame(
+        [(1, [10.0, 0.0]), (2, [1.0, 2.0]), (3, [3.0, 4.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = NeighborMeanFeatures("e", "f", "o", directed=True)(
+        Flow({"e": edges, "f": feats})
+    )["o"]
+    rows = {(r.node, r.dim): (r.mean_val, r.n_neighbors) for r in out.collect()}
+    # directed: only node 1 aggregates (its out-neighbors 2 and 3)
+    assert set(n for n, _ in rows) == {1}
+    assert rows[(1, 0)] == (2.0, 2) and rows[(1, 1)] == (3.0, 2)
+    # undirected: 2 and 3 each see node 1's features
+    out2 = NeighborMeanFeatures("e", "f", "o")(Flow({"e": edges, "f": feats}))["o"]
+    rows2 = {(r.node, r.dim): (r.mean_val, r.n_neighbors) for r in out2.collect()}
+    assert rows2[(2, 0)] == (10.0, 1) and rows2[(3, 1)] == (0.0, 1)
+    assert rows2[(1, 0)] == (2.0, 2)
+
+
 def test_triangle_count_hand_computed(spark):
     """TriangleCount (Suri & Vassilvitskii 2011) on the diamond K4
     minus one edge: triangles {1,2,3} and {2,3,4} -> participation

@@ -203,6 +203,7 @@ def test_no_quadratic_join_sweep(spark, sf_dir):
         "quantized_knn": "CosineTopK != scan over int8-quantized vectors — broadcast side bounded to 10 query rows (Filter vec_id < 10)",
         "hard_negative_mining": "CosineTopK != scan bounded to 10 query rows (Filter vec_id < 10); mining itself is keyed windows over top-50 candidates",
         "knn_label_accuracy": "CosineTopK != scan bounded to 200 query rows (Filter vec_id < 200); vote/prediction are keyed aggs",
+        "knn_neighbor_mean": "CosineTopK != scan bounded to 200 query rows (Filter vec_id < 200); aggregation is keyed on (node, dim)",
         "sq8_recall_floor": "two CosineTopK != scans (raw + quantized) with 10-query broadcast sides + flag-row assembly on a folded literal key",
         "ann_recall_floor": "CosineTopK ground truth — same guard-bounded broadcast scan as knn_topk",
         "ivf_index_search": "flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key",
