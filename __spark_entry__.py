@@ -1161,6 +1161,42 @@ def knn_neighbor_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "embedding_gram_matrix",
+    """
+WITH x AS (
+  SELECT vec_id, t.i - 1 AS i, embedding[t.i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+p AS (
+  SELECT a.i AS i, b.i AS j, round(a.v * b.v, 6) AS c
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+  CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS dot,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM p GROUP BY i, j
+""",
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X^T X of the embedding corpus
+    (similarity.py:GramMatrix) — the dim^2-bounded sufficient
+    statistic that makes PCA / covariance / ridge regression a
+    DRIVER-side eigensolve over a 64x64 matrix while the data never
+    leaves the cluster (the normal-equations pattern for distributed
+    linear models).  One posexplode + a row-keyed self-join for the
+    upper triangle + one keyed agg with map-side partial sums: the
+    shuffle is bounded by dim^2 cardinality, never row count.
+    Contributions round(x_i*x_j, 6) are decimal-summed (full-mantissa
+    float products have 17-digit reprs — no decimal-half boundary),
+    so all 2,080 cells hash-match the oracle exactly.
+    Beyond-reference: distributed linear-algebra surface."""
+    from strom_spark import GramMatrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return GramMatrix("e", "gram")(Flow({"e": emb}))["gram"]
+
+
+@_q(
     "quantized_knn",
     f"""
 WITH {_SQ8},

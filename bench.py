@@ -133,6 +133,7 @@ HEADLINE = [
     "hard_negative_mining",
     "knn_label_accuracy",
     "knn_neighbor_mean",
+    "embedding_gram_matrix",
     "sq8_recall_floor",
     "triangle_counts",
     "copurchase_similar_parts",

@@ -50,7 +50,7 @@ from .operators.dedup import (
     EmbeddingNearDupPairs,
     SemDeDup,
 )
-from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, RRFFusion, MMRRerank, ScalarQuantize, CoOccurrenceJaccard, ivf_search
+from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, RRFFusion, MMRRerank, ScalarQuantize, CoOccurrenceJaccard, GramMatrix, ivf_search
 from .operators.sketch import CountMinSketch, cms_estimate
 from .operators.asof import AsofJoin
 from .operators.rangejoin import RangeJoin
@@ -154,6 +154,7 @@ __all__ = [
     "MMRRerank",
     "ScalarQuantize",
     "CoOccurrenceJaccard",
+    "GramMatrix",
     "CountMinSketch",
     "cms_estimate",
     "CosineLSHJoin",

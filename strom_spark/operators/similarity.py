@@ -1117,3 +1117,67 @@ class CoOccurrenceJaccard(Component):
 
     def output_names(self) -> Sequence[str]:
         return (self.output,)
+
+
+class GramMatrix(Component):
+    """Distributed Gram matrix ``X^T X`` of an embedding column — the
+    sufficient statistic for PCA / covariance / ridge regression at
+    scale: ship the (dim x dim) matrix to the driver and eigensolve
+    there; the DATA never leaves the cluster and the driver state is
+    dim^2 regardless of row count (the classic "normal equations"
+    pattern for distributed linear models).
+
+    Plan: ONE posexplode to (row, i, x_i) skinny rows, a row-keyed
+    self-join producing the upper triangle (i <= j), one keyed
+    aggregation on (i, j) with map-side partial sums — shuffle bounded
+    by dim^2 cardinality, never by rows.  Per-pair contributions are
+    ``round(x_i * x_j, 6)`` summed as DECIMAL(18,6): products of
+    full-mantissa floats have 17-digit reprs (no decimal-half
+    boundary), and the decimal sum is shuffle-order independent — so
+    the matrix hash-matches a SQL oracle exactly.
+
+    Output (long-form upper triangle): (i int, j int, dot double,
+    n_rows bigint).
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str,
+        *,
+        vec_col: str = "embedding",
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output
+        self.vec_col = vec_col
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input].select(
+            F.monotonically_increasing_id().alias("__r"),
+            F.col(self.vec_col).cast("array<double>").alias("__v"),
+        )
+        ex = df.select("__r", F.posexplode("__v").alias("i", "x"))
+        a, b = ex.alias("a"), ex.alias("b")
+        pairs = a.join(
+            b, (F.col("a.__r") == F.col("b.__r")) & (F.col("a.i") <= F.col("b.i"))
+        ).select(
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+            F.round(F.col("a.x") * F.col("b.x"), 6).cast("decimal(18,6)").alias("c"),
+        )
+        out = (
+            pairs.groupBy("i", "j")
+            .agg(
+                F.sum("c").cast("double").alias("dot"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)

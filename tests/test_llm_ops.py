@@ -2002,6 +2002,37 @@ def test_phash_pairs_nbits_mismatch_fails_loudly(spark):
     assert isinstance(ok, list)
 
 
+def test_gram_matrix_hand_computed(spark):
+    """GramMatrix: X^T X of [[1,2],[3,4]] is [[10,14],[14,20]] — the
+    upper triangle carries each cell once with the row count, and a
+    numpy differential on random integers (exact products, no rounding
+    ambiguity) confirms every cell."""
+    import numpy as np
+
+    from strom_spark import Flow, GramMatrix
+
+    X = [[1.0, 2.0], [3.0, 4.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(X)], "vec_id bigint, embedding array<double>"
+    )
+    out = {(r.i, r.j): (r.dot, r.n_rows) for r in GramMatrix("e", "g")(
+        Flow({"e": df})
+    )["g"].collect()}
+    assert out == {(0, 0): (10.0, 2), (0, 1): (14.0, 2), (1, 1): (20.0, 2)}
+
+    rng = np.random.default_rng(7)
+    Y = rng.integers(-5, 6, size=(20, 4)).astype(float)
+    dfy = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(Y)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {(r.i, r.j): r.dot for r in GramMatrix("e", "g")(Flow({"e": dfy}))["g"].collect()}
+    G = Y.T @ Y
+    for i in range(4):
+        for j in range(i, 4):
+            assert got[(i, j)] == G[i, j], (i, j)
+
+
 def test_neighbor_mean_features_hand_computed(spark):
     """NeighborMeanFeatures (GraphSAGE-mean): hand-computed per-dim
     neighbor means on a 3-node directed star, undirected symmetrize
