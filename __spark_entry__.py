@@ -2138,6 +2138,71 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "quality_percentiles",
+    rf"""
+WITH {_NORM_DOCS},
+feats AS (
+  SELECT t.doc_id,
+    length(d.text) AS n_chars,
+    len(list_filter(w, x -> x != '')) AS n_tok,
+    len(regexp_extract_all(d.text, '[^A-Za-z0-9\s]')) AS n_punct,
+    len(list_filter(w, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS n_stop,
+    len(list_distinct(w)) AS n_uniq
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+),
+scored AS (
+  SELECT doc_id,
+    0.3 * least(n_tok / 100.0, 1.0)
+      + 0.25 * least((n_stop / greatest(n_tok, 1)) * 5, 1.0)
+      + 0.25 * (1.0 - least((n_punct / greatest(n_chars, 1)) * 10, 1.0))
+      + 0.2 * (n_uniq / greatest(n_tok, 1)) AS quality_score
+  FROM feats
+),
+n AS (SELECT count(*) AS n FROM scored),
+rk AS (
+  SELECT doc_id, quality_score,
+    row_number() OVER (ORDER BY quality_score, doc_id) AS rank
+  FROM scored
+)
+SELECT doc_id, quality_score, CAST(rank AS BIGINT) AS rank,
+  (rank - 1) / greatest(n.n - 1, 1) AS pct_rank
+FROM rk CROSS JOIN n
+""",
+)
+def quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the quality score: every document's
+    corpus PERCENTILE rank — the threshold-free form of quality
+    filtering ("drop the bottom 20%" survives any score-distribution
+    drift, a fixed cutoff does not).  The global total-order rank runs
+    through ``global_row_number`` (range repartition + pinned split +
+    broadcast prefix offsets — NO single-partition window), the corpus
+    count attaches as a 1-row broadcast, and pct = (rank-1)/(n-1) is
+    bigint/bigint IEEE division.  Scores are bit-identical
+    cross-engine (the text_quality formula), so ranking on the raw
+    double with the doc_id tie-break is deterministic.
+    Beyond-reference: training-data curation surface."""
+    from strom_spark.operators.relational import global_row_number
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        TXT.quality_features("text")["quality_score"].alias("quality_score"),
+    )
+    ranked = global_row_number(
+        scored, ["quality_score", "doc_id"], rn_col="rank"
+    )
+    tot = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "quality_score",
+        F.col("rank").cast("bigint").alias("rank"),
+        (
+            (F.col("rank") - 1) / F.greatest(F.col("__n") - 1, F.lit(1))
+        ).alias("pct_rank"),
+    )
+
+
+@_q(
     "langid_counts",
     f"""
 WITH {_NORM_DOCS},

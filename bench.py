@@ -134,6 +134,7 @@ HEADLINE = [
     "knn_label_accuracy",
     "knn_neighbor_mean",
     "embedding_gram_matrix",
+    "quality_percentiles",
     "sq8_recall_floor",
     "triangle_counts",
     "copurchase_similar_parts",

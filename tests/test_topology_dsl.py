@@ -210,6 +210,7 @@ def test_no_quadratic_join_sweep(spark, sf_dir):
         "lsh_recall_floor": "flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key",
         "minhash_recall_floor": "flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key",
         "curation_v2": "corpus stats attach inside quality scoring — 1-row side",
+        "quality_percentiles": "corpus-count attach for the percentile denominator — 1-row side",
         "q11_important_part_value": "global value total attach — 1-row side",
         "slice_divergence": "corpus grand-total attach — 1-row side",
         "dsir_weights": "corpus/target total attach — two 1-row aggregate sides",
