@@ -1183,9 +1183,11 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic that makes PCA / covariance / ridge regression a
     DRIVER-side eigensolve over a 64x64 matrix while the data never
     leaves the cluster (the normal-equations pattern for distributed
-    linear models).  One posexplode + a row-keyed self-join for the
-    upper triangle + one keyed agg with map-side partial sums: the
-    shuffle is bounded by dim^2 cardinality, never row count.
+    linear models).  The upper triangle is generated in-row with
+    array HOFs (no row ids, no self-join — immune to the
+    nondeterministic-id mispairing hazard) + one keyed agg with
+    map-side partial sums: the shuffle is bounded by dim^2
+    cardinality, never row count.
     Contributions round(x_i*x_j, 6) are decimal-summed (full-mantissa
     float products have 17-digit reprs — no decimal-half boundary),
     so all 2,080 cells hash-match the oracle exactly.
@@ -1422,21 +1424,21 @@ def copurchase_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH p AS (
   SELECT 'l_orderkey' AS name, count(*) AS n_rows,
     count(*) - count(l_orderkey) AS n_nulls, count(DISTINCT l_orderkey) AS n_distinct,
-    CAST(CAST(min(l_orderkey) AS DECIMAL(18,6)) AS VARCHAR) AS min_val,
-    CAST(CAST(max(l_orderkey) AS DECIMAL(18,6)) AS VARCHAR) AS max_val
+    CAST(CAST(min(l_orderkey) AS DECIMAL(38,6)) AS VARCHAR) AS min_val,
+    CAST(CAST(max(l_orderkey) AS DECIMAL(38,6)) AS VARCHAR) AS max_val
   FROM lineitem
   UNION ALL
   SELECT 'l_quantity', count(*), count(*) - count(l_quantity), count(DISTINCT l_quantity),
-    CAST(CAST(min(l_quantity) AS DECIMAL(18,6)) AS VARCHAR),
-    CAST(CAST(max(l_quantity) AS DECIMAL(18,6)) AS VARCHAR) FROM lineitem
+    CAST(CAST(min(l_quantity) AS DECIMAL(38,6)) AS VARCHAR),
+    CAST(CAST(max(l_quantity) AS DECIMAL(38,6)) AS VARCHAR) FROM lineitem
   UNION ALL
   SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice), count(DISTINCT l_extendedprice),
-    CAST(CAST(min(l_extendedprice) AS DECIMAL(18,6)) AS VARCHAR),
-    CAST(CAST(max(l_extendedprice) AS DECIMAL(18,6)) AS VARCHAR) FROM lineitem
+    CAST(CAST(min(l_extendedprice) AS DECIMAL(38,6)) AS VARCHAR),
+    CAST(CAST(max(l_extendedprice) AS DECIMAL(38,6)) AS VARCHAR) FROM lineitem
   UNION ALL
   SELECT 'l_discount', count(*), count(*) - count(l_discount), count(DISTINCT l_discount),
-    CAST(CAST(min(l_discount) AS DECIMAL(18,6)) AS VARCHAR),
-    CAST(CAST(max(l_discount) AS DECIMAL(18,6)) AS VARCHAR) FROM lineitem
+    CAST(CAST(min(l_discount) AS DECIMAL(38,6)) AS VARCHAR),
+    CAST(CAST(max(l_discount) AS DECIMAL(38,6)) AS VARCHAR) FROM lineitem
   UNION ALL
   SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag), count(DISTINCT l_returnflag),
     min(l_returnflag), max(l_returnflag) FROM lineitem

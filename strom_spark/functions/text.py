@@ -515,7 +515,11 @@ GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
 
 
 def gopher_repetition_stats(
-    df, id_col: str, text_col: str, persist_min_rows: int = 2_000_000
+    df,
+    id_col: str,
+    text_col: str,
+    persist_min_rows: int = 2_000_000,
+    n_rows: "int | None" = None,
 ):
     """The complete published Gopher REPETITION rule set (Rae et al.
     2021, "Scaling Language Models", Table A1 — the 13 repetitious-
@@ -565,7 +569,11 @@ def gopher_repetition_stats(
     times.  Below the bound the recomputation is cheaper than cache
     materialization (measured on the 5k-doc benchmark corpus: 0.96 s
     unpinned vs 2.9-3.5 s pinned — the SimHashDedup adaptive-persist
-    tradeoff, same resolution)."""
+    tradeoff, same resolution).  ``n_rows`` is an optional row-count
+    hint: when given, no counting pass runs at all; when None, the
+    slim (__id, text) projection is persisted and ITS count doubles
+    as cache materialization for the three branches that consume it
+    — never a raw-input pass whose work nothing reuses."""
     from pyspark import StorageLevel
     from pyspark.sql import DataFrame  # noqa: F401 — signature doc
 
@@ -573,7 +581,18 @@ def gopher_repetition_stats(
         F.col(id_col).alias("__id"),
         F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
     )
-    pin = df.count() >= persist_min_rows
+    # Row count picks the persist regime.  Counting the RAW input
+    # would be a full extra corpus pass whose work nothing reuses; so
+    # either the caller supplies the count as a hint (free — pipelines
+    # usually know it), or we persist the slim (__id, __t) projection
+    # FIRST and let its count double as cache materialization — the
+    # projection is consumed by three+ branches below (line family,
+    # paragraph family, tokenizer), so the pass is work the pipeline
+    # needed anyway (the PHashNearDupPairs pattern).
+    if n_rows is None:
+        slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
+        n_rows = slim.count()
+    pin = n_rows >= persist_min_rows
     ids = slim.select("__id").distinct()
 
     def _family(sep: str, prefix: str) -> DataFrame:

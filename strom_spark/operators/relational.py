@@ -590,10 +590,33 @@ class ProfileColumns(Component):
             if self.distinct == "exact"
             else (lambda c: F.approx_count_distinct(F.col(c)))
         )
-        def render(agg_col, t):
+        def render(agg_col, t, c):
             numeric = any(t.startswith(n) for n in self._NUMERIC)
             if numeric:
-                return agg_col.cast("decimal(18,6)").cast("string")
+                # DECIMAL(38,6) covers every integral type and all but
+                # astronomically-large doubles; a value the cast still
+                # can't hold (|x| >= 1e32, or NaN) must FAIL LOUDLY —
+                # a profiler silently reporting '' for min/max is the
+                # exact defect it exists to surface
+                # try_cast: under ANSI mode a plain cast would throw
+                # Spark's opaque NUMERIC_VALUE_OUT_OF_RANGE mid-agg;
+                # NULL-on-overflow + the coalesce below converts that
+                # into this operator's actionable error instead
+                rendered = agg_col.try_cast("decimal(38,6)").cast("string")
+                return F.when(agg_col.isNull(), F.lit(None).cast("string")).otherwise(
+                    F.coalesce(
+                        rendered,
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    f"ProfileColumns: column '{c}' min/max "
+                                    "does not fit DECIMAL(38,6) (overflow or "
+                                    "NaN) — cannot render portably"
+                                )
+                            )
+                        ).cast("string"),
+                    )
+                )
             if t == "string":
                 return agg_col
             return F.lit("")
@@ -607,8 +630,8 @@ class ProfileColumns(Component):
                     F.count(F.lit(1)).alias("n_rows"),
                     (F.count(F.lit(1)) - F.count(F.col(c))).alias("n_nulls"),
                     cnt_d(c).alias("n_distinct"),
-                    F.coalesce(render(F.min(F.col(c)), t), F.lit("")).alias("min_val"),
-                    F.coalesce(render(F.max(F.col(c)), t), F.lit("")).alias("max_val"),
+                    F.coalesce(render(F.min(F.col(c)), t, c), F.lit("")).alias("min_val"),
+                    F.coalesce(render(F.max(F.col(c)), t, c), F.lit("")).alias("max_val"),
                 )
             )
         wide = df.agg(F.array(*structs).alias("__p"))

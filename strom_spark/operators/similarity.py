@@ -772,6 +772,10 @@ class MMRRerank(Component):
     most C(C-1)/2 + C rows — linear in the number of queries, never in
     the corpus.  ``max_candidates`` enforces the bound (hard error,
     not a silent spill into O(C^2) over an unbounded list).
+    ``on_missing`` governs candidates whose id is absent from the
+    vectors stream: ``'error'`` (default) raises at execution time —
+    a silent drop could return fewer than k rows — while ``'skip'``
+    opts into dropping them before the greedy loop.
 
     Determinism / oracle parity: relevance and every pairwise cosine
     are 6dp-rounded JVM-side (F.round, with the dot/(na*nb) double
@@ -798,12 +802,15 @@ class MMRRerank(Component):
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         max_candidates: int = 1000,
+        on_missing: str = "error",
         label: str | None = None,
     ):
         if not 0.0 <= lambda_ <= 1.0:
             raise ValueError("MMRRerank: lambda_ must be in [0, 1]")
         if k < 1:
             raise ValueError("MMRRerank: k must be >= 1")
+        if on_missing not in ("error", "skip"):
+            raise ValueError("MMRRerank: on_missing must be 'error' or 'skip'")
         self.candidates = candidates
         self.vectors = vectors
         self.output = output
@@ -815,6 +822,7 @@ class MMRRerank(Component):
         self.id_col = id_col
         self.vec_col = vec_col
         self.max_candidates = max_candidates
+        self.on_missing = on_missing
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
@@ -833,12 +841,39 @@ class MMRRerank(Component):
         )
         from pyspark import StorageLevel
 
+        # A candidate id absent from the vectors stream cannot be
+        # redundancy-scored; an inner join would drop it SILENTLY and
+        # the query could return fewer than k rows with no error.
+        # Default 'error' fails loudly at execution time — the guard
+        # rides the load-bearing __n column (a side-channel assert
+        # column would be pruned away by Catalyst); 'skip' opts into
+        # the documented drop.
+        joined = cands.join(vecs, F.col("__c") == F.col("__id"), "left")
+        if self.on_missing == "error":
+            joined = joined.withColumn(
+                "__n",
+                F.when(
+                    F.col("__id").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("MMRRerank: candidate id "),
+                            F.col("__c").cast("string"),
+                            F.lit(
+                                " is absent from the vectors stream "
+                                "(pass on_missing='skip' to drop it)"
+                            ),
+                        )
+                    ).cast("double"),
+                ).otherwise(F.col("__n")),
+            )
+        else:
+            joined = joined.filter(F.col("__id").isNotNull())
         # cv is TINY (top-C candidates per query) but its lineage is
         # the whole upstream retrieval — consumed by both self-join
         # sides, so pin it once (shared-lineage rule; persisting a
         # candidate-sized table is always worth the cache write)
         cv = (
-            cands.join(vecs, F.col("__c") == F.col("__id"))
+            joined
             .select("__q", "__c", "__rel", "__v", "__n")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -1127,10 +1162,16 @@ class GramMatrix(Component):
     dim^2 regardless of row count (the classic "normal equations"
     pattern for distributed linear models).
 
-    Plan: ONE posexplode to (row, i, x_i) skinny rows, a row-keyed
-    self-join producing the upper triangle (i <= j), one keyed
-    aggregation on (i, j) with map-side partial sums — shuffle bounded
-    by dim^2 cardinality, never by rows.  Per-pair contributions are
+    Plan: the upper triangle (i <= j) of per-row products is
+    generated INSIDE each row with array HOFs (nested ``transform``
+    over the vector and its suffix ``slice``) — no row ids, no
+    self-join — then ONE explode and one keyed aggregation on (i, j)
+    with map-side partial sums: shuffle bounded by dim^2 cardinality,
+    never by rows.  The in-row form also removes the
+    ``monotonically_increasing_id`` self-join hazard (a nondeterministic
+    id re-evaluated per join side silently mispairs rows after a
+    shuffle or task retry — the pin-before-self-join discipline made
+    unnecessary rather than applied).  Per-pair contributions are
     ``round(x_i * x_j, 6)`` summed as DECIMAL(18,6): products of
     full-mantissa floats have 17-digit reprs (no decimal-half
     boundary), and the decimal sum is shuffle-order independent — so
@@ -1155,17 +1196,24 @@ class GramMatrix(Component):
 
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input].select(
-            F.monotonically_increasing_id().alias("__r"),
             F.col(self.vec_col).cast("array<double>").alias("__v"),
         )
-        ex = df.select("__r", F.posexplode("__v").alias("i", "x"))
-        a, b = ex.alias("a"), ex.alias("b")
-        pairs = a.join(
-            b, (F.col("a.__r") == F.col("b.__r")) & (F.col("a.i") <= F.col("b.i"))
+        # lambda index i is 0-based; slice() is 1-based, so
+        # slice(__v, i+1, size-i) is the suffix starting AT index i —
+        # k-th suffix element is original index i+k (diagonal at k=0)
+        pairs = df.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__v, (xi, i) -> "
+                    "transform(slice(__v, i + 1, size(__v) - i), (xj, k) -> "
+                    "named_struct('i', i, 'j', i + k, "
+                    "'c', cast(round(xi * xj, 6) as decimal(18,6))))))"
+                )
+            ).alias("__s")
         ).select(
-            F.col("a.i").alias("i"),
-            F.col("b.i").alias("j"),
-            F.round(F.col("a.x") * F.col("b.x"), 6).cast("decimal(18,6)").alias("c"),
+            F.col("__s.i").alias("i"),
+            F.col("__s.j").alias("j"),
+            F.col("__s.c").alias("c"),
         )
         out = (
             pairs.groupBy("i", "j")

@@ -269,6 +269,33 @@ def test_mmr_rerank_hand_computed(spark):
         )["o"].collect()
 
 
+def test_mmr_rerank_missing_vector_policy(spark):
+    """A candidate id absent from the vectors stream must FAIL LOUDLY
+    by default (an inner join used to drop it silently, returning
+    fewer than k rows with no error); on_missing='skip' opts into the
+    drop and still ranks the survivors."""
+    import pytest
+    from strom_spark import MMRRerank
+
+    cands = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 99, 0.8)],
+        "query_id bigint, cand_id bigint, rel double",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="absent from the vectors stream"):
+        MMRRerank("c", "v", "o", k=2)(
+            Flow({"c": cands, "v": vecs})
+        )["o"].collect()
+    rows = MMRRerank("c", "v", "o", k=2, on_missing="skip")(
+        Flow({"c": cands, "v": vecs})
+    )["o"].collect()
+    assert [(r.cand_id, r.mmr_rank) for r in rows] == [(1, 1)]
+    with pytest.raises(ValueError, match="on_missing"):
+        MMRRerank("c", "v", "o", on_missing="ignore")
+
+
 def test_text_functions(spark, docs):
     flow = Flow({"docs": docs})
     out = Transformer(
@@ -2031,6 +2058,21 @@ def test_gram_matrix_hand_computed(spark):
     for i in range(4):
         for j in range(i, 4):
             assert got[(i, j)] == G[i, j], (i, j)
+
+    # shuffle in the input lineage: the in-row pair generation has no
+    # row ids to mispair, so a repartitioned/aggregated upstream gives
+    # the identical matrix (the monotonically_increasing_id self-join
+    # this replaced silently corrupted exactly this shape)
+    shuffled = (
+        dfy.repartition(8, "vec_id")
+        .groupBy("vec_id")
+        .agg(F.first("embedding").alias("embedding"))
+    )
+    got2 = {
+        (r.i, r.j): r.dot
+        for r in GramMatrix("e", "g")(Flow({"e": shuffled}))["g"].collect()
+    }
+    assert got2 == got
 
 
 def test_neighbor_mean_features_hand_computed(spark):

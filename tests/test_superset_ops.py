@@ -694,6 +694,18 @@ def test_profile_columns(spark):
     with pytest.raises(ValueError, match="distinct"):
         ProfileColumns("d", "p", distinct="nope")
 
+    # DECIMAL(38,6) render: values past the old DECIMAL(18,6) range
+    # (|x| >= 1e12) profile correctly instead of silently becoming ''
+    big = spark.createDataFrame(
+        [(50_000_000_000_000,), (7,)], "k bigint"
+    )
+    r = ProfileColumns("d", "p")(Flow({"d": big}))["p"].collect()[0]
+    assert r.max_val == "50000000000000.000000" and r.min_val == "7.000000"
+    # a value DECIMAL(38,6) cannot hold fails LOUDLY, not as ''
+    huge = spark.createDataFrame([(1e35,), (2.0,)], "x double")
+    with pytest.raises(Exception, match="does not fit DECIMAL"):
+        ProfileColumns("d", "p")(Flow({"d": huge}))["p"].collect()
+
 
 def test_batch_only_components_reject_streams(spark):
     """Corpus-statistics components raise a TYPED, actionable error on
