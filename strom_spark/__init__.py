@@ -10,7 +10,7 @@ Catalyst/Tungsten/AQE handle optimization and physical execution.
 
 from .flow import Flow, as_flow
 from .component import Component, Pipeline
-from .planprobe import capture_loop_plans
+from .planprobe import capture_bounded_broadcasts, capture_loop_plans
 from .session import get_spark
 from .io import load_table, load_flow, spread, TABLES
 from .scale import compact_write, salted_join, write_bucketed, zorder_key
@@ -92,6 +92,7 @@ __all__ = [
     "as_flow",
     "Component",
     "Pipeline",
+    "capture_bounded_broadcasts",
     "capture_loop_plans",
     "get_spark",
     "IOGets",

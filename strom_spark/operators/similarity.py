@@ -105,6 +105,9 @@ class CosineTopK(Component):
         # the query side so each broadcast is one bounded tile (each
         # query lives in exactly one tile; no cross-tile duplicates).
         n_q = queries.count()
+        from strom_spark.planprobe import probe_bounded_broadcast
+
+        probe_bounded_broadcast("CosineTopK/queries", n_q, self.max_broadcast_rows)
         if n_q <= self.max_broadcast_rows:
             sims = scan(queries)
         elif self.on_overflow == "error":

@@ -32,6 +32,38 @@ if TYPE_CHECKING:  # pragma: no cover
 #: active capture list, or None when probing is off (the normal case)
 _active: "list[tuple[str, DataFrame]] | None" = None
 
+#: active bounded-broadcast capture list, or None when off
+_active_bcast: "list[tuple[str, int, int]] | None" = None
+
+
+def probe_bounded_broadcast(stage: str, n_rows: int, bound: int) -> None:
+    """Record a guard-bounded broadcast decision (``stage``, observed
+    ``n_rows``, configured ``bound``) when a
+    :func:`capture_bounded_broadcasts` context is active; no-op
+    otherwise.  Guard-bounded operators (CosineTopK) call this right
+    after counting the side they are about to force-broadcast — the
+    count that the BNLJ adjudication in CI rests on.  The executed
+    plan cannot carry this evidence (the side is localCheckpointed, so
+    its bounding Filter is invisible); the probe asserts the OBSERVED
+    row count instead, which is strictly stronger."""
+    if _active_bcast is not None:
+        _active_bcast.append((stage, n_rows, bound))
+
+
+@contextmanager
+def capture_bounded_broadcasts() -> Iterator["list[tuple[str, int, int]]"]:
+    """Context manager: collect every :func:`probe_bounded_broadcast`
+    call made while active into the yielded
+    ``[(stage, n_rows, bound), ...]`` list.  Nestable; not
+    thread-safe — intended for plan tooling and tests."""
+    global _active_bcast
+    prev = _active_bcast
+    _active_bcast = captured = []
+    try:
+        yield captured
+    finally:
+        _active_bcast = prev
+
 
 def probe_loop_plan(stage: str, df: "DataFrame") -> None:
     """Record ``df`` under ``stage`` (e.g. ``"PageRank/round"``) when a

@@ -189,44 +189,111 @@ def test_no_quadratic_join_sweep(spark, sf_dir):
     pre-truncation DataFrame from the REAL code path; every captured
     plan goes through the same gate."""
     import __spark_entry__ as entry
-    from strom_spark import capture_loop_plans
+    from strom_spark import capture_bounded_broadcasts, capture_loop_plans
 
-    # name -> why its BNLJ is bounded (side is 1 row / guard-bounded)
+    # name -> (why its BNLJ is bounded, observed-broadcast-row bound or
+    # None).  The kNN family's bound is a Filter on the unique vec_id
+    # key — but CosineTopK localCheckpoints the query side, so that
+    # Filter is INVISIBLE in the executed plan and a string marker
+    # cannot assert it.  Instead the operator's runtime guard reports
+    # the COUNTED broadcast-side rows through probe_bounded_broadcast;
+    # the sweep asserts the observed count against the bound documented
+    # here — strictly stronger than a plan marker (a refactor that
+    # loses `vec_id < 200` in knn_label_accuracy makes the observed
+    # count jump to the corpus size and fails CI; a refactor that
+    # drops the probe itself fails the no-probe-fired check).  1-row
+    # scalar-attach entries carry bound None (prose-only: their bound
+    # is the scalar aggregate itself).
     BNLJ_ALLOW = {
-        "q22_idle_high_balance": "scalar avg(acctbal) attach — 1-row side",
-        "bm25_search": "corpus stats (count, avgdl) attach — 1-row side",
-        "tfidf_top_terms": "corpus doc-count attach — 1-row side",
-        "lm_quality_scores": "corpus total/vocab attach — 1-row side",
-        "knn_topk": "CosineTopK != join — broadcast side bounded by max_broadcast_rows",
-        "hybrid_rrf_search": "BM25 1-row stat attach + CosineTopK != scan bounded to ONE query row (Filter vec_id = 0 on a unique key)",
-        "mmr_rerank": "CosineTopK != scan bounded to 5 query rows (Filter vec_id < 5 on a unique key); the MMR self-join itself is equi-keyed on query_id",
-        "quantized_knn": "CosineTopK != scan over int8-quantized vectors — broadcast side bounded to 10 query rows (Filter vec_id < 10)",
-        "hard_negative_mining": "CosineTopK != scan bounded to 10 query rows (Filter vec_id < 10); mining itself is keyed windows over top-50 candidates",
-        "knn_label_accuracy": "CosineTopK != scan bounded to 200 query rows (Filter vec_id < 200); vote/prediction are keyed aggs",
-        "knn_neighbor_mean": "CosineTopK != scan bounded to 200 query rows (Filter vec_id < 200); aggregation is keyed on (node, dim)",
-        "sq8_recall_floor": "two CosineTopK != scans (raw + quantized) with 10-query broadcast sides + flag-row assembly on a folded literal key",
-        "ann_recall_floor": "CosineTopK ground truth — same guard-bounded broadcast scan as knn_topk",
-        "ivf_index_search": "flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key",
-        "lsh_recall_floor": "flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key",
-        "minhash_recall_floor": "flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key",
-        "curation_v2": "corpus stats attach inside quality scoring — 1-row side",
-        "quality_percentiles": "corpus-count attach for the percentile denominator — 1-row side",
-        "q11_important_part_value": "global value total attach — 1-row side",
-        "slice_divergence": "corpus grand-total attach — 1-row side",
-        "dsir_weights": "corpus/target total attach — two 1-row aggregate sides",
-        "dsir_sample": "corpus/target total attach — two 1-row aggregate sides",
-        "stupid_backoff_scores": "corpus token total attach — 1-row aggregate side",
+        "q22_idle_high_balance": ("scalar avg(acctbal) attach — 1-row side", None),
+        "bm25_search": ("corpus stats (count, avgdl) attach — 1-row side", None),
+        "tfidf_top_terms": ("corpus doc-count attach — 1-row side", None),
+        "lm_quality_scores": ("corpus total/vocab attach — 1-row side", None),
+        "knn_topk": (
+            "CosineTopK != join — broadcast side bounded to 10 query rows "
+            "(Filter vec_id < 10 on a unique key) + max_broadcast_rows guard",
+            10,
+        ),
+        "hybrid_rrf_search": (
+            "BM25 1-row stat attach + CosineTopK != scan bounded to ONE "
+            "query row (Filter vec_id = 0 on a unique key)",
+            1,
+        ),
+        "mmr_rerank": (
+            "CosineTopK != scan bounded to 5 query rows (Filter vec_id < 5 "
+            "on a unique key); the MMR self-join itself is equi-keyed on query_id",
+            5,
+        ),
+        "quantized_knn": (
+            "CosineTopK != scan over int8-quantized vectors — broadcast "
+            "side bounded to 10 query rows (Filter vec_id < 10)",
+            10,
+        ),
+        "hard_negative_mining": (
+            "CosineTopK != scan bounded to 10 query rows (Filter vec_id < "
+            "10); mining itself is keyed windows over top-50 candidates",
+            10,
+        ),
+        "knn_label_accuracy": (
+            "CosineTopK != scan bounded to 200 query rows (Filter vec_id < "
+            "200); vote/prediction are keyed aggs",
+            200,
+        ),
+        "knn_neighbor_mean": (
+            "CosineTopK != scan bounded to 200 query rows (Filter vec_id < "
+            "200); aggregation is keyed on (node, dim)",
+            200,
+        ),
+        "sq8_recall_floor": (
+            "two CosineTopK != scans (raw + quantized) with 10-query "
+            "broadcast sides + flag-row assembly on a folded literal key",
+            10,
+        ),
+        "ann_recall_floor": (
+            "CosineTopK ground truth — broadcast side bounded to 20 query "
+            "rows (probe-counted), same guard-bounded scan as knn_topk",
+            20,
+        ),
+        "ivf_index_search": ("flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key", None),
+        "lsh_recall_floor": ("flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key", None),
+        "minhash_recall_floor": ("flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key", None),
+        "curation_v2": ("corpus stats attach inside quality scoring — 1-row side", None),
+        "quality_percentiles": ("corpus-count attach for the percentile denominator — 1-row side", None),
+        "q11_important_part_value": ("global value total attach — 1-row side", None),
+        "slice_divergence": ("corpus grand-total attach — 1-row side", None),
+        "dsir_weights": ("corpus/target total attach — two 1-row aggregate sides", None),
+        "dsir_sample": ("corpus/target total attach — two 1-row aggregate sides", None),
+        "stupid_backoff_scores": ("corpus token total attach — 1-row aggregate side", None),
     }
     failures = {}
     loop_bodies_seen = set()
     for name, fn in entry.queries().items():
-        with capture_loop_plans() as captured:
+        with capture_loop_plans() as captured, \
+                capture_bounded_broadcasts() as bcasts:
             df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             failures[name] = "CartesianProduct"
-        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOW:
-            failures[name] = "unadjudicated BroadcastNestedLoopJoin"
+        elif "BroadcastNestedLoopJoin" in plan:
+            if name not in BNLJ_ALLOW:
+                failures[name] = "unadjudicated BroadcastNestedLoopJoin"
+            else:
+                reason, bound = BNLJ_ALLOW[name]
+                if bound is not None:
+                    if not bcasts:
+                        failures[name] = (
+                            "no bounded-broadcast probe fired — the guard "
+                            f"this adjudication rests on is gone ({reason})"
+                        )
+                    else:
+                        over = [
+                            (stage, n) for stage, n, _cap in bcasts if n > bound
+                        ]
+                        if over:
+                            failures[name] = (
+                                f"guard-counted broadcast side exceeds the "
+                                f"adjudicated bound {bound}: {over} ({reason})"
+                            )
         # one representative body per (query, stage) keeps the sweep
         # cheap; rounds of the same stage share one plan shape
         stages = {}
