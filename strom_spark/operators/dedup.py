@@ -1242,8 +1242,17 @@ class SubstringDedup(Component):
 
     State is linear in corpus tokens; every shuffle keys on
     (hash) / (doc, pos) / (doc) — no hot keys beyond genuinely viral
-    substrings, which AQE skew-splits.  Reference analog: none
-    (training-data superset, the span-level sibling of LineDedup).
+    substrings, which AQE skew-splits.  The dominant real-world viral
+    source — a document repeated verbatim 10^5 times — is collapsed
+    BEFORE the k-times window amplification by
+    ``pre_collapse_exact_dups=True``: a doc-granular md5 collapse to
+    the min-id representative, semantics-preserving by construction
+    (copies with >= k tokens are fully covered by the
+    representative's canonical windows and drop; shorter copies are
+    windowless and re-expand verbatim; cross-group decisions are
+    unchanged because every window a copy shares is also shared with
+    its representative).  Reference analog: none (training-data
+    superset, the span-level sibling of LineDedup).
     """
 
     def __init__(
@@ -1254,6 +1263,7 @@ class SubstringDedup(Component):
         id_col: str = "doc_id",
         text_col: str = "text",
         k: int = 50,
+        pre_collapse_exact_dups: bool = False,
         label: str | None = None,
     ):
         if k < 2:
@@ -1263,6 +1273,7 @@ class SubstringDedup(Component):
         self.id_col = id_col
         self.text_col = text_col
         self.k = int(k)
+        self.pre_collapse_exact_dups = bool(pre_collapse_exact_dups)
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
@@ -1277,6 +1288,46 @@ class SubstringDedup(Component):
             "full-corpus statistics",
         )
         k = self.k
+        members = None
+        if self.pre_collapse_exact_dups:
+            # VIRAL-WINDOW PRE-PASS: the documented residual skew risk
+            # of this operator is a window string with pathological
+            # occurrence mass — in practice driven by exact-duplicate
+            # DOCUMENTS (boilerplate pages repeated 10^5 times), whose
+            # every window lands in ONE hot `partitionBy(__h)` window
+            # partition AFTER the k-times token amplification.
+            # Collapsing exact dups FIRST (one doc-granular md5-keyed
+            # shuffle, before any amplification) is semantics-
+            # preserving, not an approximation:
+            #   * the min-id doc of each identical-text group is the
+            #     group's first occurrence in global (id, pos) order,
+            #     so it is canonical for every within-group window
+            #     whether or not the copies are present;
+            #   * every non-representative copy with >= k tokens has
+            #     ALL positions covered by non-canonical occurrences
+            #     of the representative's windows -> drops entirely;
+            #   * copies with < k tokens have no windows -> survive
+            #     unchanged;
+            #   * cross-group decisions are unaffected: any window
+            #     shared with a copy is also shared with the
+            #     representative, so its duplicated-flag and canonical
+            #     owner are identical with the copies removed.
+            # The copies are re-expanded from these rules after the
+            # core pass.
+            base = df.filter(F.col(self.text_col).isNotNull()).select(
+                F.col(self.id_col), F.col(self.text_col)
+            )
+            grouped = base.withColumn("__th", F.md5(F.col(self.text_col)))
+            reps = grouped.groupBy("__th").agg(
+                F.min(self.id_col).alias("__rep")
+            )
+            tagged = grouped.join(reps, "__th")
+            df = tagged.filter(F.col(self.id_col) == F.col("__rep")).select(
+                self.id_col, self.text_col
+            )
+            members = tagged.filter(F.col(self.id_col) != F.col("__rep")).select(
+                self.id_col, self.text_col
+            )
         # PERSIST the tokenized corpus: it feeds BOTH the window pass
         # and the rebuild pass, and without the pin Catalyst plans each
         # consumer with its own copy of the ENTIRE upstream lineage —
@@ -1354,6 +1405,24 @@ class SubstringDedup(Component):
             .filter(F.col("n_kept") > 0)
             .withColumnRenamed("__id", self.id_col)
         )
+        if members is not None:
+            # re-expand collapsed exact-dup copies: < k tokens ->
+            # windowless, survive verbatim; >= k tokens -> fully
+            # covered by the representative's canonical windows, drop
+            mw = F.filter(
+                TXT.tokens(self.text_col), lambda x: x != F.lit("")
+            )
+            short = (
+                members.withColumn("__n", F.size(mw))
+                .filter((F.col("__n") < k) & (F.col("__n") > 0))
+                .select(
+                    self.id_col,
+                    F.array_join(mw, " ").alias(self.text_col),
+                    F.col("__n").cast("bigint").alias("n_kept"),
+                    F.lit(0).cast("bigint").alias("n_dropped"),
+                )
+            )
+            rebuilt = rebuilt.unionByName(short)
         return flow.without(self.input).with_stream(self.output, rebuilt)
 
     def input_names(self) -> Sequence[str]:

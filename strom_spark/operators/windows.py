@@ -143,6 +143,10 @@ class SlidingCountWindow(Component):
 
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input]
+        if df.isStreaming:
+            return flow.without(self.input).with_stream(
+                self.output, self._transform_streaming(df)
+            )
         size, step = F.lit(self.size), F.lit(self.step)
         # materialize the rank first: explode() cannot nest a window fn
         if not self.partition_by and not df.isStreaming and _is_multi_split(df):
@@ -169,6 +173,107 @@ class SlidingCountWindow(Component):
             exprs = [_resolve_expr(e, df).alias(a) for a, e in self.aggs.items()]
             df = df.groupBy(*keys).agg(*exprs)
         return flow.without(self.input).with_stream(self.output, df)
+
+    def _transform_streaming(self, df: DataFrame) -> DataFrame:
+        """Streaming lowering: a keyed stateful window assigner
+        (``applyInPandasWithState``).  ``row_number`` is unsupported on
+        streams, so the rank is per-key KEYED STATE: a counter plus a
+        buffer of rows whose windows haven't completed yet.  Each
+        micro-batch extends the ranks (rows sorted by ``order_by``
+        WITHIN the batch; cross-batch order is arrival order — the
+        reference's stream semantics), emits every window that just
+        completed as (original columns + window_id) rows, and prunes
+        the buffer — state is hard-bounded at ``size + step - 1`` rows
+        per key, asserted in the kernel, so memory tracks the window
+        geometry, never the stream length.
+
+        Emitted form only (``aggs=None``): count windows carry no event
+        time, so a downstream streaming aggregate would never close in
+        append mode — aggregate the assignments per micro-batch via
+        ``transform_per_batch`` or in batch after a drain.
+        ``keep_partial`` is meaningless on an unbounded stream (a
+        partial window is just one that hasn't completed YET)."""
+        import pickle
+
+        import pandas as pd
+
+        if self.aggs is not None:
+            raise ValueError(
+                "SlidingCountWindow on a stream emits (row, window_id) "
+                "assignments only (aggs=None): count windows carry no "
+                "event time, so a downstream streaming agg never closes "
+                "in append mode. Aggregate per micro-batch via "
+                "transform_per_batch, or in batch after the drain."
+            )
+        if self.keep_partial:
+            raise ValueError(
+                "SlidingCountWindow: keep_partial is meaningless on an "
+                "unbounded stream — a partial window is one that hasn't "
+                "completed yet."
+            )
+        size, step = self.size, self.step
+        order_by = list(self.order_by)
+        cols = list(df.columns)
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        ) + ", window_id bigint"
+        if self.partition_by:
+            grouped = df.groupBy(*self.partition_by)
+        else:
+            # a GLOBAL count window is inherently serial (same as the
+            # batch single-partition rank); one constant key routes
+            # everything through one state partition
+            grouped = df.withColumn("__g", F.lit(0)).groupBy("__g")
+        drop_g = not self.partition_by
+
+        def kernel(key, pdfs, state):
+            if state.exists:
+                n_seen, emitted_w, buf = pickle.loads(state.get[0])
+            else:
+                n_seen, emitted_w, buf = 0, -1, pd.DataFrame()
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            if drop_g:
+                batch = batch.drop(columns=["__g"])
+            if len(batch):
+                batch = batch.sort_values(order_by, kind="mergesort").reset_index(
+                    drop=True
+                )
+                batch["__rn"] = range(n_seen + 1, n_seen + len(batch) + 1)
+                n_seen += len(batch)
+                buf = pd.concat([buf, batch], ignore_index=True) if len(buf) else batch
+            # window w (0-based) covers ranks w*step+1 .. w*step+size;
+            # complete once n_seen reaches its end
+            last_complete = (n_seen - size) // step if n_seen >= size else -1
+            out = []
+            for w in range(emitted_w + 1, last_complete + 1):
+                rows = buf[(buf["__rn"] > w * step) & (buf["__rn"] <= w * step + size)]
+                rows = rows.copy()
+                rows["window_id"] = w
+                out.append(rows)
+            emitted_w = max(emitted_w, last_complete)
+            # prune: a row's last window is floor((rn-1)/step) — gone
+            # once that window has been emitted
+            if len(buf):
+                buf = buf[(buf["__rn"] - 1) // step > emitted_w].reset_index(drop=True)
+            assert len(buf) <= size + step - 1, (
+                f"SlidingCountWindow stream state invariant broken: "
+                f"{len(buf)} buffered rows > size+step-1={size + step - 1}"
+            )
+            state.update((pickle.dumps((n_seen, emitted_w, buf)),))
+            if out:
+                yield pd.concat(out, ignore_index=True).drop(columns=["__rn"])[
+                    cols + ["window_id"]
+                ]
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        return grouped.applyInPandasWithState(
+            kernel,
+            outputStructType=out_schema,
+            stateStructType="state binary",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
 
     def input_names(self) -> Sequence[str]:
         return (self.input,)

@@ -1710,6 +1710,40 @@ def test_substring_dedup_keep_first_semantics(spark):
         SubstringDedup("d", "o")(Flow({"d": stream}))
 
 
+def test_substring_dedup_pre_collapse_equivalence(spark):
+    """pre_collapse_exact_dups=True is a PLAN change, not a semantics
+    change: on a corpus loaded with exact-duplicate docs (long copies
+    that must drop, short windowless copies that must survive, plus
+    cross-doc shared runs) the collapsed pipeline's output equals the
+    naive pipeline's row for row."""
+    from strom_spark import Flow, SubstringDedup
+
+    docs = [
+        {"doc_id": 1, "text": "x a b c d e f y"},
+        {"doc_id": 2, "text": "p q a b c d e f r"},
+        {"doc_id": 3, "text": "m n o p q r z m n o p q r"},
+        {"doc_id": 4, "text": "unique tokens only here nothing repeats at all"},
+        {"doc_id": 6, "text": "tiny doc"},
+    ]
+    # viral mass: 40 exact copies of doc 1 (>= k tokens -> all drop)
+    # and 15 copies of the sub-k doc (windowless -> all survive)
+    docs += [{"doc_id": 100 + i, "text": "x a b c d e f y"} for i in range(40)]
+    docs += [{"doc_id": 200 + i, "text": "tiny doc"} for i in range(15)]
+    df = spark.createDataFrame(docs)
+
+    def run(**kw):
+        out = SubstringDedup("d", "o", k=6, **kw)(Flow({"d": df}))["o"]
+        return sorted((r.doc_id, r.text, r.n_kept, r.n_dropped) for r in out.collect())
+
+    naive = run()
+    collapsed = run(pre_collapse_exact_dups=True)
+    assert collapsed == naive
+    # the copies really took both re-expansion paths
+    ids = {t[0] for t in collapsed}
+    assert not any(100 <= i < 140 for i in ids)  # long copies dropped
+    assert all(200 + i in ids for i in range(15))  # short copies survive
+
+
 def test_semdedup_pivot_matches_bruteforce(spark, emb):
     """Pivot-mode SemDeDup vs a literal numpy replay of the definition:
     nearest-of-8-lowest-id-pivots assignment (round-6 cosine, lowest

@@ -858,3 +858,75 @@ def test_streaming_image_phash_matches_batch(spark):
         assert got == want and len(want) == 24
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_sliding_count_window_matches_batch(spark, sf_dir):
+    """SlidingCountWindow on a stream — the keyed stateful window
+    assigner (rank counter + bounded buffer in GroupState) — drained
+    availableNow must emit EXACTLY the batch lowering's complete-window
+    (row, window_id) assignments.
+
+    Determinism setup: count windows depend on arrival order, so the
+    stream is staged as ts-ordered files drained one per micro-batch
+    (maxFilesPerTrigger=1) and the kernel sorts by order_by within
+    each batch — per-key arrival order then equals the batch
+    lowering's (ts, event_id) total order."""
+    from strom_spark import SlidingCountWindow, load_table
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .filter(F.col("user_id") < 40)
+    )
+    d = tempfile.mkdtemp(prefix="strom_slide_stream_")
+    try:
+        # 6 contiguous ts-range files, each internally unsplit: batch
+        # i holds strictly earlier events than batch i+1 for every key
+        n = base.count()
+        ordered = base.orderBy("ts", "event_id").coalesce(1)
+        ranked = ordered.withColumn(
+            "__f", (F.monotonically_increasing_id() * 6 / n).cast("int")
+        )
+        for i in range(6):
+            ranked.filter(F.col("__f") == i).drop("__f").coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+
+        def windows(df):
+            return SlidingCountWindow(
+                "ev",
+                "w",
+                size=7,
+                step=3,
+                order_by=["ts", "event_id"],
+                partition_by=["user_id"],
+            )(Flow({"ev": df}))["w"]
+
+        schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = windows(stream)
+        assert out.isStreaming
+        run_available(out, query_name="t_stream_sliding")
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM t_stream_sliding").collect()
+        )
+        want = sorted(tuple(r) for r in windows(spark.read.parquet(d)).collect())
+        assert got == want and len(want) > 500
+
+        # streaming contract errors are loud and typed
+        with pytest.raises(ValueError, match="aggs=None"):
+            SlidingCountWindow(
+                "ev", "w", size=7, step=3, order_by=["ts"],
+                partition_by=["user_id"], aggs={"n": F.count("*")},
+            )(Flow({"ev": stream}))
+        with pytest.raises(ValueError, match="keep_partial"):
+            SlidingCountWindow(
+                "ev", "w", size=7, step=3, order_by=["ts"],
+                partition_by=["user_id"], keep_partial=True,
+            )(Flow({"ev": stream}))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -54,6 +54,14 @@ def main():
     spark = get_spark("correctness")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # big-SF hygiene: bound duck's parallelism (don't fight the Spark
+    # session for all 32 cores) and memory (spill instead of
+    # ballooning); SPARK_GRAFT_ORACLE_TIMEOUT=<sec> interrupts an
+    # oracle that runs away (recursive CTEs at 10x data) so one
+    # pathological query can't stall the whole sweep
+    con.execute("SET threads=16")
+    con.execute("SET memory_limit='40GB'")
+    oracle_timeout = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0") or 0)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
@@ -77,9 +85,27 @@ def main():
             print(f"ok?   {name}: rows={len(srows)} (no oracle, rows-only) [{t1-t0:.1f}s]")
             continue
         try:
-            ddf = con.execute(oracles[name]).df()
+            if oracle_timeout:
+                import threading
+
+                timer = threading.Timer(oracle_timeout, con.interrupt)
+                timer.start()
+                try:
+                    ddf = con.execute(oracles[name]).df()
+                finally:
+                    timer.cancel()
+            else:
+                ddf = con.execute(oracles[name]).df()
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            msg = str(e)
+            if "INTERRUPT" in msg.upper():
+                print(
+                    f"SKIP  {name}: oracle exceeded {oracle_timeout:.0f}s "
+                    f"(interrupted) — spark rows={len(srows)}"
+                )
+                failures.append(f"{name}(oracle-timeout)")
+                continue
+            print(f"FAIL  {name}: duckdb error: {msg[:300]}")
             failures.append(name)
             continue
         dcols = list(ddf.columns)

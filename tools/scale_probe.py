@@ -346,7 +346,59 @@ def triangles_main() -> None:
     spark.stop()
 
 
+def viral_main() -> None:
+    """SubstringDedup viral-window probe: a corpus where ONE document
+    (hence every one of its k-windows) repeats 10^5 times — the
+    documented residual skew risk.  Measures the naive pipeline (hot
+    `partitionBy(window_hash)` partition of 10^5 rows x k
+    amplification) against `pre_collapse_exact_dups=True` (doc-
+    granular collapse BEFORE amplification) and asserts the outputs
+    match row for row.  Usage: scale_probe.py viral [n_copies]."""
+    import json
+
+    n_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    spark = get_spark("scale_probe_viral")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(2_000_000).selectExpr("sum(id*2)").collect()  # JIT warmup
+
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    viral_text = " ".join(f"w{i % 23}" for i in range(60))  # one 60-token doc
+    viral = spark.range(n_copies).select(
+        (F.col("id") + 1_000_000).alias("doc_id"), F.lit(viral_text).alias("text")
+    )
+    corpus = (
+        base.select("doc_id", "text").unionByName(viral).repartition(32).cache()
+    )
+    n_docs = corpus.count()
+
+    results = {"n_docs": n_docs, "viral_copies": n_copies, "ops": {}}
+    sigs = {}
+    for name, kw in [
+        ("naive", {}),
+        ("pre_collapse", {"pre_collapse_exact_dups": True}),
+    ]:
+        t0 = time.time()
+        out = SubstringDedup("docs", "o", k=8, **kw)(Flow({"docs": corpus}))["o"]
+        agg = out.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.xxhash64("doc_id", "text", "n_kept", "n_dropped").cast(
+                    "decimal(38,0)"
+                )
+            ).alias("sig"),
+        ).collect()[0]
+        results["ops"][name] = {
+            "rows": agg.n, "sec": round(time.time() - t0, 1)
+        }
+        sigs[name] = (agg.n, agg.sig)
+    results["outputs_match"] = sigs["naive"] == sigs["pre_collapse"]
+    print(json.dumps(results))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "viral":
+        viral_main()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "curation":
         curation_main()
         return
