@@ -395,7 +395,92 @@ def viral_main() -> None:
     print(json.dumps(results))
 
 
+def ivf_main() -> None:
+    """IVF recall/cost curve at a 10x corpus (the sf1.0 embeddings,
+    20k vectors): recall@10 and probe-scan fraction vs n_centroids in
+    {16, 64, 141(=sqrt N), 256} through the PERSISTED IVFIndex path
+    (build once per n_centroids, partition-pruned ivf_search), at a
+    constant ~quarter-of-lists probe plus the registered probe-8 and
+    sqrt-N-shaped points.  Usage: scale_probe.py ivf [corpus.parquet]."""
+    import json
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from strom_spark.operators.similarity import CosineTopK, IVFIndex, ivf_search
+
+    corpus_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else "/root/repo/testdata_sf1.0/embeddings.parquet"
+    )
+    spark = get_spark("scale_probe_ivf")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(corpus_path).cache()
+    n_corpus = emb.count()
+    queries = emb.filter(F.col("vec_id") < 50)
+    n_q = queries.count()
+
+    gt = {
+        (r.query_id, r.neighbor_id)
+        for r in CosineTopK("c", "q", "o", k=10)(
+            Flow({"c": emb, "q": queries})
+        )["o"].collect()
+    }
+
+    results = {"corpus": corpus_path, "n_corpus": n_corpus, "n_queries": n_q,
+               "k": 10, "points": []}
+    sqrt_n = int(round(n_corpus ** 0.5))
+    for n_cent in (16, 64, sqrt_n, 256):
+        d = tempfile.mkdtemp(prefix=f"ivfprobe_{n_cent}_")
+        try:
+            t0 = time.time()
+            IVFIndex("e", d, n_centroids=n_cent)(Flow({"e": emb}))
+            build_s = round(time.time() - t0, 1)
+            with open(f"{d}/_centroids.json") as f:
+                C = np.array(json.load(f))
+            # per-list sizes for the scan-fraction denominator
+            sizes = {
+                r.centroid_id: r.n
+                for r in spark.read.parquet(d)
+                .groupBy("centroid_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            qv = queries.select("vec_id", "embedding").toPandas()
+            Q = np.stack(qv["embedding"].to_list()).astype("float64")
+            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+            probes = {1, 2, max(1, len(C) // 4), 8, max(1, len(C) // 2)}
+            for n_probe in sorted(p for p in probes if p <= len(C)):
+                t0 = time.time()
+                out = ivf_search(
+                    spark, d, queries, k=10, n_probe=n_probe
+                ).collect()
+                search_s = round(time.time() - t0, 1)
+                got = {(r.query_id, r.neighbor_id) for r in out}
+                recall = round(len(got & gt) / max(len(gt), 1), 4)
+                # scan fraction: rows in each query's probed lists /
+                # (n_q * corpus) — the exact candidate-scan cost
+                idx = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+                scanned = sum(
+                    sizes.get(int(c), 0) for row in idx for c in row
+                )
+                frac = round(scanned / (n_q * n_corpus), 4)
+                results["points"].append({
+                    "n_centroids": int(len(C)), "n_probe": int(n_probe),
+                    "recall_at_10": recall, "scan_fraction": frac,
+                    "build_s": build_s, "search_s": search_s,
+                })
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    print(json.dumps(results))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "ivf":
+        ivf_main()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "viral":
         viral_main()
         return
