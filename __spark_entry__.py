@@ -534,7 +534,8 @@ def count_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sliding_window_qty",
     """
 WITH ranked AS (
-  SELECT l_quantity, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+  SELECT l_quantity,
+    row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
   FROM lineitem
 ),
 assigned AS (
@@ -553,14 +554,19 @@ SELECT window_id, CAST(s AS DOUBLE) AS sum_qty FROM full_windows
 def sliding_window_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding count window size=500 step=250 over a total order —
     lowered to an exploded window-id sequence (fan-out size/step = 2)
-    + group-by; no Python, one shuffle."""
+    + group-by; no Python, one shuffle.  l_quantity rides the sort as
+    the third key: (l_orderkey, l_linenumber) alone is NOT unique, and
+    a rank tie straddling a window boundary would make the window SUM
+    engine-dependent — with quantity in the key, any remaining tie is
+    quantity-equal, so every window's (count, sum) is deterministic on
+    ANY corpus (surfaced by the sf1.0 sweep, round 9)."""
     flow = Flow({"lineitem": load_table(spark, sf_dir, "lineitem")})
     out = SlidingCountWindow(
         "lineitem",
         "win",
         size=500,
         step=250,
-        order_by=["l_orderkey", "l_linenumber"],
+        order_by=["l_orderkey", "l_linenumber", "l_quantity"],
         aggs={"sum_qty": F.sum(_dec("l_quantity")).cast("double")},
     )(flow)
     return out["win"]
