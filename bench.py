@@ -220,10 +220,17 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     qs = entrymod.queries()
+    # SPARK_GRAFT_BENCH_FULL=1: bench EVERY registered query (the
+    # round-9 full-registry sweep — 57 of 146 queries were invisible
+    # to the headline set, so a regression there would hide between
+    # driver rotations); detail goes to BENCH_FULL_DETAIL.json so the
+    # headline artifact contract is untouched
+    full = os.environ.get("SPARK_GRAFT_BENCH_FULL", "") == "1"
+    names = list(qs) if full else HEADLINE
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in names:
         runs: list[float] = []
         try:  # lookup INSIDE the try: a renamed/unregistered query
             # must record an error row, not crash the whole artifact
@@ -271,7 +278,8 @@ def main() -> None:
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_DETAIL.json"), "w"
+                         "BENCH_FULL_DETAIL.json" if full
+                         else "BENCH_DETAIL.json"), "w"
         ) as f:
             json.dump({"value": total, "queries": timings, "sf": sf,
                        **detail, **({"errors": errors} if errors else {})},
@@ -281,10 +289,16 @@ def main() -> None:
     print(json.dumps({"detail": detail}, separators=(",", ":")))
 
     payload = {
-        "metric": "headline_queries_total_runtime",
+        "metric": "full_registry_total_runtime" if full
+        else "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
+        # 147 per-query entries would blow the ~2.2 KB final-line
+        # contract in full mode; the per-query map lives in
+        # BENCH_FULL_DETAIL.json there
+        "queries": {"in": "BENCH_FULL_DETAIL.json", "n": len(timings)}
+        if full
+        else {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
     }
     if errors:

@@ -1,0 +1,97 @@
+"""Compare a bench detail artifact's per-query warm-mins against the
+best prior recorded warm-min across all committed BENCH_r*.json
+artifacts (and optionally a prior BENCH_DETAIL.json), flagging every
+query whose current warm-min exceeds ``threshold``x its best prior —
+the SCALE.md adjudication protocol's candidate list.
+
+Usage: python tools/bench_compare.py BENCH_FULL_DETAIL.json [threshold]
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _harvest(best: dict[str, tuple[float, str]], qs, src: str) -> None:
+    if not isinstance(qs, dict):
+        return
+    for name, sec in qs.items():
+        if not isinstance(sec, (int, float)):
+            continue
+        if name not in best or sec < best[name][0]:
+            best[name] = (float(sec), src)
+
+
+def best_prior() -> dict[str, tuple[float, str]]:
+    """Best recorded warm-min per query across (a) every committed
+    BENCH_r*.json whose final line embedded the per-query map (rounds
+    <= 7) and (b) every git-history version of BENCH_DETAIL.json
+    (rounds >= 7 moved the map to the side file)."""
+    import subprocess
+
+    best: dict[str, tuple[float, str]] = {}
+    for path in sorted(glob.glob(f"{ROOT}/BENCH_r*.json")):
+        try:
+            d = json.load(open(path))
+        except Exception:
+            continue
+        d = d or {}
+        _harvest(best, d.get("queries"), os.path.basename(path))
+        _harvest(best, (d.get("parsed") or {}).get("queries"),
+                 os.path.basename(path))
+    try:
+        shas = subprocess.run(
+            ["git", "log", "--format=%h", "--", "BENCH_DETAIL.json"],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout.split()
+        for sha in shas:
+            try:
+                d = json.loads(subprocess.run(
+                    ["git", "show", f"{sha}:BENCH_DETAIL.json"],
+                    cwd=ROOT, capture_output=True, text=True, check=True,
+                ).stdout)
+            except Exception:
+                continue
+            if d.get("sf") != 0.1:
+                continue  # only sf0.1 artifacts are comparable
+            _harvest(best, d.get("queries"), f"BENCH_DETAIL@{sha}")
+    except Exception:
+        pass
+    return best
+
+
+def main() -> None:
+    cur_path = sys.argv[1] if len(sys.argv) > 1 else f"{ROOT}/BENCH_FULL_DETAIL.json"
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    cur = json.load(open(cur_path))
+    cur_q = cur.get("queries") or {}
+    prior = best_prior()
+    drifts = []
+    fresh = []
+    for name, sec in sorted(cur_q.items()):
+        if name in prior:
+            b, src = prior[name]
+            ratio = sec / b if b > 0 else float("inf")
+            if ratio > threshold:
+                drifts.append((name, sec, b, src, round(ratio, 2)))
+        else:
+            fresh.append((name, sec))
+    print(json.dumps({
+        "artifact": os.path.basename(cur_path),
+        "n_queries": len(cur_q),
+        "n_with_prior": sum(1 for n in cur_q if n in prior),
+        "threshold": threshold,
+        "drifts": [
+            {"query": n, "now_s": s, "best_prior_s": b, "prior_src": src,
+             "ratio": r} for n, s, b, src, r in drifts
+        ],
+        "first_recorded": dict(fresh),
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()
