@@ -53,17 +53,28 @@ def main():
     only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
     spark = get_spark("correctness")
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
     # big-SF hygiene: bound duck's parallelism (don't fight the Spark
     # session for all 32 cores) and memory (spill instead of
     # ballooning); SPARK_GRAFT_ORACLE_TIMEOUT=<sec> interrupts an
     # oracle that runs away (recursive CTEs at 10x data) so one
-    # pathological query can't stall the whole sweep
-    con.execute("SET threads=16")
-    con.execute("SET memory_limit='40GB'")
+    # pathological query can't stall the whole sweep;
+    # SPARK_GRAFT_MAX_ROWS=<n> skips (rather than collects) a result
+    # larger than n rows — a 143M-pair output poisons the whole
+    # process heap if collected (the round-9 sf1.0 lesson)
     oracle_timeout = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0") or 0)
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    max_rows = int(os.environ.get("SPARK_GRAFT_MAX_ROWS", "0") or 0)
+
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute("SET threads=16")
+        c.execute("SET memory_limit='24GB'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
+
+    con = fresh_con()
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -75,6 +86,16 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            if max_rows:
+                n = sdf.count()
+                if n > max_rows:
+                    print(
+                        f"SKIP  {name}: spark result {n} rows > "
+                        f"SPARK_GRAFT_MAX_ROWS={max_rows} — output-bound "
+                        f"at this SF, not collectable"
+                    )
+                    failures.append(f"{name}(rows-cap)")
+                    continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
@@ -88,6 +109,10 @@ def main():
             if oracle_timeout:
                 import threading
 
+                # fresh connection per oracle under timeout mode: an
+                # interrupted/OOMed query must not poison later ones
+                con.close()
+                con = fresh_con()
                 timer = threading.Timer(oracle_timeout, con.interrupt)
                 timer.start()
                 try:
