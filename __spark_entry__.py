@@ -1301,11 +1301,11 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic that makes PCA / covariance / ridge regression a
     DRIVER-side eigensolve over a 64x64 matrix while the data never
     leaves the cluster (the normal-equations pattern for distributed
-    linear models).  The upper triangle is generated in-row with
-    array HOFs (no row ids, no self-join — immune to the
-    nondeterministic-id mispairing hazard) + one keyed agg with
-    map-side partial sums: the shuffle is bounded by dim^2
-    cardinality, never row count.
+    linear models).  One posexplode with row ids PINNED by an eager
+    localCheckpoint before the self-join (both sides read identical
+    materialized ids — immune to the nondeterministic-id mispairing
+    hazard) + one keyed agg with map-side partial sums: the shuffle
+    is bounded by dim^2 cardinality, never row count.
     Contributions round(x_i*x_j, 6) are decimal-summed (full-mantissa
     float products have 17-digit reprs — no decimal-half boundary),
     so all 2,080 cells hash-match the oracle exactly.
@@ -1313,7 +1313,7 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strom_spark import GramMatrix
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return GramMatrix("e", "gram")(Flow({"e": emb}))["gram"]
+    return GramMatrix("e", "gram", id_col="vec_id")(Flow({"e": emb}))["gram"]
 
 
 @_q(

@@ -1165,17 +1165,20 @@ class GramMatrix(Component):
     dim^2 regardless of row count (the classic "normal equations"
     pattern for distributed linear models).
 
-    Plan: the upper triangle (i <= j) of per-row products is
-    generated INSIDE each row with array HOFs (nested ``transform``
-    over the vector and its suffix ``slice``) — no row ids, no
-    self-join — then ONE explode and one keyed aggregation on (i, j)
-    with map-side partial sums: shuffle bounded by dim^2 cardinality,
-    never by rows.  The in-row form also removes the
-    ``monotonically_increasing_id`` self-join hazard (a nondeterministic
-    id re-evaluated per join side silently mispairs rows after a
-    shuffle or task retry — the pin-before-self-join discipline made
-    unnecessary rather than applied).  Per-pair contributions are
-    ``round(x_i * x_j, 6)`` summed as DECIMAL(18,6): products of
+    Plan: ONE posexplode to (row, i, x_i) skinny rows — the row ids
+    assigned by ``monotonically_increasing_id`` and PINNED with
+    ``localCheckpoint(eager=True)`` BEFORE the self-join, so both join
+    sides read the SAME materialized ids (an unpinned nondeterministic
+    id re-evaluates per side and silently mispairs rows after an
+    upstream shuffle or task retry — the pin-before-self-join
+    discipline) — then the row-keyed self-join produces the upper
+    triangle (i <= j) and one keyed aggregation on (i, j) with
+    map-side partial sums: shuffle bounded by dim^2 cardinality,
+    never by rows.  (A join-free variant generating pairs in-row with
+    nested ``transform`` HOFs was measured 25x SLOWER at sf0.1 —
+    higher-order functions evaluate interpreted per element while the
+    join path stays in whole-stage codegen.)  Per-pair contributions
+    are ``round(x_i * x_j, 6)`` summed as DECIMAL(18,6): products of
     full-mantissa floats have 17-digit reprs (no decimal-half
     boundary), and the decimal sum is shuffle-order independent — so
     the matrix hash-matches a SQL oracle exactly.
@@ -1190,33 +1193,42 @@ class GramMatrix(Component):
         output: str,
         *,
         vec_col: str = "embedding",
+        id_col: str | None = None,
         label: str | None = None,
     ):
         self.input = input
         self.output = output
         self.vec_col = vec_col
+        self.id_col = id_col
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
-        df = flow[self.input].select(
-            F.col(self.vec_col).cast("array<double>").alias("__v"),
-        )
-        # lambda index i is 0-based; slice() is 1-based, so
-        # slice(__v, i+1, size-i) is the suffix starting AT index i —
-        # k-th suffix element is original index i+k (diagonal at k=0)
-        pairs = df.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(__v, (xi, i) -> "
-                    "transform(slice(__v, i + 1, size(__v) - i), (xj, k) -> "
-                    "named_struct('i', i, 'j', i + k, "
-                    "'c', cast(round(xi * xj, 6) as decimal(18,6))))))"
-                )
-            ).alias("__s")
+        src = flow[self.input]
+        if self.id_col is not None:
+            # a REAL row key: deterministic across join sides by
+            # construction, no materialization needed — the fast path
+            df = src.select(
+                F.col(self.id_col).alias("__r"),
+                F.col(self.vec_col).cast("array<double>").alias("__v"),
+            )
+        else:
+            # no key available: pin synthetic ids with an eager
+            # localCheckpoint so both self-join sides read the SAME
+            # materialized ids (an unpinned nondeterministic id
+            # re-evaluates per side and silently mispairs rows after
+            # an upstream shuffle or task retry)
+            df = src.select(
+                F.monotonically_increasing_id().alias("__r"),
+                F.col(self.vec_col).cast("array<double>").alias("__v"),
+            ).localCheckpoint(eager=True)
+        ex = df.select("__r", F.posexplode("__v").alias("i", "x"))
+        a, b = ex.alias("a"), ex.alias("b")
+        pairs = a.join(
+            b, (F.col("a.__r") == F.col("b.__r")) & (F.col("a.i") <= F.col("b.i"))
         ).select(
-            F.col("__s.i").alias("i"),
-            F.col("__s.j").alias("j"),
-            F.col("__s.c").alias("c"),
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+            F.round(F.col("a.x") * F.col("b.x"), 6).cast("decimal(18,6)").alias("c"),
         )
         out = (
             pairs.groupBy("i", "j")

@@ -66,7 +66,7 @@ def main():
 
     def fresh_con():
         c = duckdb.connect()
-        c.execute("SET threads=16")
+        c.execute(f"SET threads={os.environ.get('SPARK_GRAFT_DUCK_THREADS', '16')}")
         c.execute("SET memory_limit='24GB'")
         for t in TABLES:
             c.execute(
