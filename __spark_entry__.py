@@ -2026,6 +2026,68 @@ def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bloom_membership",
+    """
+WITH seeds AS (SELECT unnest(range(4)) AS s),
+members AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+mpos AS (
+  SELECT ('0x' || substring(md5(s || ':' || c_custkey), 1, 8))::UBIGINT % 4032 AS pos
+  FROM members CROSS JOIN seeds
+),
+bits AS (
+  SELECT CAST(pos // 63 AS INT) AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+  FROM mpos GROUP BY 1
+),
+probes AS (
+  SELECT c_custkey, CAST(pos // 63 AS INT) AS word_idx, CAST(pos % 63 AS INT) AS bit
+  FROM (
+    SELECT c_custkey,
+      ('0x' || substring(md5(s || ':' || c_custkey), 1, 8))::UBIGINT % 4032 AS pos
+    FROM customer CROSS JOIN seeds
+  )
+),
+hits AS (
+  SELECT p.c_custkey,
+         CAST(min((coalesce(b.word, 0) >> p.bit) & 1) = 1 AS BIGINT) AS bloom_hit
+  FROM probes p LEFT JOIN bits b USING (word_idx) GROUP BY 1
+)
+SELECT c.c_custkey, CAST(c.c_acctbal < 0 AS BIGINT) AS is_member, h.bloom_hit
+FROM customer c JOIN hits h USING (c_custkey)
+""",
+)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/sketch.py:BloomFilter —
+    Bloom 1970), the bounded-state MEMBERSHIP sketch next to CMS's
+    frequency grid: negative-balance customers build a 64-word
+    (63 bits/word, portable-signed) filter in ONE map-side-combinable
+    keyed agg; every customer then probes it via a broadcast of those
+    64 longs.  Per-key output (is_member, bloom_hit) is fully
+    DETERMINISTIC cross-engine (md5-prefix bit positions), so the
+    driver hash-certifies the sketch's one-sided contract directly:
+    bloom_hit >= is_member on every row (no false negatives ever),
+    false positives appear exactly where the math puts them (the
+    filter is deliberately small — m=4032 bits — so the FP path is
+    exercised at sf>=0.1, not just asserted).  At 100 TB this is the
+    semi-join pruning primitive: broadcast a few KB of filter built
+    from the small side's keys and drop non-matching fact rows BEFORE
+    the shuffle join.  Beyond-reference: sketch surface."""
+    from strom_spark import BloomFilter, bloom_contains
+
+    cust = load_table(spark, sf_dir, "customer")
+    members = cust.filter(F.col("c_acctbal") < 0)
+    sk = BloomFilter("m", "s", key_col="c_custkey", n_words=64, k=4)(
+        Flow({"m": members})
+    )["s"]
+    hits = bloom_contains(sk, cust, key_col="c_custkey", n_words=64, k=4)
+    return cust.join(hits, "c_custkey").select(
+        "c_custkey",
+        (F.col("c_acctbal") < 0).cast("bigint").alias("is_member"),
+        "bloom_hit",
+    )
+
+
+@_q(
     "doc_entropy_stats",
     rf"""
 WITH {_NORM_DOCS},

@@ -128,6 +128,7 @@ HEADLINE = [
     "lsh_recall_floor",
     "minhash_recall_floor",
     "cms_user_counts",
+    "bloom_membership",
     "doc_entropy_stats",
     "quantized_knn",
     "hard_negative_mining",

@@ -51,7 +51,7 @@ from .operators.dedup import (
     SemDeDup,
 )
 from .operators.similarity import CosineTopK, CosineLSHJoin, IVFTopK, IVFIndex, RRFFusion, MMRRerank, ScalarQuantize, CoOccurrenceJaccard, GramMatrix, ivf_search
-from .operators.sketch import CountMinSketch, cms_estimate
+from .operators.sketch import BloomFilter, CountMinSketch, bloom_contains, cms_estimate
 from .operators.asof import AsofJoin
 from .operators.rangejoin import RangeJoin
 from .operators.textrank import (
@@ -156,7 +156,9 @@ __all__ = [
     "ScalarQuantize",
     "CoOccurrenceJaccard",
     "GramMatrix",
+    "BloomFilter",
     "CountMinSketch",
+    "bloom_contains",
     "cms_estimate",
     "CosineLSHJoin",
     "IVFTopK",

@@ -133,3 +133,151 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias(out_col))
     )
+
+
+class BloomFilter(Component):
+    """Build a Bloom filter over ``key_col`` — the canonical bounded-
+    state MEMBERSHIP sketch (Bloom 1970): ``k`` seeded hashes set one
+    bit each in an ``m``-bit array; a probe is a member candidate iff
+    ALL of its k bits are set.  One-sided like CMS: NO false
+    negatives ever, false-positive rate ≈ (1 - e^{-k·n/m})^k.
+
+    At 100 TB this is THE semi-join pruning primitive: build the
+    filter over the small side's join keys (one map-side-combinable
+    keyed agg; the filter is ``n_words`` longs REGARDLESS of key
+    count), broadcast those few KB, and pre-filter the fact table
+    before the shuffle join — rows that cannot match never enter the
+    exchange.  Two filters built with the same (n_words, k) merge by
+    OR-ing their words per index, so per-partition / per-day /
+    per-stream filters roll up like CMS grids.
+
+    Word layout: 63 bits per word (bit indices 0..62) — ``1 << 63``
+    overflows a signed BIGINT in ANSI engines (DuckDB raises), so the
+    63-bit layout keeps every word value identical and portable in
+    Spark and the SQL oracle.  Output: (word_idx int, word bigint),
+    at most ``n_words`` rows (untouched words are absent = 0).
+
+    Bit positions use the repo's portable md5-prefix hash —
+    bit-reproducible cross-engine, so membership results (not just
+    invariants) hash-match an oracle exactly.
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str,
+        *,
+        key_col: str,
+        n_words: int = 512,
+        k: int = 4,
+        label: str | None = None,
+    ):
+        if n_words < 1 or k < 1:
+            raise ValueError("BloomFilter: n_words and k must be >= 1")
+        self.input = input
+        self.output = output
+        self.key_col = key_col
+        self.n_words = n_words
+        self.k = k
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        df = flow[self.input]
+        m = 63 * self.n_words
+        probes = df.select(F.col(self.key_col)).withColumn(
+            "__s", F.explode(F.array(*[F.lit(s) for s in range(self.k)]))
+        )
+        pos = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("__s").cast("string"),
+                            F.col(self.key_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m),
+        )
+        out = (
+            probes.select(
+                (pos / 63).cast("int").alias("word_idx"),
+                pos.alias("__pos"),
+            )
+            .select(
+                "word_idx",
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 63) AS INT))"
+                ).alias("__bitval"),
+            )
+            .groupBy("word_idx")
+            .agg(F.bit_or("__bitval").alias("word"))
+        )
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
+def bloom_contains(
+    sketch: DataFrame,
+    keys: DataFrame,
+    *,
+    key_col: str,
+    n_words: int = 512,
+    k: int = 4,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe ``keys`` against a Bloom filter built with the SAME
+    (n_words, k): per key, recompute its k bit positions, broadcast-
+    join the (at most n_words-row) word table, and test every bit —
+    ``out_col`` is 1 iff ALL k bits are set (candidate member; never
+    0 for a true member).  Linear scan of the key set, no shuffle of
+    the keys beyond one keyed agg."""
+    m = 63 * n_words
+    probes = keys.select(F.col(key_col)).withColumn(
+        "__s", F.explode(F.array(*[F.lit(s) for s in range(k)]))
+    )
+    pos = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("__s").cast("string"), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(m),
+    )
+    probes = probes.select(
+        F.col(key_col),
+        (pos / 63).cast("int").alias("word_idx"),
+        pos.alias("__pos"),
+    )
+    joined = probes.join(F.broadcast(sketch), "word_idx", "left").withColumn(
+        "__w", F.coalesce(F.col("word"), F.lit(0).cast("bigint"))
+    )
+    bit_set = (
+        F.expr("shiftright(__w, CAST(pmod(__pos, 63) AS INT))") % 2 == 1
+    ).cast("int")
+    return (
+        joined.select(F.col(key_col), bit_set.alias("__hit"))
+        .groupBy(key_col)
+        .agg(
+            (F.min("__hit") == 1).cast("bigint").alias(out_col)
+        )
+    )

@@ -777,3 +777,43 @@ def test_quantiles_approx_streaming_differential(spark, sf_dir):
             assert got[k].p90 == pytest.approx(want[k].p90, rel=0.05)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bloom_filter_invariants(spark):
+    """BloomFilter: (a) NO false negatives ever — every inserted key
+    probes hit; (b) mergeability — two half-corpus filters OR-merged
+    word-by-word equal the full build exactly; (c) the deliberately
+    tiny filter produces false positives (the one-sided error is
+    real, not a no-op); (d) parameter validation."""
+    import pytest
+    from strom_spark import BloomFilter, Flow, bloom_contains
+
+    keys = spark.range(0, 400).select(F.col("id").alias("k"))
+    members = keys.filter(F.col("k") % 4 == 0)  # 100 members
+    kw = dict(key_col="k", n_words=4, k=4)  # m=252 bits: dense load
+
+    sk = BloomFilter("m", "s", **kw)(Flow({"m": members}))["s"]
+    hits = bloom_contains(sk, keys, **kw)
+    rows = {r.k: r.bloom_hit for r in hits.collect()}
+    false_negs = [k for k in range(0, 400, 4) if rows[k] != 1]
+    assert false_negs == []
+    fps = sum(rows[k] for k in range(400) if k % 4 != 0)
+    assert fps > 0  # dense load must produce false positives
+
+    # mergeability: OR of two half-filters == the full filter
+    h1 = BloomFilter("m", "s", **kw)(
+        Flow({"m": members.filter(F.col("k") < 200)})
+    )["s"]
+    h2 = BloomFilter("m", "s", **kw)(
+        Flow({"m": members.filter(F.col("k") >= 200)})
+    )["s"]
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    full = {(r.word_idx, r.word) for r in sk.collect()}
+    assert {(r.word_idx, r.word) for r in merged.collect()} == full
+
+    with pytest.raises(ValueError, match="n_words"):
+        BloomFilter("m", "s", key_col="k", n_words=0)

@@ -156,6 +156,10 @@ def test_no_fact_broadcast_sweep(spark, sf_dir):
         # on (seed, pmod(hash, width)) — ≤ depth×width (4×512) rows at
         # ANY input size.
         "cms_user_counts": ("Aggregate [seed#", "pmod("),
+        # broadcast side is the Bloom word table: an Aggregate keyed
+        # on the pmod-derived word index — ≤ n_words (64) rows at ANY
+        # corpus size.
+        "bloom_membership": ("Aggregate [word_idx#", "pmod("),
     }
 
     failures = {}
