@@ -2026,6 +2026,85 @@ def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bloom_prefilter_join",
+    """
+SELECT c.c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal < 0
+GROUP BY c.c_mktsegment
+""",
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom SEMI-JOIN PRUNING end-to-end (sketch.py:bloom_member_expr)
+    — the pattern that saves a 100 TB fact scan's shuffle: the order
+    keys of negative-balance customers build a 4096-word Bloom filter
+    (one keyed agg, bounded output), the collected words become a
+    PURE COLUMN expression (k seeded probes + literal-array lookups,
+    whole-stage codegen, ZERO shuffle), and the lineitem fact table is
+    pre-filtered MAP-SIDE before its join — rows that cannot match
+    never enter the exchange.  False positives pass the filter and die
+    in the real join; false negatives cannot exist, so the result is
+    EXACTLY the plain 3-way join the oracle runs — which is also why
+    this flow uses the PRODUCTION xxhash64 hash (JVM-native) rather
+    than the portable md5 recipe: no oracle replicates the filter,
+    the downstream join makes the result hash-independent (the
+    oracle-parity md5 path stays in bloom_membership).  A free
+    driver-side saturation check (popcount of the collected words)
+    flips the row red if the filter ever stops pruning.
+    Beyond-reference: sketch-driven join pruning."""
+    from strom_spark import BloomFilter, bloom_contains  # noqa: F401
+    from strom_spark.operators.sketch import bloom_member_expr
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    neg = cust.filter(F.col("c_acctbal") < 0)
+    from pyspark import StorageLevel
+
+    # consumed by the sketch build AND the final join: pin the small
+    # (neg-customer orders) side once (shared-lineage rule)
+    neg_orders = orders.join(
+        neg.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "c_mktsegment").persist(StorageLevel.MEMORY_AND_DISK)
+    sk = BloomFilter("m", "s", key_col="o_orderkey", n_words=4096, k=4,
+                     hash="xxhash64")(
+        Flow({"m": neg_orders})
+    )["s"]
+    words = {r.word_idx: r.word for r in sk.collect()}  # bounded: <= 4096 longs
+    # pruning-power assert, FREE (driver-side popcount of the collected
+    # words): a saturated filter is exactly the failure mode where the
+    # pre-filter silently stops pruning — flip the row red instead.
+    bits_set = sum(bin(w).count("1") for w in words.values())
+    frac = bits_set / (63 * 4096)
+    if frac > 0.9:
+        raise AssertionError(
+            f"bloom_prefilter_join: filter is saturated ({frac:.2%} bits "
+            "set) — the map-side pre-filter no longer prunes; grow n_words"
+        )
+    pre = li.filter(
+        bloom_member_expr(words, F.col("l_orderkey"), n_words=4096, k=4,
+                          hash="xxhash64")
+    )
+    return (
+        pre.join(neg_orders, pre.l_orderkey == neg_orders.o_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
+@_q(
     "bloom_membership",
     """
 WITH seeds AS (SELECT unnest(range(4)) AS s),

@@ -129,6 +129,7 @@ HEADLINE = [
     "minhash_recall_floor",
     "cms_user_counts",
     "bloom_membership",
+    "bloom_prefilter_join",
     "doc_entropy_stats",
     "quantized_knn",
     "hard_negative_mining",

@@ -930,3 +930,31 @@ def test_streaming_sliding_count_window_matches_batch(spark, sf_dir):
             )(Flow({"ev": stream}))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_bloom_filter_matches_batch(spark, stream_dir):
+    """BloomFilter is ONE keyed bit_or aggregation, so the SAME
+    component runs unmodified over a stream (complete mode — the word
+    table is the bounded n_words-long state Structured Streaming
+    keeps anyway) and must drain availableNow to EXACTLY the batch
+    word table.  Same mergeable-bounded-state story as the CMS grid:
+    a 100 TB membership rollup carries n_words longs of state, never
+    a key set."""
+    from strom_spark import BloomFilter
+
+    def bloom(df):
+        return BloomFilter("s", "o", key_col="user_id", n_words=16, k=4)(
+            Flow({"s": df})
+        )["o"]
+
+    out = bloom(_read_stream(spark, stream_dir))
+    assert out.isStreaming
+    run_available(out, query_name="t_stream_bloom", output_mode="complete")
+    got = sorted(
+        (r.word_idx, r.word)
+        for r in spark.sql("SELECT * FROM t_stream_bloom").collect()
+    )
+    want = sorted(
+        (r.word_idx, r.word) for r in bloom(spark.read.parquet(stream_dir)).collect()
+    )
+    assert got == want and len(want) > 0

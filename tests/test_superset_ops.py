@@ -817,3 +817,33 @@ def test_bloom_filter_invariants(spark):
 
     with pytest.raises(ValueError, match="n_words"):
         BloomFilter("m", "s", key_col="k", n_words=0)
+
+
+def test_bloom_member_expr_matches_keyed_probe(spark):
+    """The fact-side Column form (bloom_member_expr) must decide
+    membership EXACTLY like the keyed probe (bloom_contains) on the
+    same collected words — for both the portable md5 hash and the
+    production xxhash64 hash — and the xxhash64 filter must still
+    guarantee zero false negatives."""
+    from strom_spark import BloomFilter, Flow, bloom_contains
+    from strom_spark.operators.sketch import bloom_member_expr
+
+    keys = spark.range(0, 300).select(F.col("id").alias("k"))
+    members = keys.filter(F.col("k") % 3 == 0)
+    for h in ("md5", "xxhash64"):
+        kw = dict(key_col="k", n_words=4, k=4, hash=h)
+        sk = BloomFilter("m", "s", **kw)(Flow({"m": members}))["s"]
+        words = {r.word_idx: r.word for r in sk.collect()}
+        via_expr = {
+            r.k
+            for r in keys.filter(
+                bloom_member_expr(words, F.col("k"), n_words=4, k=4, hash=h)
+            ).collect()
+        }
+        via_probe = {
+            r.k for r in bloom_contains(sk, keys, **kw).collect() if r.bloom_hit == 1
+        }
+        assert via_expr == via_probe, h
+        assert {k for k in range(0, 300, 3)} <= via_expr, h  # no false negs
+    with pytest.raises(ValueError, match="hash"):
+        BloomFilter("m", "s", key_col="k", hash="sha1")
