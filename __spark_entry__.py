@@ -774,14 +774,20 @@ def cep_order_fulfillment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver can certify.
 
     Mapping invariants that make the hash equality exact: expected =
-    greatest(parcel_count, 1) so completion fires at the LAST parcel
-    (any late parcel is seen first in event-time order -> THRESHOLD,
-    matching the batch MAX(l_shipdate) rule) and zero-parcel orders
-    time out; the 30-day deadline compares exact integer-second
-    floats on both sides (date-granular timestamps).  The watermark
-    delay exceeds the full event-time span, so multi-batch file
-    splits can never drop late-arriving rows as the watermark
-    advances."""
+    greatest(parcel_count, 1) and the state machine decides
+    ALL_SHIPPED iff the ON-TIME parcel count (ts <= deadline) reaches
+    expected — equivalent to the batch MAX(l_shipdate) rule — with
+    THRESHOLD fired by the event-time timer otherwise; parcels that
+    land in a micro-batch before their order event buffer their
+    timestamps in state and are re-classified against the deadline
+    when it becomes known (streaming/cep.py kernel), so the equality
+    holds under ANY maxFilesPerTrigger split, not just a single
+    availableNow batch (r10 multi-batch differential in
+    tests/test_streaming_cep.py).  The 30-day deadline compares exact
+    integer-second floats on both sides (date-granular timestamps),
+    and the watermark delay exceeds the full event-time span, so
+    multi-batch file splits can never drop late-arriving rows as the
+    watermark advances."""
     if sf_dir in _CEP_STREAM_CACHE:
         return _CEP_STREAM_CACHE[sf_dir]
     import shutil
@@ -2063,14 +2069,18 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     neg = cust.filter(F.col("c_acctbal") < 0)
-    from pyspark import StorageLevel
 
     # consumed by the sketch build AND the final join: pin the small
-    # (neg-customer orders) side once (shared-lineage rule)
+    # (neg-customer orders) side once (shared-lineage rule).  Eager
+    # localCheckpoint, NOT persist: the sketch is collected at query-
+    # CONSTRUCTION time, so a persist here outlives the query object in
+    # the session cache registry (one pinned copy per sweep invocation,
+    # never unpersisted).  Checkpoint blocks are owned by the RDD and
+    # freed by the ContextCleaner when this DataFrame is GC'd.
     neg_orders = orders.join(
         neg.select("c_custkey", "c_mktsegment"),
         orders.o_custkey == F.col("c_custkey"),
-    ).select("o_orderkey", "c_mktsegment").persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("o_orderkey", "c_mktsegment").localCheckpoint(eager=True)
     sk = BloomFilter("m", "s", key_col="o_orderkey", n_words=4096, k=4,
                      hash="xxhash64")(
         Flow({"m": neg_orders})

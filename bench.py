@@ -276,6 +276,10 @@ def main() -> None:
         "cold": cold,
         "warm_runs": n_warm,
         "testdata_fingerprint": _testdata_fingerprint(sf_dir),
+        # queries whose callable memoizes its first result (the eager
+        # streaming CEP drain): their WARM numbers time a dict lookup —
+        # compare them cold-only (tools/bench_compare.py skips them)
+        "eager_cached_warm_invalid": ["cep_order_fulfillment_stream"],
     }
     try:
         with open(

@@ -1206,7 +1206,25 @@ class GramMatrix(Component):
         src = flow[self.input]
         if self.id_col is not None:
             # a REAL row key: deterministic across join sides by
-            # construction, no materialization needed — the fast path
+            # construction, no materialization needed — the fast path.
+            # The key MUST be unique: a duplicated id fans out the
+            # row-keyed self-join and silently inflates Gram cells (the
+            # same silent-corruption class the localCheckpoint pin
+            # closes on the synthetic path).  One cheap two-agg scan
+            # guards it loudly; callers that cannot afford the scan
+            # should pass id_col=None and take the pinned synthetic id.
+            total, n, nd = src.agg(
+                F.count(F.lit(1)), F.count(self.id_col),
+                F.countDistinct(self.id_col),
+            ).collect()[0]
+            if not (total == n == nd):
+                raise ValueError(
+                    f"GramMatrix: id_col={self.id_col!r} is not a unique row "
+                    f"key ({total} rows, {n} non-null, {nd} distinct) — "
+                    "duplicate/null ids fan out or drop rows in the self-join "
+                    "and corrupt the Gram cells; dedup the input or use "
+                    "id_col=None for a pinned synthetic key"
+                )
             df = src.select(
                 F.col(self.id_col).alias("__r"),
                 F.col(self.vec_col).cast("array<double>").alias("__v"),

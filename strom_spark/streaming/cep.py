@@ -95,8 +95,23 @@ class StreamingMatchDecide(Component):
 
         def kernel(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
             order_id = key[0]
+            # State invariant (multi-batch safe): the decision replayed
+            # in GLOBAL event-time order is ALL_SHIPPED iff the count of
+            # ON-TIME parcels (ts <= deadline) reaches `expected` —
+            # ts-sorted, every on-time parcel precedes every late one,
+            # so the first break of the reference's scan is equivalent —
+            # and THRESHOLD otherwise, fired by the deadline timer once
+            # the watermark guarantees no on-time parcel can still
+            # arrive.  Parcels that land in a micro-batch BEFORE their
+            # ORDER_CREATED event cannot be classified yet (deadline
+            # unknown): their timestamps buffer in `pending` (bounded by
+            # that order's own parcel count) and are re-checked against
+            # the deadline when the order event sets it — a pre-order
+            # batch split can no longer launder a late parcel into an
+            # on-time count.
             acc = pickle.loads(state.get[0]) if state.exists else {
-                "expected": None, "deadline": None, "arrived": 0, "late": False, "decided": False
+                "expected": None, "deadline": None, "on_time": 0,
+                "pending": [], "decided": False,
             }
 
             if state.hasTimedOut:
@@ -135,16 +150,27 @@ class StreamingMatchDecide(Component):
                 if e[type_col] == order_type:
                     acc["expected"] = int(e[expected_col])
                     acc["deadline"] = e[ts_col].timestamp() + timeout_s
+                    # classify parcels buffered from earlier batches:
+                    # only ts <= deadline count toward the decision
+                    acc["on_time"] += sum(
+                        1 for p in acc["pending"] if p <= acc["deadline"]
+                    )
+                    acc["pending"] = []
                 elif e[type_col] == parcel_type:
-                    acc["arrived"] += 1
+                    pts = e[ts_col].timestamp()
+                    if acc["deadline"] is None:
+                        acc["pending"].append(pts)  # order not seen yet
+                    elif pts <= acc["deadline"]:
+                        acc["on_time"] += 1
+                    # late parcel: never counts; THRESHOLD comes from
+                    # the deadline timer (deciding here would race an
+                    # on-time parcel still in flight in a later batch)
                 else:
                     continue
-                if acc["expected"] is None:
-                    continue  # parcel before its order: accumulate
-                if e[type_col] == parcel_type and e[ts_col].timestamp() > acc["deadline"]:
-                    decision = THRESHOLD
-                    break
-                if acc["arrived"] >= acc["expected"]:
+                if (
+                    acc["expected"] is not None
+                    and acc["on_time"] >= acc["expected"]
+                ):
                     decision = ALL_SHIPPED
                     break
 

@@ -2109,6 +2109,40 @@ def test_gram_matrix_hand_computed(spark):
     assert got2 == got
 
 
+def test_gram_matrix_id_col_uniqueness_guard(spark):
+    """The id_col fast path trusts the caller's column to be a unique
+    row key — a duplicated (or null) id fans out the row-keyed
+    self-join and silently inflates Gram cells, so the operator must
+    refuse loudly instead (r10 advice fix)."""
+    import pytest as _pytest
+
+    from strom_spark import Flow, GramMatrix
+
+    dup = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="not a unique row key"):
+        GramMatrix("e", "g", id_col="vec_id")(Flow({"e": dup}))["g"].collect()
+
+    withnull = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (None, [3.0, 4.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="not a unique row key"):
+        GramMatrix("e", "g", id_col="vec_id")(Flow({"e": withnull}))["g"].collect()
+
+    # unique ids still pass and match the keyless path
+    ok = spark.createDataFrame(
+        [(7, [1.0, 2.0]), (9, [3.0, 4.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {(r.i, r.j): r.dot for r in GramMatrix("e", "g", id_col="vec_id")(
+        Flow({"e": ok})
+    )["g"].collect()}
+    assert got == {(0, 0): 10.0, (0, 1): 14.0, (1, 1): 20.0}
+
+
 def test_neighbor_mean_features_hand_computed(spark):
     """NeighborMeanFeatures (GraphSAGE-mean): hand-computed per-dim
     neighbor means on a 3-node directed star, undirected symmetrize

@@ -306,3 +306,58 @@ def test_decided_order_is_tombstoned_not_reopened(spark):
         assert [(r.order_id, r.decision) for r in rows] == [(1, ALL_SHIPPED)]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_late_parcel_in_earlier_batch_than_order(spark):
+    """The r10 advice scenario: a LATE parcel (ts past what will become
+    the deadline) lands in an earlier micro-batch than its
+    ORDER_CREATED event.  A raw arrived-counter would credit it when
+    the order event sets `expected` and wrongly decide ALL_SHIPPED;
+    the kernel must buffer pre-order parcel timestamps and re-classify
+    them against the deadline once the order sets it, so the decision
+    matches the batch (global event-time order) rule under ANY
+    maxFilesPerTrigger split."""
+    d = tempfile.mkdtemp(prefix="strom_cep_late_")
+    try:
+        # batch 1: parcels only — order 10's second parcel is 2h after
+        # the order time (deadline will be 1h), order 11's is on time
+        _write(
+            f"{d}/f1.parquet",
+            [
+                (10, "PARCEL_SHIPPED", 0, T0 + 10 * MIN),
+                (10, "PARCEL_SHIPPED", 0, T0 + 120 * MIN),
+                (11, "PARCEL_SHIPPED", 0, T0 + 5 * MIN),
+            ],
+        )
+        # batch 2: the orders arrive AFTER their parcels
+        _write(
+            f"{d}/f2.parquet",
+            [
+                (10, "ORDER_CREATED", 2, T0),
+                (11, "ORDER_CREATED", 1, T0),
+            ],
+        )
+        # batch 3: far-future tick fires order 10's deadline timer
+        _write(f"{d}/f3.parquet", [(-1, "TICK", 0, T0 + pd.Timedelta(days=10))])
+
+        schema = "order_id bigint, type string, expected bigint, ts timestamp"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withWatermark("ts", "1 second")
+        )
+        flow = StreamingMatchDecide(
+            "events", "decisions", key="order_id", timeout_s=3600
+        )(Flow({"events": stream}))
+        run_available(flow["decisions"], query_name="t_cep_late", output_mode="append")
+        got = {
+            r.order_id: r.decision
+            for r in spark.sql("SELECT * FROM t_cep_late").collect()
+        }
+        assert got == {
+            10: THRESHOLD,  # only 1 of 2 parcels on time — late one must NOT count
+            11: ALL_SHIPPED,  # pre-order parcel re-classified as on time
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -15,6 +15,14 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: Queries whose registered callable memoizes its result at first
+#: invocation (the streaming CEP drain caches its localCheckpointed
+#: output in _CEP_STREAM_CACHE because the query is EAGER — plan
+#: sweeps would re-drain the stream).  Their warm-run timings measure
+#: a dict lookup, so a warm-min comparison can neither detect a
+#: regression nor a win there: exclude them and report cold-only.
+EAGER_CACHED = {"cep_order_fulfillment_stream"}
+
 
 def _harvest(best: dict[str, tuple[float, str]], qs, src: str) -> None:
     if not isinstance(qs, dict):
@@ -72,7 +80,10 @@ def main() -> None:
     prior = best_prior()
     drifts = []
     fresh = []
+    skipped_eager = sorted(n for n in cur_q if n in EAGER_CACHED)
     for name, sec in sorted(cur_q.items()):
+        if name in EAGER_CACHED:
+            continue
         if name in prior:
             b, src = prior[name]
             ratio = sec / b if b > 0 else float("inf")
@@ -90,6 +101,7 @@ def main() -> None:
              "ratio": r} for n, s, b, src, r in drifts
         ],
         "first_recorded": dict(fresh),
+        "skipped_eager_cached": skipped_eager,
     }, indent=1))
 
 
