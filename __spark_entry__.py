@@ -1029,18 +1029,124 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SimHashDedup("docs", "keep", max_distance=4)(flow)["keep"]
 
 
+#: Portable SRP-LSH config shared by dedup_embedding and its recall
+#: floor: 24 tables x 6 bits over md5-parity Rademacher planes applied
+#: to trunc(x*1e6) int64 vectors — integer sign dots are EXACT, so the
+#: DuckDB oracle replays every bucket bit-for-bit (similarity.py:
+#: _rademacher_planes/_sig_frame).  At this corpus's operating point
+#: (threshold 0.3 — the corpus has no pair above cosine ~0.5) the
+#: config measures ~0.72 recall while evaluating ~0.33x the all-pairs
+#: candidate count; at real near-dup thresholds (>=0.9) the same
+#: machinery reaches ~0.94+ recall at production bit-widths (see
+#: lsh_recall_floor and SCALE.md's SRP physics table).
+_EMB_LSH = dict(threshold=0.3, n_tables=24, bits_per_table=6, dim=64,
+                portable=True)
+
+#: shared DuckDB CTE replaying the portable SRP-LSH buckets: planes
+#: from md5 parity, signatures from exact integer dots, candidates
+#: from the per-table bucket self-join (d1 < d2, DISTINCT across
+#: tables) — mirrors CosineLSHJoin(portable=True, **_EMB_LSH)
+_EMB_LSH_SQL = """
+q AS (
+  SELECT vec_id AS id,
+         list_transform(embedding::DOUBLE[], x -> trunc(x * 1000000.0)) AS qv
+  FROM embeddings
+),
+planes AS (
+  SELECT (i // 6) AS t, (i % 6) AS b,
+         list(CASE WHEN ('0x' || substring(md5(CAST(i AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1))::INT % 2 = 1
+                   THEN 1.0 ELSE -1.0 END ORDER BY d) AS pv
+  FROM range(144) r1(i), range(64) r2(d)
+  GROUP BY i
+),
+sigs AS (
+  SELECT q.id, p.t,
+         SUM(CASE WHEN list_dot_product(q.qv, p.pv) >= 0 THEN (1 << (5 - p.b)) ELSE 0 END)::BIGINT AS sig
+  FROM q CROSS JOIN planes p
+  GROUP BY q.id, p.t
+),
+cand AS (
+  SELECT DISTINCT a.id AS d1, b.id AS d2
+  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.id < b.id
+)
+"""
+
+
 @_q(
     "dedup_embedding",
-    """
-SELECT a.vec_id AS d1, b.vec_id AS d2,
-  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+    f"""
+WITH {_EMB_LSH_SQL}
+SELECT c.d1, c.d2,
+  round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) AS cosine
+FROM cand c
+JOIN embeddings e1 ON e1.vec_id = c.d1
+JOIN embeddings e2 ON e2.vec_id = c.d2
+WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) >= 0.3
 """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs on the SUB-QUADRATIC bucketed plan
+    (similarity.py:CosineLSHJoin, portable mode) — re-registered in
+    r10 off the exact all-pairs GEMM, whose compute is O(N²) at any
+    tiling (43x wall at 10x data measured at sf1.0) and cannot survive
+    100x.  The LSH plan's cost is bucket-bounded: signatures are one
+    Arrow-batched integer GEMM per batch (exact, oracle-replayable),
+    candidates come from per-table integer equi-joins that never
+    materialize all-pairs, and only surviving candidates pay the exact
+    cosine verify.  The DuckDB oracle replays the ENTIRE pipeline —
+    planes from md5 parity, trunc-quantized integer sign dots, bucket
+    join, cosine filter — so the hash check covers the bucketing
+    machinery itself, not just the output format.  Recall vs the exact
+    op is measured by embedding_dedup_recall_floor (~0.72 at this
+    threshold-0.3 operating point; SRP physics: at true near-dup
+    thresholds >= 0.9 the same op reaches ~0.94+, see SCALE.md)."""
     flow = Flow({"emb": load_table(spark, sf_dir, "embeddings")})
-    return EmbeddingNearDupPairs("emb", "pairs", threshold=0.3)(flow)["pairs"]
+    return CosineLSHJoin("emb", "pairs", **_EMB_LSH)(flow)["pairs"]
+
+
+@_q(
+    "embedding_dedup_recall_floor",
+    f"""
+WITH {_EMB_LSH_SQL},
+exact AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+)
+SELECT (SELECT COUNT(*) FROM exact)::BIGINT AS n_exact,
+       (SELECT COUNT(*) FROM exact e JOIN cand c ON e.d1 = c.d1 AND e.d2 = c.d2)::BIGINT AS n_hit,
+       CAST(1 AS BIGINT) AS recall_ok
+""",
+)
+def embedding_dedup_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the registered (sub-quadratic, portable-LSH)
+    dedup_embedding plan against the EXACT all-pairs op on the same
+    corpus — the r10 verdict's required floor row.  The exact side
+    runs EmbeddingNearDupPairs with on_overflow='tile' EXPLICITLY: the
+    default is now 'error' above max_broadcast_rows because the exact
+    op is O(N²) compute by design; a recall measurement is the one
+    sanctioned quadratic run.  ``recall_ok`` flips the row red (vs the
+    oracle's constant 1) if fewer than 60% of exact pairs surface —
+    measured 71.5%/72.2% at sf0.01/sf0.1, ~8 binomial sigma above the
+    floor, so a miss means a real regression in planes, quantization,
+    packing, or the bucket join, not noise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = CosineLSHJoin("emb", "pairs", **_EMB_LSH)(Flow({"emb": emb}))["pairs"]
+    exact = EmbeddingNearDupPairs(
+        "emb", "p", threshold=0.3, on_overflow="tile"
+    )(Flow({"emb": emb}))["p"]
+    ex = exact.select("d1", "d2")
+    hits = ex.join(lsh.select("d1", "d2"), ["d1", "d2"], "left_semi")
+    n_exact = ex.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_hit = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    # 1-row x 1-row stat attach (the repo's adjudicated crossJoin form)
+    return n_exact.crossJoin(n_hit).select(
+        "n_exact",
+        "n_hit",
+        F.when(
+            F.col("n_hit") * 100 >= F.col("n_exact") * 60, F.lit(1)
+        ).otherwise(F.lit(0)).cast("bigint").alias("recall_ok"),
+    )
 
 
 @_q(

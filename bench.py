@@ -127,6 +127,9 @@ HEADLINE = [
     # near-dups through θ=0.9, 8×12) — TOTAL covers 56 from here
     "lsh_recall_floor",
     "minhash_recall_floor",
+    # round 10: dedup_embedding re-registered on the portable LSH plan;
+    # its recall vs the exact op is a benched floor row
+    "embedding_dedup_recall_floor",
     "cms_user_counts",
     "bloom_membership",
     "bloom_prefilter_join",

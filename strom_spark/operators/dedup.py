@@ -750,9 +750,16 @@ class EmbeddingNearDupPairs(Component):
     regardless of corpus size (classic blocked all-pairs GEMM; total
     work is the same O(n²) dot products, n_tiles corpus scans).  Every
     (d1 < d2) pair lands in exactly the tile owning d2 — no cross-tile
-    duplicates, no distinct shuffle.  ``on_overflow='error'`` raises
-    instead, for pipelines that should switch to the sub-quadratic
-    ``similarity.CosineLSHJoin`` path above the bound.
+    duplicates, no distinct shuffle.
+
+    **This op is exact-by-design and therefore O(N²) COMPUTE at any
+    tiling** — above ``max_broadcast_rows`` (the documented corpus
+    bound) the DEFAULT is now ``on_overflow='error'``: tiling bounds
+    *memory*, not *work*, so a 100 TB pipeline must switch to the
+    sub-quadratic ``similarity.CosineLSHJoin`` (bucketed, oracle-
+    replayable in portable mode) or ``SemDeDup`` (cluster-blocked)
+    above the bound.  Pass ``on_overflow='tile'`` explicitly to accept
+    the quadratic cost (recall-measurement runs, bounded backfills).
 
     Strategy ``join``: pure-plan self-join with JVM fold dot product —
     no driver collection, but interpreted HOFs make it ~10× slower per
@@ -770,7 +777,7 @@ class EmbeddingNearDupPairs(Component):
         threshold: float = 0.95,
         strategy: str = "gemm",
         max_broadcast_rows: int = 2_000_000,
-        on_overflow: str = "tile",
+        on_overflow: str = "error",
         label: str | None = None,
     ):
         if strategy not in ("gemm", "join"):

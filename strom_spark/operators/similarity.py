@@ -490,8 +490,29 @@ def _hyperplanes(dim: int, n: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n, dim)).tolist()
 
 
+def _rademacher_planes(dim: int, n: int) -> np.ndarray:
+    """±1 (Rademacher) hyperplanes derived from md5 parity — PORTABLE
+    and seedless: plane ``p``, dim ``d`` is +1 iff the low bit of the
+    first hex nibble of ``md5(f"{p}_{d}")`` is set, so ANY engine with
+    an md5 function (DuckDB, Spark, Python) reconstructs the identical
+    matrix and an oracle can replay the bucketing bit-exactly.
+    Rademacher entries are a standard sign-random-projection choice
+    (Achlioptas 2003 database-friendly projections; Charikar 2002
+    SimHash) — for sign hashing only the direction's distribution
+    matters, not Gaussianity."""
+    import hashlib
+
+    M = np.empty((n, dim), dtype="int64")
+    for p in range(n):
+        for d in range(dim):
+            h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()
+            M[p, d] = 1 if int(h[0], 16) & 1 else -1
+    return M
+
+
 def _sig_frame(
-    df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray, n_tables: int, bits: int
+    df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray, n_tables: int, bits: int,
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """(id, sigs array<bigint>) — every table signature for every row,
     computed as ONE Arrow-batched GEMM per batch against the broadcast
@@ -506,11 +527,22 @@ def _sig_frame(
     matrix multiply — the same call the IVF assignment kernel makes —
     so it runs as one (vectorized, C) ``X @ P.T`` per Arrow batch.
     Normalization is skipped: sign(v·p) is invariant to positive row
-    scaling.  Exact cosine verification stays JVM-side."""
+    scaling.  Exact cosine verification stays JVM-side.
+
+    ``quantize_scale`` (the portable mode): vectors are quantized to
+    ``trunc(x * scale)`` int64 and the planes must be int64 (±1
+    Rademacher) — the sign dot is then EXACT integer arithmetic, so an
+    oracle replaying ``trunc`` + md5-parity planes in SQL reproduces
+    every bucket bit-for-bit (float dot products would differ in the
+    last ulp across engines and flip near-zero sign bits; trunc is
+    exact on any double, unlike round, whose half-to-even/half-away
+    conventions differ between numpy and SQL engines)."""
     import pandas as pd
 
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(np.asarray(planes, dtype="float64"))
+    bc = spark.sparkContext.broadcast(
+        np.asarray(planes, dtype="int64" if quantize_scale else "float64")
+    )
     pows = np.array([1 << (bits - 1 - i) for i in range(bits)], dtype="int64")
     slim = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -523,6 +555,9 @@ def _sig_frame(
             if not len(batch):
                 continue
             X = np.stack(batch["v"].to_list()).astype("float64")
+            if quantize_scale:
+                # int64 GEMM: exact, engine-replayable sign bits
+                X = np.trunc(X * quantize_scale).astype("int64")
             S = (X @ P.T) >= 0  # (n, n_tables*bits) sign bits
             S = S.reshape(len(X), n_tables, bits).astype("int64")
             sigs = S @ pows  # radix-pack each table -> (n, n_tables)
@@ -534,7 +569,15 @@ def _sig_frame(
 class CosineLSHJoin(Component):
     """Approximate near-neighbor pairs: random-hyperplane LSH buckets,
     exact-verified.  Output: (d1, d2, cosine) with cosine >= threshold,
-    d1 < d2.  Recall ~ 1-(1-(1-θ/π)^bits)^tables for angle θ."""
+    d1 < d2.  Recall ~ 1-(1-(1-θ/π)^bits)^tables for angle θ.
+
+    ``portable=True`` swaps the seeded Gaussian planes for md5-parity
+    ±1 Rademacher planes applied to ``trunc(x·quantize_scale)`` int64
+    vectors — the signature dot becomes EXACT integer arithmetic that
+    a SQL oracle replays bit-for-bit (see _rademacher_planes /
+    _sig_frame), and the exact-cosine verify runs the same
+    normalize→GEMM→round-6 float64 kernel the oracle-green blocked
+    GEMM uses.  Same plan shape, fully auditable buckets."""
 
     def __init__(
         self,
@@ -548,6 +591,8 @@ class CosineLSHJoin(Component):
         n_tables: int = 8,
         bits_per_table: int = 12,
         seed: int = 42,
+        portable: bool = False,
+        quantize_scale: int = 1_000_000,
         label: str | None = None,
     ):
         if not 0 < bits_per_table <= 62:
@@ -561,14 +606,28 @@ class CosineLSHJoin(Component):
         self.n_tables = n_tables
         self.bits_per_table = bits_per_table
         self.seed = seed
+        self.portable = portable
+        self.quantize_scale = quantize_scale
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input]
-        normed = df.select(
-            F.col(self.id_col).alias("id"), V.l2_normalize(self.vec_col).alias("v")
-        )
-        planes = _hyperplanes(self.dim, self.n_tables * self.bits_per_table, self.seed)
+        if self.portable:
+            # raw vectors: the verify kernel normalizes in float64 and
+            # np.rounds to 6dp — byte-identical to the oracle-green
+            # blocked-GEMM verification (EmbeddingNearDupPairs._gemm_one)
+            normed = df.select(
+                F.col(self.id_col).alias("id"),
+                F.col(self.vec_col).cast("array<double>").alias("v"),
+            )
+            planes = _rademacher_planes(
+                self.dim, self.n_tables * self.bits_per_table
+            )
+        else:
+            normed = df.select(
+                F.col(self.id_col).alias("id"), V.l2_normalize(self.vec_col).alias("v")
+            )
+            planes = _hyperplanes(self.dim, self.n_tables * self.bits_per_table, self.seed)
         # Join key is (table, signature): pure integer equi-join,
         # candidates never leave their bucket partition.  The VECTORS
         # do not ride the explode or the self-join at all — replicating
@@ -600,6 +659,7 @@ class CosineLSHJoin(Component):
         sig = _sig_frame(
             df, self.id_col, self.vec_col, np.asarray(planes),
             self.n_tables, self.bits_per_table,
+            quantize_scale=self.quantize_scale if self.portable else None,
         )
         cols = ["id", "sigs"] if use_chain else ["id"]
         bucketed = (
@@ -632,6 +692,8 @@ class CosineLSHJoin(Component):
         paired = cand.join(v1, "d1").join(v2, "d2")
         id_t = paired.schema["d1"].dataType.simpleString()
 
+        portable = self.portable
+
         def verify(batches):
             import pandas as pd
 
@@ -640,7 +702,20 @@ class CosineLSHJoin(Component):
                     continue
                 A = np.stack(batch["v1"].to_list())
                 B = np.stack(batch["v2"].to_list())
-                cos = np.einsum("ij,ij->i", A, B)
+                if portable:
+                    # raw vectors: same float64 normalize -> dot ->
+                    # np.round(6) sequence as the oracle-green blocked
+                    # GEMM, so the cosine hash-matches
+                    # round(list_cosine_similarity(...), 6)
+                    A = A / np.maximum(
+                        np.linalg.norm(A, axis=1, keepdims=True), 1e-30
+                    )
+                    B = B / np.maximum(
+                        np.linalg.norm(B, axis=1, keepdims=True), 1e-30
+                    )
+                    cos = np.round(np.einsum("ij,ij->i", A, B), 6)
+                else:
+                    cos = np.einsum("ij,ij->i", A, B)
                 yield pd.DataFrame(
                     {"d1": batch["d1"], "d2": batch["d2"], "cosine": cos}
                 )
@@ -654,13 +729,16 @@ class CosineLSHJoin(Component):
         # function every oracle-compared score in this repo uses —
         # np.round is scaled-rint (half-to-even, documented-inexact
         # scaling) and could flip a 6th decimal against the oracle.
-        out = (
-            paired.mapInPandas(
-                verify, schema=f"d1 {id_t}, d2 {id_t}, cosine double"
-            )
-            .withColumn("cosine", F.round(F.col("cosine"), 6))
-            .filter(F.col("cosine") >= self.threshold)
+        # (Portable mode instead np.rounds inside the kernel — the
+        # byte-identical sequence to the oracle-green blocked GEMM,
+        # which the registered oracle compares against
+        # list_cosine_similarity; re-rounding there would be a no-op.)
+        out = paired.mapInPandas(
+            verify, schema=f"d1 {id_t}, d2 {id_t}, cosine double"
         )
+        if not portable:
+            out = out.withColumn("cosine", F.round(F.col("cosine"), 6))
+        out = out.filter(F.col("cosine") >= self.threshold)
         return flow.without(self.input).with_stream(self.output, out)
 
     def input_names(self) -> Sequence[str]:

@@ -109,6 +109,63 @@ def test_embedding_near_dup_and_lsh(emb):
     assert l <= e
 
 
+def test_cosine_lsh_portable_mode(emb):
+    """Portable SRP-LSH (r10): md5-parity Rademacher planes over
+    trunc-quantized int64 vectors.  (a) output is a subset of the
+    exact pairs (verification is exact); (b) identical-vector planted
+    duplicates ALWAYS collide (every sign bit equal) and surface with
+    cosine 1.0; (c) the run is deterministic (no seed, no RNG)."""
+    exact = EmbeddingNearDupPairs(
+        "emb", "p", threshold=0.3, on_overflow="tile"
+    )(Flow({"emb": emb}))["p"]
+    e = {(r.d1, r.d2) for r in exact.collect()}
+    lsh_op = CosineLSHJoin(
+        "emb", "p", threshold=0.3, n_tables=24, bits_per_table=6,
+        portable=True,
+    )
+    got1 = {(r.d1, r.d2, r.cosine) for r in lsh_op(Flow({"emb": emb}))["p"].collect()}
+    assert {(d1, d2) for d1, d2, _ in got1} <= e and len(got1) > 0
+    got2 = {(r.d1, r.d2, r.cosine) for r in lsh_op(Flow({"emb": emb}))["p"].collect()}
+    assert got1 == got2  # deterministic, seedless
+
+    # planted exact duplicates: identical vectors share every bucket
+    dup = emb.limit(5).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding",
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    corpus = emb.unionByName(dup)
+    found = {
+        (r.d1, r.d2): r.cosine
+        for r in lsh_op(Flow({"emb": corpus}))["p"].collect()
+    }
+    base_ids = [r.vec_id for r in emb.limit(5).select("vec_id").collect()]
+    for vid in base_ids:
+        assert found.get((vid, vid + 10_000_000)) == 1.0
+
+
+def test_rademacher_planes_portable_hash(spark):
+    """The md5-parity plane derivation matches what a SQL engine
+    computes from the same recipe — checked against DuckDB directly so
+    a drift in the string format or parity convention fails here, not
+    in a driver sweep."""
+    import duckdb
+
+    from strom_spark.operators.similarity import _rademacher_planes
+
+    P = _rademacher_planes(8, 6)
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+        SELECT i, d,
+          CASE WHEN ('0x' || substring(md5(CAST(i AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1))::INT % 2 = 1
+               THEN 1 ELSE -1 END AS s
+        FROM range(6) r1(i), range(8) r2(d)
+        """
+    ).fetchall()
+    for i, d, s in rows:
+        assert P[i, d] == s, (i, d)
+
+
 def test_cosine_topk(spark, emb):
     flow = Flow({"corpus": emb, "queries": emb.filter(F.col("vec_id") < 3)})
     out = CosineTopK("corpus", "queries", "knn", k=5)(flow)["knn"]
@@ -381,7 +438,7 @@ def test_embedding_gemm_tiling_matches_untiled(spark, emb):
     flow = Flow({"e": emb})
     base = EmbeddingNearDupPairs("e", "p", threshold=0.3)(flow)["p"]
     tiled = EmbeddingNearDupPairs(
-        "e", "p", threshold=0.3, max_broadcast_rows=100
+        "e", "p", threshold=0.3, max_broadcast_rows=100, on_overflow="tile"
     )(flow)["p"]
     b = {(r.d1, r.d2, r.cosine) for r in base.collect()}
     t_rows = tiled.collect()

@@ -260,6 +260,7 @@ def test_no_quadratic_join_sweep(spark, sf_dir):
         ),
         "ivf_index_search": ("flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key", None),
         "lsh_recall_floor": ("flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key", None),
+        "embedding_dedup_recall_floor": ("flag-row assembly — 1-row aggregate crossJoin 1-row aggregate (exact-vs-LSH recall counts)", None),
         "minhash_recall_floor": ("flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key", None),
         "curation_v2": ("corpus stats attach inside quality scoring — 1-row side", None),
         "quality_percentiles": ("corpus-count attach for the percentile denominator — 1-row side", None),
