@@ -29,13 +29,45 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 
-# the sf0.1 documents vocabulary, measured (31 distinct tokens)
+# the sf0.1 documents vocabulary, measured (31 distinct tokens) —
+# ordered with the English function words first so they take the top
+# Zipf ranks (stopword-ratio quality signals stay realistic)
 VOCAB = [
-    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
-    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
-    "order", "part", "query", "row", "scan", "slow", "small", "sort",
-    "spark", "stream", "table", "the", "value", "vector", "window",
+    "the", "a", "data", "row", "table", "query", "join", "key",
+    "value", "order", "part", "line", "group", "hash", "sort",
+    "scan", "filter", "merge", "batch", "stream", "window", "column",
+    "vector", "spark", "customer", "agg", "big", "dup", "fast",
+    "slow", "small",
 ]
+
+
+def _doc_vocab(sf: float) -> tuple[np.ndarray, np.ndarray]:
+    """(vocab, zipf_probs) for the documents table at a scale factor.
+
+    Round-10 fix (verdict task 7): a FIXED 31-word vocabulary makes
+    near-dup density unphysical as the corpus grows — at 50k docs the
+    toy vocab crosses the SimHash near-dup phase transition (11% of
+    all pairs within Hamming 4, 143M pairs), which is output-bound by
+    definition and unrepresentative of any real corpus.  Real corpora
+    grow vocabulary with size (Heaps' law: V ~ N^β), so the vocabulary
+    here grows as 31·(sf/0.1)^1.5 (≈980 words at sf1.0) with a Zipf
+    rank draw over it, the measured sf0.1 words on the top ranks.
+
+    Exponent 0.7, deliberately sub-1: these documents are SHORT
+    (10-100 tokens), and a simulated sweep showed that with a true
+    exponent-1 Zipf the occurrence-weighted 32-bit SimHash stays in
+    the collision regime at ANY vocabulary size (4-10% of pairs within
+    Hamming 4 even at V=50k — a 10-token doc's majority vote is
+    dominated by the same handful of function words in every doc).
+    At 0.7/V≈980 the measured density lands ~0.02% — a few hundred
+    thousand pairs at sf1.0, the realistic near-dup rate a dedup
+    pipeline actually faces, enumerable by the operator AND
+    collectable by the DuckDB oracle."""
+    n_vocab = max(31, int(round(31 * (sf / 0.1) ** 1.5)))
+    vocab = np.array(VOCAB + [f"tok{i:04d}" for i in range(n_vocab - 31)])
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    p = 1.0 / ranks**0.7
+    return vocab, p / p.sum()
 ADJ = ["blue", "hot", "small", "cold", "new", "old", "red", "large"]
 NOUN = ["plate", "gear", "rod", "ring", "anvil", "bolt", "widget", "gizmo"]
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -53,7 +85,15 @@ def _ts_array(days_ns: np.ndarray, origin: str) -> pa.Array:
 
 def generate(out: str, sf: float) -> None:
     os.makedirs(out, exist_ok=True)
-    rng = np.random.default_rng(42)
+
+    # Per-table child generators (round 10): one sequential stream
+    # meant that changing the DRAW COUNT of any table silently
+    # re-randomized every table generated after it (the r10 Zipf-vocab
+    # change would have reseeded embeddings).  Spawned children are
+    # seeded independently per table name, so edits stay isolated.
+    root = np.random.default_rng(42)
+    (rng_cust, rng_supp, rng_part, rng_ord, rng_li, rng_ev, rng_doc,
+     rng_emb) = root.spawn(8)
     n_cust = int(150_000 * sf / 1.0)
     n_supp = int(10_000 * sf)
     n_part = int(200_000 * sf)
@@ -71,17 +111,17 @@ def generate(out: str, sf: float) -> None:
     pq.write_table(pa.table({
         "c_custkey": k,
         "c_name": pa.array([f"Customer#{i:09d}" for i in k]),
-        "c_nationkey": rng.integers(0, 25, n_cust).astype(np.int32),
-        "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
-        "c_mktsegment": pa.array(list(np.array(SEGMENTS)[rng.integers(0, 5, n_cust)])),
+        "c_nationkey": rng_cust.integers(0, 25, n_cust).astype(np.int32),
+        "c_acctbal": np.round(rng_cust.uniform(-1000, 10000, n_cust), 2),
+        "c_mktsegment": pa.array(list(np.array(SEGMENTS)[rng_cust.integers(0, 5, n_cust)])),
     }), f"{out}/customer.parquet")
 
     k = np.arange(n_supp, dtype=np.int64)
     pq.write_table(pa.table({
         "s_suppkey": k,
         "s_name": pa.array([f"Supplier#{i:09d}" for i in k]),
-        "s_nationkey": rng.integers(0, 25, n_supp).astype(np.int32),
-        "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2),
+        "s_nationkey": rng_supp.integers(0, 25, n_supp).astype(np.int32),
+        "s_acctbal": np.round(rng_supp.uniform(-1000, 10000, n_supp), 2),
     }), f"{out}/supplier.parquet")
 
     # part: retailprice 900 + 0.1*(key % 1000) (measured lattice)
@@ -90,11 +130,11 @@ def generate(out: str, sf: float) -> None:
         "p_partkey": k,
         "p_name": pa.array([
             f"{ADJ[a]} {NOUN[b]}" for a, b in zip(
-                rng.integers(0, 8, n_part), rng.integers(0, 8, n_part))
+                rng_part.integers(0, 8, n_part), rng_part.integers(0, 8, n_part))
         ]),
-        "p_brand": pa.array([f"Brand#{i}" for i in rng.integers(1, 26, n_part)]),
-        "p_type": pa.array(list(np.array(PTYPES)[rng.integers(0, 6, n_part)])),
-        "p_size": rng.integers(1, 51, n_part).astype(np.int32),
+        "p_brand": pa.array([f"Brand#{i}" for i in rng_part.integers(1, 26, n_part)]),
+        "p_type": pa.array(list(np.array(PTYPES)[rng_part.integers(0, 6, n_part)])),
+        "p_size": rng_part.integers(1, 51, n_part).astype(np.int32),
         "p_retailprice": np.round(900.0 + 0.1 * (k % 1000), 2),
     }), f"{out}/orders_tmp_part.parquet")
     os.replace(f"{out}/orders_tmp_part.parquet", f"{out}/part.parquet")
@@ -104,33 +144,44 @@ def generate(out: str, sf: float) -> None:
     span_us = int(2404 * 86400e6)  # 1995-01-01 -> 2001-08-01
     pq.write_table(pa.table({
         "o_orderkey": k,
-        "o_custkey": rng.integers(0, n_cust, n_ord),
-        "o_orderstatus": pa.array(list(np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)])),
-        "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
+        "o_custkey": rng_ord.integers(0, n_cust, n_ord),
+        "o_orderstatus": pa.array(list(np.array(["O", "P", "F"])[rng_ord.integers(0, 3, n_ord)])),
+        "o_totalprice": np.round(rng_ord.uniform(1000, 500000, n_ord), 2),
         "o_orderdate": _ts_array(
-            (rng.integers(0, span_us // 86_400_000_000, n_ord) * 86_400_000_000),
+            (rng_ord.integers(0, span_us // 86_400_000_000, n_ord) * 86_400_000_000),
             "1995-01-01"),
-        "o_orderpriority": pa.array(list(np.array(PRIORITIES)[rng.integers(0, 5, n_ord)])),
+        "o_orderpriority": pa.array(list(np.array(PRIORITIES)[rng_ord.integers(0, 5, n_ord)])),
     }), f"{out}/orders.parquet")
 
     # lineitem: orderkey uniform over orders (multinomial lines/order),
     # quantity 1..50 integral double, discount/tax decimal lattices,
-    # flags independent uniform
+    # flags independent uniform.
+    #
+    # l_shipdate is INDEPENDENT of the parent o_orderdate ON PURPOSE
+    # (r10 advice adjudication): the driver's OWN data draws them
+    # independently too — measured on /root/testdata/sf0.1 and sf0.01,
+    # 48.1%/48.6% of lineitems ship BEFORE their order date with mean
+    # offset +48 days and range [-2399, +2496] days; this generator
+    # reproduces exactly that (48.1%, +48.2, [-2400, +2499]).
+    # "Fixing" shipdate to o_orderdate + positive offset would make the
+    # synthetic decade LESS like the corpus the driver certifies
+    # against and silently change which CEP lateness branches a sf1.0
+    # sweep exercises.
     k = np.arange(n_li, dtype=np.int64)
     span_us = int(2499 * 86400e6)  # 1995-01-02 -> 2001-11-04
     pq.write_table(pa.table({
-        "l_orderkey": rng.integers(0, n_ord, n_li),
-        "l_partkey": rng.integers(0, n_part, n_li),
-        "l_suppkey": rng.integers(0, n_supp, n_li),
-        "l_linenumber": rng.integers(1, 8, n_li).astype(np.int32),
-        "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
-        "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
-        "l_discount": np.round(rng.integers(0, 11, n_li) * 0.01, 2),
-        "l_tax": np.round(rng.integers(0, 9, n_li) * 0.01, 2),
-        "l_returnflag": pa.array(list(np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)])),
-        "l_linestatus": pa.array(list(np.array(["O", "F"])[rng.integers(0, 2, n_li)])),
+        "l_orderkey": rng_li.integers(0, n_ord, n_li),
+        "l_partkey": rng_li.integers(0, n_part, n_li),
+        "l_suppkey": rng_li.integers(0, n_supp, n_li),
+        "l_linenumber": rng_li.integers(1, 8, n_li).astype(np.int32),
+        "l_quantity": rng_li.integers(1, 51, n_li).astype(np.float64),
+        "l_extendedprice": np.round(rng_li.uniform(900, 105000, n_li), 2),
+        "l_discount": np.round(rng_li.integers(0, 11, n_li) * 0.01, 2),
+        "l_tax": np.round(rng_li.integers(0, 9, n_li) * 0.01, 2),
+        "l_returnflag": pa.array(list(np.array(["A", "N", "R"])[rng_li.integers(0, 3, n_li)])),
+        "l_linestatus": pa.array(list(np.array(["O", "F"])[rng_li.integers(0, 2, n_li)])),
         "l_shipdate": _ts_array(
-            (rng.integers(0, span_us // 86_400_000_000, n_li) * 86_400_000_000),
+            (rng_li.integers(0, span_us // 86_400_000_000, n_li) * 86_400_000_000),
             "1995-01-02"),
     }), f"{out}/lineitem.parquet")
 
@@ -138,42 +189,44 @@ def generate(out: str, sf: float) -> None:
     # users scale with sf (1500 @ sf0.1), props {"k": 0..99}
     k = np.arange(n_ev, dtype=np.int64)
     n_users = max(1, int(15_000 * sf))
-    ts_us = np.sort(rng.integers(0, int(30 * 86400e6), n_ev))
+    ts_us = np.sort(rng_ev.integers(0, int(30 * 86400e6), n_ev))
     pq.write_table(pa.table({
         "event_id": k,
         "ts": _ts_array(ts_us, "2024-01-01"),
-        "user_id": rng.integers(0, n_users, n_ev),
-        "event_type": pa.array(list(np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)])),
-        "value": np.round(rng.exponential(50.0, n_ev), 2),
-        "props": pa.array([f'{{"k": {v}}}' for v in rng.integers(0, 100, n_ev)]),
+        "user_id": rng_ev.integers(0, n_users, n_ev),
+        "event_type": pa.array(list(np.array(EVENT_TYPES)[rng_ev.integers(0, 5, n_ev)])),
+        "value": np.round(rng_ev.exponential(50.0, n_ev), 2),
+        "props": pa.array([f'{{"k": {v}}}' for v in rng_ev.integers(0, 100, n_ev)]),
     }), f"{out}/events.parquet")
 
-    # documents: 10..100 tokens from the 31-word vocab; ~0.2% of docs
-    # are exact duplicates of an earlier doc (measured 8/5000 at sf0.1)
-    lens = rng.integers(10, 101, n_doc)
-    vocab = np.array(VOCAB)
+    # documents: 10..100 tokens, Zipf(1.05) draw over an SF-scaled
+    # vocabulary (_doc_vocab — Heaps-law growth keeps near-dup density
+    # physical at big SFs); ~0.2% of docs are exact duplicates of an
+    # earlier doc (measured 8/5000 at sf0.1)
+    lens = rng_doc.integers(10, 101, n_doc)
+    vocab, zipf_p = _doc_vocab(sf)
     texts: list[str] = []
     for i in range(n_doc):
-        if i > 0 and rng.random() < 0.002:
-            texts.append(texts[int(rng.integers(0, i))])
+        if i > 0 and rng_doc.random() < 0.002:
+            texts.append(texts[int(rng_doc.integers(0, i))])
         else:
-            texts.append(" ".join(vocab[rng.integers(0, len(vocab), lens[i])]))
+            texts.append(" ".join(vocab[rng_doc.choice(len(vocab), lens[i], p=zipf_p)]))
     pq.write_table(pa.table({
         "doc_id": np.arange(n_doc, dtype=np.int64),
         "text": pa.array(texts),
         "lang": pa.array(list(np.array(LANGS)[
-            rng.choice(5, n_doc, p=np.array(LANG_W) / sum(LANG_W))])),
-        "source": pa.array([f"src{int(s)}" for s in rng.integers(0, 20, n_doc)]),
+            rng_doc.choice(5, n_doc, p=np.array(LANG_W) / sum(LANG_W))])),
+        "source": pa.array([f"src{int(s)}" for s in rng_doc.integers(0, 20, n_doc)]),
         "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
     }), f"{out}/documents.parquet")
 
     # embeddings: 64-dim unit-norm float32, 10 Gaussian clusters
     # (label = cluster), same shape the sf0.1 corpus shows
     dim, n_lab = 64, 10
-    cents = rng.normal(size=(n_lab, dim))
+    cents = rng_emb.normal(size=(n_lab, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    lab = rng.integers(0, n_lab, n_emb)
-    pts = cents[lab] + rng.normal(scale=0.35, size=(n_emb, dim))
+    lab = rng_emb.integers(0, n_lab, n_emb)
+    pts = cents[lab] + rng_emb.normal(scale=0.35, size=(n_emb, dim))
     pts /= np.linalg.norm(pts, axis=1, keepdims=True)
     pq.write_table(pa.table({
         "vec_id": np.arange(n_emb, dtype=np.int64),
