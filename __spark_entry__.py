@@ -1599,6 +1599,219 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pagerank_mass_invariant",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS conserved
+FROM (SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS n FROM lineitem
+      UNION SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) FROM lineitem)
+""",
+)
+def pagerank_mass_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-VERIFYING decade row for PageRank (r10 verdict task 2):
+    the full pagerank_order_part oracle unrolls 5 CTE rounds and times
+    out in DuckDB above ~sf0.1-scale graphs, so the decade sweep
+    certifies the INVARIANT instead — fixed-point mass conservation.
+    The symmetric bipartite graph has no dangling nodes, so the only
+    mass loss is integer floor division: <= 1 scaled unit per directed
+    edge per round plus the one-time base floor, bounding the deficit
+    by iterations x (N + E) scaled units out of N x 10^12 (relative
+    ~4e-11 at sf1.0).  Ranks are recovered as EXACT scaled integers
+    (rank x 10^12 rounds to the true bigint: the double's relative
+    error ~2e-16 is 12 orders below the 0.5 rounding margin), so the
+    conservation test is pure integer arithmetic — `conserved` flips
+    the row red against the oracle's constant 1 on any regression in
+    the rank loop, degree join, or contribution aggregate.  The
+    oracle's n_nodes (distinct order+part nodes) is one cheap
+    distinct-union — no iteration replay needed at any SF."""
+    from strom_spark import PageRank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .unionAll(
+            li.select(
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+                F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    pr = PageRank("e", "pr", iterations=5)(Flow({"e": edges}))["pr"]
+    # ranks are a probability distribution in units of 10^-12: init =
+    # SCALE // N per node, so the exact-arithmetic total is SCALE and
+    # the only loss is floor division — deficit D after k rounds obeys
+    # D_{k} <= d*D_{k-1} + N + E (one unit per node base + per edge
+    # contribution), D_0 <= N, giving D <= k*(N+E) + N
+    SCALE = 10**12
+    totals = pr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(
+            F.round(F.col("rank") * F.lit(float(SCALE))).cast("bigint")
+        ).alias("__units"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("__e"))
+    deficit = F.lit(SCALE).cast("bigint") - F.col("__units")
+    return totals.crossJoin(n_edges).select(
+        "n_nodes",
+        F.when(
+            (deficit >= 0)
+            & (deficit <= 5 * (F.col("n_nodes") + F.col("__e")) + F.col("n_nodes")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("bigint").alias("conserved"),
+    )
+
+
+@_q(
+    "triangle_doubling_invariant",
+    """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT CAST(count(*) AS BIGINT) AS n_edges, CAST(1 AS BIGINT) AS doubling_ok
+FROM (SELECT DISTINCT a.l_partkey AS s, c.l_partkey AS d
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey)
+""",
+)
+def triangle_doubling_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-VERIFYING decade row for TriangleCount (r10 verdict task
+    2): the full triangle_counts oracle's wedge join times out in
+    DuckDB above ~200k-edge graphs, so the decade sweep certifies the
+    DISJOINT-COPY invariant instead — running the operator on
+    G union (G + 10^9 id offset) must reproduce the base per-node
+    triangle counts EXACTLY on both the low and the shifted copy
+    (zero cross edges by construction; the eac06d0 sf0.1 probe
+    pattern, now a registered row runnable at ANY SF).  A wedge-join
+    or dedup regression that miscounts under different degree
+    orderings/bucket layouts breaks the equality; `doubling_ok` flips
+    red against the oracle's constant 1.  The oracle's n_edges is the
+    plain co-purchase edge count — cheap at every SF."""
+    from strom_spark import TriangleCount
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    OFF = 10**9
+    doubled_edges = edges.unionAll(
+        edges.select(
+            (F.col("src") + OFF).alias("src"), (F.col("dst") + OFF).alias("dst")
+        )
+    )
+    base = TriangleCount(
+        "e", "t", node_col="part_id", count_col="n_triangles"
+    )(Flow({"e": edges}))["t"]
+    both = TriangleCount(
+        "e", "t", node_col="part_id", count_col="n_triangles"
+    )(Flow({"e": doubled_edges}))["t"]
+    low = both.filter(F.col("part_id") < OFF)
+    high = both.filter(F.col("part_id") >= OFF).select(
+        (F.col("part_id") - OFF).alias("part_id"),
+        F.col("n_triangles").alias("n_hi"),
+    )
+    mism = (
+        base.join(low.withColumnRenamed("n_triangles", "n_lo"), "part_id", "full")
+        .join(high, "part_id", "full")
+        .agg(
+            F.sum(
+                (
+                    (~(F.col("n_triangles") == F.col("n_lo")))
+                    | (~(F.col("n_triangles") == F.col("n_hi")))
+                ).cast("int")
+            ).alias("__bad"),
+        )
+    )
+    n_edges = edges.distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+    return n_edges.crossJoin(mism).select(
+        "n_edges",
+        F.when(F.coalesce(F.col("__bad"), F.lit(1)) == 0, F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("doubling_ok"),
+    )
+
+
+@_q(
+    "cc_label_invariant",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(1 AS BIGINT) AS edge_consistent_ok,
+       CAST(1 AS BIGINT) AS root_ok
+FROM embeddings
+""",
+)
+def cc_label_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-VERIFYING decade row for ConnectedComponents over the
+    embedding near-dup graph (r10 verdict task 2): the full
+    embedding_clusters oracle replays min-label propagation as a
+    recursive CTE and times out in DuckDB on decade-size pair sets,
+    so the sweep certifies the two defining CC invariants instead,
+    both exact and cheap Spark-side:
+
+      - edge consistency: every near-dup pair's endpoints carry the
+        SAME component label (the partition respects the edge set);
+      - root consistency: every label points at a real component root
+        (label(label) == label) and labels are min-oriented
+        (component <= node), so a pointer-jumping or propagation
+        regression cannot hide.
+
+    Self-loop edges for every vector pin the node universe to the
+    whole corpus, making the oracle's n_nodes a plain count."""
+    from strom_spark import ConnectedComponents
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = EmbeddingNearDupPairs("emb", "pairs", threshold=0.3)(
+        Flow({"emb": emb})
+    )["pairs"].select("d1", "d2")
+    loops = emb.select(
+        F.col("vec_id").alias("d1"), F.col("vec_id").alias("d2")
+    )
+    edges = pairs.unionAll(loops)
+    cc = ConnectedComponents("e", "cc", src="d1", dst="d2")(
+        Flow({"e": edges})
+    )["cc"]
+    # one materialization serves all three consumers below
+    cc = cc.localCheckpoint(eager=True)
+    lab1 = cc.select(F.col("node").alias("d1"), F.col("component").alias("__c1"))
+    lab2 = cc.select(F.col("node").alias("d2"), F.col("component").alias("__c2"))
+    edge_bad = (
+        pairs.join(lab1, "d1").join(lab2, "d2")
+        .agg(F.sum((F.col("__c1") != F.col("__c2")).cast("int")).alias("__eb"))
+    )
+    roots = cc.select(F.col("node").alias("__r"), F.col("component").alias("__rc"))
+    root_bad = (
+        cc.join(roots, cc.component == F.col("__r"), "left")
+        .agg(
+            F.sum(
+                (
+                    F.col("__r").isNull()
+                    | (F.col("__rc") != F.col("component"))
+                    | (F.col("component") > F.col("node"))
+                ).cast("int")
+            ).alias("__rb")
+        )
+    )
+    n_nodes = cc.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return n_nodes.crossJoin(edge_bad).crossJoin(root_bad).select(
+        "n_nodes",
+        F.when(F.coalesce(F.col("__eb"), F.lit(0)) == 0, F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("edge_consistent_ok"),
+        F.when(F.coalesce(F.col("__rb"), F.lit(0)) == 0, F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("root_ok"),
+    )
+
+
+@_q(
     "copurchase_similar_parts",
     """
 WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),

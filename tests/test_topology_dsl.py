@@ -261,6 +261,9 @@ def test_no_quadratic_join_sweep(spark, sf_dir):
         "ivf_index_search": ("flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key", None),
         "lsh_recall_floor": ("flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key", None),
         "embedding_dedup_recall_floor": ("flag-row assembly — 1-row aggregate crossJoin 1-row aggregate (exact-vs-LSH recall counts)", None),
+        "pagerank_mass_invariant": ("flag-row assembly — 1-row rank-total aggregate crossJoin 1-row edge-count aggregate", None),
+        "triangle_doubling_invariant": ("flag-row assembly — 1-row edge-count aggregate crossJoin 1-row mismatch aggregate", None),
+        "cc_label_invariant": ("flag-row assembly — three 1-row invariant aggregates crossJoined", None),
         "minhash_recall_floor": ("flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key", None),
         "curation_v2": ("corpus stats attach inside quality scoring — 1-row side", None),
         "quality_percentiles": ("corpus-count attach for the percentile denominator — 1-row side", None),
