@@ -166,6 +166,16 @@ class IVFTopK(Component):
     shuffles only centroid-bucketed slices — for repeated query loads,
     persist the assigned corpus partitioned by centroid_id and the
     probe becomes partition pruning.
+
+    ``n_centroids=None`` (the r10 PRODUCTION default) auto-sizes the
+    list count to ``max(4, round(sqrt(N)))`` from one corpus count —
+    the classical IVF balance point (per-query probe work ~
+    n_probe·N/k rows vs k centroid dots; k≈sqrt(N) equalizes them),
+    and the r9 recall/cost curve (SCALE.md) measured that at a FIXED
+    scan fraction more lists strictly help recall.  ``n_probe=None``
+    then probes ``ceil(k/4)`` lists (a 25% scan fraction, the same
+    fraction the old 16/4 default ran).  Pass explicit ints to pin a
+    benchmark-scale config.
     """
 
     def __init__(
@@ -175,8 +185,8 @@ class IVFTopK(Component):
         output: str,
         *,
         k: int = 10,
-        n_centroids: int = 16,
-        n_probe: int = 4,
+        n_centroids: int | None = None,
+        n_probe: int | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         sample_size: int = 4096,
@@ -199,7 +209,20 @@ class IVFTopK(Component):
         self.max_broadcast_rows = max_broadcast_rows
         self.label = label
 
-    def _train(self, corpus: DataFrame) -> np.ndarray:
+    def _resolve(self, corpus: DataFrame) -> tuple[int, int]:
+        """(n_centroids, n_probe) with the auto (None) defaults
+        resolved from one corpus count: k = max(4, round(sqrt(N))),
+        n_probe = ceil(k/4).  Shared by IVFTopK and IVFIndex."""
+        k = self.n_centroids
+        if k is None:
+            n = corpus.count()
+            k = max(4, int(round(n**0.5)))
+        n_probe = getattr(self, "n_probe", None)
+        if n_probe is None:
+            n_probe = -(-k // 4)  # ceil
+        return k, min(n_probe, k)
+
+    def _train(self, corpus: DataFrame, n_centroids: int) -> np.ndarray:
         sample = (
             corpus.select(F.col(self.id_col).alias("id"), F.col(self.vec_col).alias("v"))
             .orderBy("id")
@@ -209,7 +232,7 @@ class IVFTopK(Component):
         X = np.stack(sample["v"].to_list()).astype("float64")
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
         rng = np.random.default_rng(self.seed)
-        k = min(self.n_centroids, len(X))
+        k = min(n_centroids, len(X))
         C = X[rng.choice(len(X), size=k, replace=False)]
         for _ in range(self.iters):
             assign = np.argmax(X @ C.T, axis=1)
@@ -224,7 +247,8 @@ class IVFTopK(Component):
         import pandas as pd
 
         corpus = flow[self.input]
-        C = self._train(corpus)
+        n_centroids, n_probe = self._resolve(corpus)
+        C = self._train(corpus, n_centroids)
         spark = corpus.sparkSession
         bc = spark.sparkContext.broadcast(C)
 
@@ -259,7 +283,7 @@ class IVFTopK(Component):
         ).withColumn("nn", V.norm("nv"))
 
         probe_df = _probe_assign(
-            flow[self.queries], C, self.n_probe, self.id_col, self.vec_col
+            flow[self.queries], C, n_probe, self.id_col, self.vec_col
         )
         sims = (
             _probe_join(assigned, probe_df, self.max_broadcast_rows)
@@ -298,7 +322,7 @@ class IVFIndex(Component):
         input: str,
         path: str,
         *,
-        n_centroids: int = 16,
+        n_centroids: int | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         sample_size: int = 4096,
@@ -333,7 +357,8 @@ class IVFIndex(Component):
             iters=self.iters,
             seed=self.seed,
         )
-        C = trainer._train(corpus)
+        n_centroids, _ = trainer._resolve(corpus)
+        C = trainer._train(corpus, n_centroids)
         bc = corpus.sparkSession.sparkContext.broadcast(C)
         slim = corpus.select(
             F.col(self.id_col).alias("neighbor_id"),

@@ -847,3 +847,29 @@ def test_bloom_member_expr_matches_keyed_probe(spark):
         assert {k for k in range(0, 300, 3)} <= via_expr, h  # no false negs
     with pytest.raises(ValueError, match="hash"):
         BloomFilter("m", "s", key_col="k", hash="sha1")
+
+
+def test_ivf_auto_defaults_resolve(spark, sf_dir):
+    """r10 production defaults: n_centroids=None auto-sizes to
+    max(4, round(sqrt(N))) from one corpus count and n_probe=None to
+    ceil(k/4), clamped to k — and the auto run returns well-formed
+    top-k output."""
+    from strom_spark import Flow
+    from strom_spark.operators.similarity import IVFTopK
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    op = IVFTopK("c", "q", "o", k=3)
+    k, probe = op._resolve(emb)
+    import math
+
+    assert k == max(4, round(math.sqrt(n)))
+    assert probe == -(-k // 4)
+    # explicit pins are honored and n_probe clamps to n_centroids
+    assert IVFTopK("c", "q", "o", n_centroids=8, n_probe=99)._resolve(emb) == (8, 8)
+    assert IVFTopK("c", "q", "o", n_centroids=8, n_probe=2)._resolve(emb) == (8, 2)
+
+    out = op(Flow({"c": emb, "q": emb.filter(F.col("vec_id") < 2)}))["o"]
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    assert all(1 <= r.rank <= 3 for r in rows)
