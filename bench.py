@@ -282,7 +282,8 @@ def main() -> None:
         # queries whose callable memoizes its first result (the eager
         # streaming CEP drain): their WARM numbers time a dict lookup —
         # compare them cold-only (tools/bench_compare.py skips them)
-        "eager_cached_warm_invalid": ["cep_order_fulfillment_stream"],
+        "eager_cached_warm_invalid": ["cep_order_fulfillment_stream",
+                                      "cep_order_fulfillment_stream_relational"],
     }
     try:
         with open(

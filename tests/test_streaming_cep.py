@@ -361,3 +361,67 @@ def test_late_parcel_in_earlier_batch_than_order(spark):
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_relational_lowering_matches_keyed_state_machine(spark):
+    """StreamingMatchDecideRelational (pure-JVM join+window lowering,
+    r10) must produce the SAME final decision set as the per-key state
+    machine on the canonical fixture — including the late parcel, the
+    missing parcel, and the parcel-before-order cases — under a
+    multi-batch (maxFilesPerTrigger=1) split.  The tick rides both
+    join branches and sits past watermark_delay + span_lb (a
+    stream-stream join delays its output watermark by its state
+    retention); the tick-key filter happens post-sink because a
+    pre-sink filter is pushed below the watermark operator and the
+    tick never advances it."""
+    from strom_spark.streaming.cep import StreamingMatchDecideRelational
+
+    d = tempfile.mkdtemp(prefix="strom_cep_rel_")
+    try:
+        _write(
+            f"{d}/f1.parquet",
+            [
+                (1, "ORDER_CREATED", 2, T0),
+                (2, "ORDER_CREATED", 1, T0),
+                (3, "ORDER_CREATED", 2, T0),
+                (1, "PARCEL_SHIPPED", 0, T0 + 10 * MIN),
+                (3, "PARCEL_SHIPPED", 0, T0 + 10 * MIN),
+                (4, "PARCEL_SHIPPED", 0, T0 + 30 * MIN),  # before its order
+            ],
+        )
+        _write(
+            f"{d}/f2.parquet",
+            [
+                (4, "ORDER_CREATED", 1, T0),
+                (1, "PARCEL_SHIPPED", 0, T0 + 20 * MIN),
+                (2, "PARCEL_SHIPPED", 0, T0 + 120 * MIN),  # late (1h deadline)
+            ],
+        )
+        _write(f"{d}/f3.parquet", [(-1, "TICK", 1, T0 + pd.Timedelta(days=40))])
+
+        schema = "order_id bigint, type string, expected bigint, ts timestamp"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        op = StreamingMatchDecideRelational(
+            "events", "decisions", key="order_id",
+            timeout_s=3600, span_lb_s=86400,
+        )
+        decisions = op.transform_df(stream, "1 second")
+        run_available(decisions, query_name="t_cep_rel", output_mode="append")
+        got = {
+            r.order_id: r.decision
+            for r in spark.sql(
+                "SELECT * FROM t_cep_rel WHERE order_id >= 0"
+            ).collect()
+        }
+        assert got == {
+            1: ALL_SHIPPED,   # both parcels on time (across batches)
+            2: THRESHOLD,     # parcel past the deadline never counts
+            3: THRESHOLD,     # one of two parcels missing
+            4: ALL_SHIPPED,   # parcel before its order still matches
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
