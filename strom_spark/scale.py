@@ -200,6 +200,7 @@ def salted_join(
     *,
     salt: int = 8,
     how: str = "inner",
+    hot_keys: Sequence | None = None,
 ) -> DataFrame:
     """Equi-join with the LEFT side's keys spread over ``salt``
     sub-keys (deterministic hash of the whole row) and the RIGHT side
@@ -212,6 +213,14 @@ def salted_join(
     for ``how`` in {inner, left, left_semi, left_anti, cross}.  Right/
     full outer are rejected: every unmatched RIGHT row exists once per
     salt replica, so the salted join would emit it ``salt`` times.
+
+    ``hot_keys`` (r10): salt ONLY the listed key values — the
+    production form when ``right`` is itself large (a full replication
+    would cost ``salt × |right|``): non-hot rows keep sub-key 0 on
+    both sides (no replication, no fan-out) and only the known-hot
+    keys spread/replicate.  Single-column ``on`` only (the hot list is
+    matched against ``on[0]``).  Hot lists come from a cheap top-k
+    frequency scan or the skew stats AQE already collects.
     """
     allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
                "leftsemi", "left_anti", "leftanti", "cross"}
@@ -222,10 +231,31 @@ def salted_join(
         )
     on = list(on)
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
-    l = left.withColumn("__salt", lsalt)
-    r = right.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]).cast("array<int>"))
-    )
+    if hot_keys is not None:
+        if len(on) != 1:
+            raise ValueError("hot_keys salting supports single-column joins")
+        hot = F.lit(list(hot_keys))
+        key = F.col(on[0])
+        l = left.withColumn(
+            "__salt",
+            F.when(F.array_contains(hot, key), lsalt).otherwise(F.lit(0)),
+        )
+        r = right.withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    F.array_contains(hot, key),
+                    F.sequence(F.lit(0), F.lit(salt - 1)),
+                )
+                .otherwise(F.array(F.lit(0)))
+                .cast("array<int>")
+            ),
+        )
+    else:
+        l = left.withColumn("__salt", lsalt)
+        r = right.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]).cast("array<int>"))
+        )
     out = l.join(r, on + ["__salt"], how)
     return out.drop("__salt")
 

@@ -522,3 +522,35 @@ def test_write_bucketed_external_reregistration_exchange_free(spark, sf_dir):
     for t in (ta, tb):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+
+def test_hot_key_salted_join_equals_plain_join(spark):
+    """hot_keys salting (r10): only the listed keys spread/replicate —
+    row-identical to the plain join, non-hot right rows are NOT
+    replicated, and left outer keeps unmatched left rows exactly
+    once."""
+    left = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(1000)], "k long, v long"
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "k long, name string"
+    )
+    plain = left.join(right, "k").select("k", "v", "name")
+    hot = salted_join(
+        left, right, ["k"], salt=8, hot_keys=[1]
+    ).select("k", "v", "name")
+    assert sorted(map(tuple, hot.collect())) == sorted(map(tuple, plain.collect()))
+
+    # left outer: unmatched left rows (k >= 100) survive exactly once
+    plain_lo = left.join(right, "k", "left").select("k", "v", "name")
+    hot_lo = salted_join(
+        left, right, ["k"], salt=8, how="left", hot_keys=[1]
+    ).select("k", "v", "name")
+    assert sorted(map(tuple, hot_lo.collect()), key=str) == sorted(
+        map(tuple, plain_lo.collect()), key=str
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="single-column"):
+        salted_join(left, right, ["k", "v"], hot_keys=[1])
