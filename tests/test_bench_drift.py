@@ -1,0 +1,87 @@
+"""Opt-in bench drift gate (r10 verdict task 6): fail CI on any
+full-registry warm-min that drifted >2x past its best prior recorded
+value WITHOUT an adjudication on file.
+
+Opt-in (SPARK_GRAFT_DRIFT_GATE=1) because it needs a FRESH
+BENCH_FULL_DETAIL.json from the same tree (run
+``SPARK_GRAFT_BENCH_FULL=1 python bench.py`` first) and a quiet
+machine — a stale artifact or a contended box would indict innocent
+code.  The comparison layer is tools/bench_compare.py's best-prior
+harvest (committed BENCH_r*.json + git-history BENCH_DETAIL.json,
+sf0.1 only)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+#: query -> (reason, SCALE.md anchor).  A drift is ACCEPTED only by
+#: writing it down here with its SCALE.md adjudication — the gate
+#: makes silent acceptance impossible.
+ADJUDICATED = {
+    "dsir_sample": (
+        "steady-state warm-min is 1.8-2.0s; the 0.98s r7 figure was a "
+        "bench-sequence cache effect that is not reproducible",
+        "SCALE.md: Round-9 dsir_sample adjudication",
+    ),
+    "profile_lineitem": (
+        "r9 DECIMAL(38,6) loud-overflow render costs ~0.25s on the "
+        "EXPAND-heavy agg; accepted over silent '' extremes",
+        "SCALE.md: Round-8 bench adjudications (3)",
+    ),
+    "cep_order_fulfillment": (
+        "sub-second absolute; early small-set sessions recorded "
+        "0.198s, code unchanged since — the sub-2s jitter band",
+        "SCALE.md: Round-8 bench adjudications (2)",
+    ),
+    "dedup_embedding": (
+        "r10 re-registration on the portable sub-quadratic LSH plan — "
+        "a different (scale-safe) algorithm, not a regression of the "
+        "exact GEMM it replaced",
+        "SCALE.md: dedup_embedding re-registration (round 10)",
+    ),
+}
+
+#: the SCALE.md-documented whole-session jitter band: warm runs of
+#: sub-2s queries carry up to ~2x stage-scheduling noise under the
+#: full-registry sequence, so a sub-2s query only fails the gate past
+#: this harder ratio
+SUB2S_JITTER_RATIO = 4.0
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_DRIFT_GATE") != "1",
+    reason="opt-in: needs a fresh BENCH_FULL_DETAIL.json on a quiet box "
+    "(SPARK_GRAFT_BENCH_FULL=1 python bench.py; SPARK_GRAFT_DRIFT_GATE=1)",
+)
+def test_no_unadjudicated_warm_min_drift():
+    from bench_compare import EAGER_CACHED, best_prior
+
+    path = os.path.join(ROOT, "BENCH_FULL_DETAIL.json")
+    assert os.path.exists(path), "run SPARK_GRAFT_BENCH_FULL=1 python bench.py first"
+    cur = json.load(open(path))
+    assert cur.get("sf") == 0.1, "drift priors are sf0.1-only"
+    prior = best_prior()
+    failures = []
+    for name, sec in sorted((cur.get("queries") or {}).items()):
+        if name in EAGER_CACHED or name in ADJUDICATED or name not in prior:
+            continue
+        best, src = prior[name]
+        if best <= 0:
+            continue
+        ratio = sec / best
+        if ratio <= 2.0:
+            continue
+        if max(sec, best) < 2.0 and ratio <= SUB2S_JITTER_RATIO:
+            continue  # documented sub-2s jitter band
+        failures.append(
+            f"{name}: {sec:.2f}s vs best prior {best:.2f}s ({src}) = "
+            f"{ratio:.2f}x — adjudicate in SCALE.md + ADJUDICATED or fix"
+        )
+    assert not failures, "unadjudicated warm-min drifts:\n" + "\n".join(failures)

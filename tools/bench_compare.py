@@ -52,24 +52,28 @@ def best_prior() -> dict[str, tuple[float, str]]:
         _harvest(best, d.get("queries"), os.path.basename(path))
         _harvest(best, (d.get("parsed") or {}).get("queries"),
                  os.path.basename(path))
-    try:
-        shas = subprocess.run(
-            ["git", "log", "--format=%h", "--", "BENCH_DETAIL.json"],
-            cwd=ROOT, capture_output=True, text=True, check=True,
-        ).stdout.split()
-        for sha in shas:
-            try:
-                d = json.loads(subprocess.run(
-                    ["git", "show", f"{sha}:BENCH_DETAIL.json"],
-                    cwd=ROOT, capture_output=True, text=True, check=True,
-                ).stdout)
-            except Exception:
-                continue
-            if d.get("sf") != 0.1:
-                continue  # only sf0.1 artifacts are comparable
-            _harvest(best, d.get("queries"), f"BENCH_DETAIL@{sha}")
-    except Exception:
-        pass
+    # r10: also harvest git-history BENCH_FULL_DETAIL.json — the
+    # non-headline 60+ queries exist ONLY there, so without it every
+    # full-registry query read "first_recorded" each round
+    for artifact in ("BENCH_DETAIL.json", "BENCH_FULL_DETAIL.json"):
+        try:
+            shas = subprocess.run(
+                ["git", "log", "--format=%h", "--", artifact],
+                cwd=ROOT, capture_output=True, text=True, check=True,
+            ).stdout.split()
+            for sha in shas:
+                try:
+                    d = json.loads(subprocess.run(
+                        ["git", "show", f"{sha}:{artifact}"],
+                        cwd=ROOT, capture_output=True, text=True, check=True,
+                    ).stdout)
+                except Exception:
+                    continue
+                if d.get("sf") != 0.1:
+                    continue  # only sf0.1 artifacts are comparable
+                _harvest(best, d.get("queries"), f"{artifact.split('.')[0]}@{sha}")
+        except Exception:
+            pass
     return best
 
 
