@@ -129,13 +129,26 @@ jac AS (
 )
 """
 
+#: ROW-form simhash (r10): explode tokens once, md5 per token ROW,
+#: then one grouped bit vote per (doc, j) — the engine's own shape
+#: (dedup.py:_simhash_sig_int).  The previous list form
+#: (``sigs, unnest(range(1,33))``) carried each doc's FULL md5-string
+#: list through a 32x cross join and re-ran list_filter per copy —
+#: tens of GB of transient list payloads at 50k docs (duck OOM even
+#: at a 60 GB limit on the r10 corpus); the row form is an 88M-row
+#: grouped aggregate duck chews through in seconds.
 _SIMHASH = r"""
-sigs AS (SELECT doc_id, list_transform(w, t -> md5(t)) AS hs FROM toks),
+hrows AS (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM toks, unnest(w) AS t(tok)
+),
 bits AS (
   SELECT doc_id, j,
-    CASE WHEN 2 * len(list_filter(hs, s -> s[j:j] >= '8')) > len(hs)
+    CASE WHEN 2 * SUM(CASE WHEN substring(h, j, 1) >= '8' THEN 1 ELSE 0 END)
+           > COUNT(*)
          THEN '1' ELSE '0' END AS b
-  FROM sigs, unnest(range(1, 33)) t(j)
+  FROM hrows, unnest(range(1, 33)) t(j)
+  GROUP BY doc_id, j
 ),
 sh32 AS (
   SELECT doc_id AS id, string_agg(b, '' ORDER BY j) AS simhash
@@ -1121,7 +1134,10 @@ def _unrolled_simhash_cc(rounds: int) -> str:
     "dedup_simhash_clusters",
     f"""
 WITH {_NORM_DOCS}, {_SIMHASH},
-blocks AS (
+blocks AS MATERIALIZED (
+  -- MATERIALIZED (r10): the unrolled rounds reference blocks twice
+  -- per round = 16 references; a plain CTE re-inlines the whole
+  -- tokenize+md5+bit-vote pipeline per reference and duck OOMs at sf1.0
   SELECT id, i,
     CASE WHEN i < 4 THEN substring(simhash, i*6 + 1, 6)
          ELSE substring(simhash, 25, 8) END AS bk

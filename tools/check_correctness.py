@@ -67,7 +67,9 @@ def main():
     def fresh_con():
         c = duckdb.connect()
         c.execute(f"SET threads={os.environ.get('SPARK_GRAFT_DUCK_THREADS', '16')}")
-        c.execute("SET memory_limit='24GB'")
+        c.execute(
+            f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '24GB')}'"
+        )
         for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
