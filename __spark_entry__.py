@@ -1856,8 +1856,11 @@ def triangle_doubling_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (
-                    (~(F.col("n_triangles") == F.col("n_lo")))
-                    | (~(F.col("n_triangles") == F.col("n_hi")))
+                    # null-safe: a node present in one run but missing
+                    # from another (count regressed to zero -> row
+                    # dropped) must count as a mismatch, not NULL->skip
+                    (~F.col("n_triangles").eqNullSafe(F.col("n_lo")))
+                    | (~F.col("n_triangles").eqNullSafe(F.col("n_hi")))
                 ).cast("int")
             ).alias("__bad"),
         )
@@ -1901,9 +1904,9 @@ def cc_label_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strom_spark import ConnectedComponents
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = EmbeddingNearDupPairs("emb", "pairs", threshold=0.3)(
-        Flow({"emb": emb})
-    )["pairs"].select("d1", "d2")
+    pairs = EmbeddingNearDupPairs(
+        "emb", "pairs", threshold=0.3, on_overflow="tile"
+    )(Flow({"emb": emb}))["pairs"].select("d1", "d2")
     loops = emb.select(
         F.col("vec_id").alias("d1"), F.col("vec_id").alias("d2")
     )
@@ -6628,7 +6631,9 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strom_spark import ConnectedComponents
 
     flow = Flow({"emb": load_table(spark, sf_dir, "embeddings")})
-    pairs = EmbeddingNearDupPairs("emb", "pairs", threshold=0.3)(flow)["pairs"]
+    pairs = EmbeddingNearDupPairs(
+        "emb", "pairs", threshold=0.3, on_overflow="tile"
+    )(flow)["pairs"]
     out = ConnectedComponents("e", "cc", src="d1", dst="d2")(
         Flow({"e": pairs.select("d1", "d2")})
     )["cc"]

@@ -96,7 +96,13 @@ class LloydKMeans(Component):
             )
             for c in cents
         ])
-        best = F.array_position(dists, F.array_min(dists)) - 1
+        # array_position returns 0 when nothing equals the min (only
+        # possible when every distance is NaN, i.e. a NaN input
+        # vector); greatest(...,0) pins that case to cluster 0, the
+        # same assignment the chained-when form used to make
+        best = F.greatest(
+            F.array_position(dists, F.array_min(dists)) - 1, F.lit(0)
+        )
         return df.withColumn("cluster", best.cast("int"))
 
     def transform(self, flow: Flow) -> Flow:

@@ -283,6 +283,7 @@ class StreamingMatchDecideRelational(Component):
         timeout_s: float,
         span_lb_s: float,
         window: str = "1 day",
+        watermark_delay: str | None = None,
         label: str | None = None,
     ):
         self.input = input
@@ -297,6 +298,7 @@ class StreamingMatchDecideRelational(Component):
         self.timeout_s = timeout_s
         self.span_lb_s = span_lb_s
         self.window = window
+        self.watermark_delay = watermark_delay
         self.label = label
 
     def transform_df(self, df: DataFrame, watermark_delay: str) -> DataFrame:
@@ -351,12 +353,19 @@ class StreamingMatchDecideRelational(Component):
         )
 
     def transform(self, flow: Flow) -> Flow:
-        # the component form assumes the input already carries its own
-        # event-time watermark only on ts_col; transform_df re-applies
-        # per-branch watermarks, so the Flow path takes a delay of the
-        # full default (callers needing control use transform_df)
+        # the watermark delay bounds how late an event may arrive and
+        # still count toward a decision — there is NO safe default
+        # (a silent "1 second" would drop any real-world late event
+        # and break the documented decision-set equality with the
+        # keyed state machine), so the Flow path requires it explicitly
+        if self.watermark_delay is None:
+            raise ValueError(
+                "StreamingMatchDecideRelational: pass watermark_delay= "
+                "to the constructor (how late events may arrive), or "
+                "call transform_df(df, watermark_delay) directly"
+            )
         return flow.without(self.input).with_stream(
-            self.output, self.transform_df(flow[self.input], "1 second")
+            self.output, self.transform_df(flow[self.input], self.watermark_delay)
         )
 
     def input_names(self) -> Sequence[str]:

@@ -283,6 +283,28 @@ def test_lloyd_kmeans_empty_cluster_keeps_centroid(spark):
     assert got[1] == 1 and got[0] == 0 and all(got[i] == 0 for i in range(2, 12))
 
 
+def test_lloyd_kmeans_nan_vector_assigns_cluster_zero(spark):
+    """A NaN input vector makes every centroid distance NaN, so
+    array_position finds no min-equal element (returns 0); the
+    greatest(...,0) guard must pin such rows to cluster 0 (the old
+    chained-when behavior) instead of the silent -1 (r10 advice)."""
+    from strom_spark import LloydKMeans
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [100.0, 100.0]),
+        (2, [float("nan"), 1.0]),
+        (3, [99.0, 99.0]),
+    ]
+    df = spark.createDataFrame(rows, "vid bigint, v array<double>")
+    out = LloydKMeans("e", "o", id_col="vid", vec_col="v", dim=2, k=2, iters=1)(
+        Flow({"e": df})
+    )["o"].collect()
+    got = {r.vid: r.cluster for r in out}
+    assert got[2] == 0
+    assert got[0] == 0 and got[1] == 1 and got[3] == 1
+
+
 def test_chunk_documents_sliding_window(spark):
     """ChunkDocuments: stride = size-overlap starts, truncated tail,
     offsets map back into the doc; stream-legal (stateless)."""

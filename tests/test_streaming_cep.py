@@ -363,6 +363,34 @@ def test_late_parcel_in_earlier_batch_than_order(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_relational_flow_path_requires_watermark_delay(spark):
+    """The Flow-path transform() must refuse to run without an
+    explicit watermark_delay (a silent 1s default would drop any
+    real-world late event — r10 advice), and must honor the
+    constructor value when given."""
+    import pytest
+    from strom_spark.streaming.cep import StreamingMatchDecideRelational
+    from strom_spark import Flow
+
+    schema = "order_id bigint, type string, expected bigint, ts timestamp"
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value AS order_id", "'ORDER_CREATED' AS type",
+        "1L AS expected", "timestamp AS ts",
+    )
+    op = StreamingMatchDecideRelational(
+        "events", "decisions", key="order_id",
+        timeout_s=3600, span_lb_s=86400,
+    )
+    with pytest.raises(ValueError, match="watermark_delay"):
+        op.transform(Flow({"events": stream}))
+    op2 = StreamingMatchDecideRelational(
+        "events", "decisions", key="order_id",
+        timeout_s=3600, span_lb_s=86400, watermark_delay="10 minutes",
+    )
+    flow = op2.transform(Flow({"events": stream}))
+    assert flow["decisions"].isStreaming
+
+
 def test_relational_lowering_matches_keyed_state_machine(spark):
     """StreamingMatchDecideRelational (pure-JVM join+window lowering,
     r10) must produce the SAME final decision set as the per-key state
