@@ -13,7 +13,7 @@ from .component import Component, Pipeline
 from .planprobe import capture_bounded_broadcasts, capture_loop_plans
 from .session import get_spark
 from .io import load_table, load_flow, spread, TABLES
-from .scale import compact_write, salted_join, write_bucketed, zorder_key
+from .scale import compact_write, detect_hot_keys, salted_join, write_bucketed, zorder_key
 from .sources.source import IOGets, Source, SourceOrigin, Read, ReadLines, ReadStream
 from .sources.sink import Sink, SinkOrigin, Write, Console, Null, Memory
 from .operators.transformer import (
@@ -190,6 +190,9 @@ __all__ = [
     "TemperatureMix",
     "compact_write",
     "zorder_key",
+    "salted_join",
+    "detect_hot_keys",
+    "write_bucketed",
     "MediaFeatures",
     "ImagePHash",
     "PHashNearDupPairs",

@@ -193,6 +193,88 @@ def write_bucketed(
     return True
 
 
+
+#: Catalyst per-type defaultSize values (see
+#: org.apache.spark.sql.types.*Type.defaultSize) used to estimate
+#: bytes/row from a schema without touching the data.
+_TYPE_BYTES = {
+    "boolean": 1, "byte": 1, "short": 2, "integer": 4, "float": 4,
+    "date": 4, "long": 8, "double": 8, "timestamp": 8,
+    "timestamp_ntz": 8, "string": 20, "binary": 100,
+}
+
+
+def estimate_row_bytes(df: DataFrame) -> int:
+    """Schema-width estimate of bytes per row (Catalyst defaultSize
+    semantics): exact for fixed-width types, Catalyst's own constants
+    for string/binary, 100 for complex types.  Used by
+    :func:`detect_hot_keys` to convert AQE's advisory partition SIZE
+    into a rows-per-key threshold without a data scan."""
+    total = 0
+    for f_ in df.schema.fields:
+        t = f_.dataType.typeName()
+        if t == "decimal":
+            total += 8 if f_.dataType.precision <= 18 else 16
+        else:
+            total += _TYPE_BYTES.get(t, 100)
+    return max(total, 1)
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark size conf value ("64MB", "67108864b", "1g")."""
+    v = str(v).strip().lower()
+    for suf, mult in (("tb", 2**40), ("gb", 2**30), ("mb", 2**20),
+                      ("kb", 2**10), ("t", 2**40), ("g", 2**30),
+                      ("m", 2**20), ("k", 2**10), ("b", 1)):
+        if v.endswith(suf):
+            return int(float(v[: -len(suf)])) * mult
+    return int(v)
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    *,
+    advisory_bytes: int | None = None,
+    max_keys: int = 64,
+    threshold_rows: int | None = None,
+) -> list:
+    """Find the join-key values hot enough to need salting: any key
+    whose rows alone outweigh one AQE advisory partition
+    (``spark.sql.adaptive.advisoryPartitionSizeInBytes``, default
+    64 MB) is a guaranteed straggler in a shuffle join no matter how
+    AQE splits the surrounding partitions, because all of a key's rows
+    must land in ONE task of a sort-merge/hash join.
+
+    One aggregation pass: ``groupBy(key).count()`` is itself
+    skew-immune (map-side partial aggregation collapses the hot key to
+    one row per input partition — measured in the r10 skew probe), and
+    the collect is bounded by ``max_keys``.  Returns the hot key
+    values ordered by descending frequency — feed directly to
+    ``salted_join(hot_keys=...)``.
+
+    ``threshold_rows`` overrides the size-derived threshold (useful in
+    tests or when the schema-width estimate misleads, e.g. giant
+    string payloads)."""
+    if threshold_rows is None:
+        if advisory_bytes is None:
+            advisory_bytes = _parse_bytes(
+                df.sparkSession.conf.get(
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+                )
+            )
+        threshold_rows = max(1, advisory_bytes // estimate_row_bytes(df))
+    rows = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > threshold_rows)
+        .orderBy(F.col("__n").desc())
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -200,7 +282,7 @@ def salted_join(
     *,
     salt: int = 8,
     how: str = "inner",
-    hot_keys: Sequence | None = None,
+    hot_keys: Sequence | str | None = None,
 ) -> DataFrame:
     """Equi-join with the LEFT side's keys spread over ``salt``
     sub-keys (deterministic hash of the whole row) and the RIGHT side
@@ -219,8 +301,12 @@ def salted_join(
     would cost ``salt × |right|``): non-hot rows keep sub-key 0 on
     both sides (no replication, no fan-out) and only the known-hot
     keys spread/replicate.  Single-column ``on`` only (the hot list is
-    matched against ``on[0]``).  Hot lists come from a cheap top-k
-    frequency scan or the skew stats AQE already collects.
+    matched against ``on[0]``).  ``hot_keys='auto'`` (r11) runs
+    :func:`detect_hot_keys` on the left side — one skew-immune
+    aggregation pass, threshold = rows-per-key vs AQE's
+    ``advisoryPartitionSizeInBytes`` — and salts only what it finds;
+    when nothing is hot the join degrades to the plain unsalted join
+    (zero overhead beyond the detection scan).
     """
     allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
                "leftsemi", "left_anti", "leftanti", "cross"}
@@ -230,6 +316,14 @@ def salted_join(
             f"are replicated {salt}x by salting (use {sorted(allowed)})"
         )
     on = list(on)
+    if isinstance(hot_keys, str):
+        if hot_keys != "auto":
+            raise ValueError(f"hot_keys must be a list, 'auto', or None, got {hot_keys!r}")
+        if len(on) != 1:
+            raise ValueError("hot_keys salting supports single-column joins")
+        hot_keys = detect_hot_keys(left, on[0])
+        if not hot_keys:
+            return left.join(right, on, how)
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
     if hot_keys is not None:
         if len(on) != 1:

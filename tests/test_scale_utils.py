@@ -524,6 +524,73 @@ def test_write_bucketed_external_reregistration_exchange_free(spark, sf_dir):
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
 
 
+def test_detect_hot_keys_finds_only_the_hot_key(spark):
+    """detect_hot_keys (r11): the rows-per-key threshold derived from
+    advisoryPartitionSizeInBytes flags exactly the dominating key —
+    uniform keys stay below it — and the explicit threshold_rows
+    override behaves the same."""
+    from strom_spark.scale import detect_hot_keys, estimate_row_bytes
+
+    # 900 rows on key 1, ~1 row on everything else
+    left = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(9000)], "k long, v long"
+    )
+    row_b = estimate_row_bytes(left)
+    assert row_b == 16  # two longs
+    # advisory sized so the threshold lands between 10 and 8100 rows
+    got = detect_hot_keys(left, "k", advisory_bytes=100 * row_b)
+    assert got == [1]
+    got2 = detect_hot_keys(left, "k", threshold_rows=100)
+    assert got2 == [1]
+    # threshold above every key -> nothing is hot
+    assert detect_hot_keys(left, "k", threshold_rows=10**9) == []
+    # max_keys bounds the collect
+    two_hot = spark.createDataFrame(
+        [((i % 2) + 1, i) for i in range(1000)]
+        + [(100 + i, i) for i in range(50)],
+        "k long, v long",
+    )
+    got3 = detect_hot_keys(two_hot, "k", threshold_rows=100, max_keys=1)
+    assert got3 == [1] or got3 == [2]
+
+
+def test_salted_join_auto_hot_keys(spark):
+    """hot_keys='auto' (r11): detection feeds the salt list, result is
+    row-identical to the plain join; when nothing is hot the join
+    degrades to the plain unsalted join."""
+    from strom_spark.scale import salted_join as sj
+
+    left = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(9000)], "k long, v long"
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "k long, name string"
+    )
+    prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    try:
+        # 1600B advisory / 16B rows = 100-row threshold -> key 1 is hot
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1600b")
+        plain = left.join(right, "k").select("k", "v", "name")
+        auto = sj(left, right, ["k"], salt=8, hot_keys="auto").select(
+            "k", "v", "name"
+        )
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+        # nothing hot at the default 64MB advisory -> plain join plan
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        cold = sj(left, right, ["k"], salt=8, hot_keys="auto")
+        assert "__salt" not in cold.columns
+        assert cold.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="'typo'"):
+        sj(left, right, ["k"], hot_keys="typo")
+
+
 def test_hot_key_salted_join_equals_plain_join(spark):
     """hot_keys salting (r10): only the listed keys spread/replicate —
     row-identical to the plain join, non-hot right rows are NOT

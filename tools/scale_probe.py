@@ -556,12 +556,17 @@ def skew_main() -> None:
                 best = min(best, time.time() - t0)
             return round(best, 2)
 
+        from strom_spark.scale import detect_hot_keys
+        auto_detected = detect_hot_keys(
+            sk.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
         results = {"hot_pct": hot_pct, "hot_rows": n_hot, "sf_dir": sf_dir,
-                   "salt": 32, "cases": {}}
+                   "salt": 32, "auto_detected": auto_detected, "cases": {}}
         for label, aqe_skew, salted in [
             ("join_aqe_skew_on", "true", None),
             ("join_aqe_skew_off", "false", None),
             ("join_salted_hot_only", "true", [HOT]),
+            ("join_salted_auto", "true", "auto"),
             ("join_salted_full", "true", "FULL"),
         ]:
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe_skew)
