@@ -11,7 +11,7 @@ Catalyst/Tungsten/AQE handle optimization and physical execution.
 from .flow import Flow, as_flow
 from .component import Component, Pipeline
 from .planprobe import capture_bounded_broadcasts, capture_loop_plans
-from .session import get_spark
+from .session import get_spark, use_state_store
 from .io import load_table, load_flow, spread, TABLES
 from .scale import compact_write, detect_hot_keys, salted_join, write_bucketed, zorder_key
 from .sources.source import IOGets, Source, SourceOrigin, Read, ReadLines, ReadStream
@@ -95,6 +95,7 @@ __all__ = [
     "capture_bounded_broadcasts",
     "capture_loop_plans",
     "get_spark",
+    "use_state_store",
     "IOGets",
     "Source",
     "SourceOrigin",

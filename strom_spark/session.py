@@ -12,10 +12,43 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "strom_spark", shuffle_partitions: int | None = None) -> SparkSession:
+#: providerClass value for the RocksDB state store — the recommended
+#: default for large keyed streaming state (per-key CEP, dedup state):
+#: state lives off-heap/on-disk instead of the JVM heap, measured −13%
+#: on the per-key CEP lowering at sf1.0 with zero code change
+#: (SCALE.md "state store" row).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_state_store(spark: SparkSession, kind: str = "rocksdb") -> None:
+    """Select the streaming state-store backend for queries STARTED
+    after this call (the provider is bound per-query at start, so an
+    already-running query keeps its backend).  ``kind``: ``rocksdb``
+    (recommended for large keyed state — bounded heap, spills to disk,
+    changelog checkpointing) or ``memory`` (Spark's default
+    HDFSBackedStateStoreProvider — fastest for small state)."""
+    if kind == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+    elif kind == "memory":
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        raise ValueError(f"state store must be 'rocksdb' or 'memory', got {kind!r}")
+
+
+def get_spark(
+    app_name: str = "strom_spark",
+    shuffle_partitions: int | None = None,
+    state_store: str | None = None,
+) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    if state_store is None:
+        state_store = os.environ.get("STROM_SPARK_STATE_STORE")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -53,4 +86,7 @@ def get_spark(app_name: str = "strom_spark", shuffle_partitions: int | None = No
             os.environ.get("STROM_SPARK_WAREHOUSE", "/tmp/strom_spark_warehouse"),
         )
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if state_store:
+        use_state_store(spark, state_store)
+    return spark
