@@ -174,8 +174,13 @@ class IVFTopK(Component):
     and the r9 recall/cost curve (SCALE.md) measured that at a FIXED
     scan fraction more lists strictly help recall.  ``n_probe=None``
     then probes ``ceil(k/4)`` lists (a 25% scan fraction, the same
-    fraction the old 16/4 default ran).  Pass explicit ints to pin a
-    benchmark-scale config.
+    fraction the old 16/4 default ran) — EXCEPT below ``min_ivf_n``
+    corpus rows (default 1024), where auto falls back to exact brute
+    force (``n_probe=k``): at a few hundred vectors the whole corpus
+    is one broadcast batch, IVF saves nothing, and quantization noise
+    on so few lists is the dominant recall cost (measured 0.595 at
+    N=500 in r10 — the only sub-0.6 point on the curve).  Pass
+    explicit ints to pin a benchmark-scale config.
     """
 
     def __init__(
@@ -193,6 +198,7 @@ class IVFTopK(Component):
         iters: int = 5,
         seed: int = 13,
         max_broadcast_rows: int = 1_000_000,
+        min_ivf_n: int = 1024,
         label: str | None = None,
     ):
         self.input = input
@@ -207,17 +213,22 @@ class IVFTopK(Component):
         self.iters = iters
         self.seed = seed
         self.max_broadcast_rows = max_broadcast_rows
+        self.min_ivf_n = min_ivf_n
         self.label = label
 
     def _resolve(self, corpus: DataFrame) -> tuple[int, int]:
         """(n_centroids, n_probe) with the auto (None) defaults
         resolved from one corpus count: k = max(4, round(sqrt(N))),
-        n_probe = ceil(k/4).  Shared by IVFTopK and IVFIndex."""
+        n_probe = ceil(k/4) — or n_probe = k (exact search) when the
+        corpus is below ``min_ivf_n`` rows, where IVF cannot win
+        (r11 small-N guard).  Shared by IVFTopK and IVFIndex."""
         k = self.n_centroids
+        n_probe = getattr(self, "n_probe", None)
         if k is None:
             n = corpus.count()
             k = max(4, int(round(n**0.5)))
-        n_probe = getattr(self, "n_probe", None)
+            if n_probe is None and n < getattr(self, "min_ivf_n", 1024):
+                n_probe = k
         if n_probe is None:
             n_probe = -(-k // 4)  # ceil
         return k, min(n_probe, k)

@@ -864,10 +864,21 @@ def test_ivf_auto_defaults_resolve(spark, sf_dir):
     import math
 
     assert k == max(4, round(math.sqrt(n)))
-    assert probe == -(-k // 4)
+    # r11 small-N guard: below min_ivf_n rows auto probes ALL lists
+    # (exact search — IVF can't win on a one-broadcast-batch corpus);
+    # above it, the 25% scan fraction
+    assert probe == (k if n < 1024 else -(-k // 4))
+    big = IVFTopK("c", "q", "o", k=3, min_ivf_n=1)
+    kb, pb = big._resolve(emb)
+    assert (kb, pb) == (k, -(-k // 4))  # guard disabled -> ceil(k/4)
+    small = IVFTopK("c", "q", "o", k=3, min_ivf_n=10**9)
+    ks, ps = small._resolve(emb)
+    assert (ks, ps) == (k, k)  # guard always on -> exact
     # explicit pins are honored and n_probe clamps to n_centroids
     assert IVFTopK("c", "q", "o", n_centroids=8, n_probe=99)._resolve(emb) == (8, 8)
     assert IVFTopK("c", "q", "o", n_centroids=8, n_probe=2)._resolve(emb) == (8, 2)
+    # an explicit n_probe is never overridden by the guard
+    assert IVFTopK("c", "q", "o", n_probe=2, min_ivf_n=10**9)._resolve(emb) == (k, 2)
 
     out = op(Flow({"c": emb, "q": emb.filter(F.col("vec_id") < 2)}))["o"]
     rows = out.collect()
