@@ -606,6 +606,63 @@ def skew_main() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def decade2_main() -> None:
+    """Second-decade probe (r11 verdict task 4): wall-clock the five
+    operators whose 100-TB story carries the repo — ExactDedup,
+    MinHashLSHPairs, CosineLSHJoin (production config = the registered
+    dedup_embedding), PageRank (5 rounds), curation_v5 — at sf1.0 and
+    sf10 (60M lineitem / 200k vectors / 500k docs) via their OWN
+    registered plans, plus the self-verifying floor/invariant rows
+    where registered (pagerank_mass_invariant,
+    embedding_dedup_recall_floor, minhash_recall_floor) so the big-SF
+    run is correctness-checked without a DuckDB oracle replay.
+
+    Usage: python tools/scale_probe.py decade2 [small_dir] [big_dir]
+    Emits one JSON document: per-query cold + warm-min at each SF and
+    the decade wall ratio (warm big / warm small; 10x data -> a
+    linear operator shows ~10x on a fixed-core box, sublinear for
+    output-bound plans, anything >>10x is a defect to file).
+    """
+    small = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1.0"
+    big = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/testdata_sf10"
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    TIMED = ["dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
+             "pagerank_order_part", "curation_v5"]
+    VERIFY = ["pagerank_mass_invariant", "embedding_dedup_recall_floor",
+              "minhash_recall_floor"]
+    spark = get_spark("decade2_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(2_000_000).selectExpr("sum(id*2)").collect()  # JIT warmup
+
+    out = {"small": small, "big": big, "timed": {}, "verify": {}}
+    for name in TIMED:
+        row = {}
+        for tag, d in (("small", small), ("big", big)):
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                qs[name](spark, d).count()
+                runs.append(round(time.time() - t0, 2))
+            row[f"{tag}_cold"] = runs[0]
+            row[f"{tag}_warm"] = min(runs[1:])
+        row["decade_ratio"] = round(row["big_warm"] / max(row["small_warm"], 0.01), 2)
+        out["timed"][name] = row
+        print(json.dumps({name: row}), flush=True)
+    for name in VERIFY:
+        t0 = time.time()
+        rows = qs[name](spark, big).collect()
+        out["verify"][name] = {
+            "sec": round(time.time() - t0, 1),
+            "row": {k: (str(v) if not isinstance(v, (int, float)) else v)
+                    for k, v in rows[0].asDict().items()} if rows else None,
+        }
+        print(json.dumps({name: out["verify"][name]}), flush=True)
+    print(json.dumps(out))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ivf":
         ivf_main()
@@ -624,6 +681,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         skew_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "decade2":
+        decade2_main()
         return
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale_probe")
