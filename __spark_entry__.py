@@ -6786,6 +6786,39 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "hot_key_detection",
+    """
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+GROUP BY source
+HAVING count(*) > (SELECT count(*) / 40 FROM documents)
+ORDER BY n_rows DESC, source
+LIMIT 100
+""",
+)
+def hot_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-defense front door (scale.hot_key_table, r11): the
+    rows-per-key frequency scan that feeds salted_join(hot_keys='auto')
+    as an oracle-checked DataFrame — one skew-immune groupBy-count
+    (map-side partials collapse any hot key to one row per input
+    partition), strict > threshold so a boundary tie can never flip
+    membership between engines, descending-count order with a
+    deterministic key tie-break, bounded by max_keys.  The threshold
+    here is an explicit corpus fraction (N/40, integer-exact on both
+    sides) rather than the advisory-size default so the row is
+    reproducible across boxes; production callers use the
+    advisoryPartitionSizeInBytes-derived default and pass the result
+    straight to salted_join(hot_keys=...)."""
+    from strom_spark.scale import hot_key_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    thresh = docs.count() // 40
+    return hot_key_table(
+        docs, "source", threshold_rows=thresh, max_keys=100
+    ).select("source", F.col("n_rows").cast("bigint").alias("n_rows"))
+
+
+@_q(
     "bucketed_join_revenue",
     """
 SELECT o_orderpriority,

@@ -83,6 +83,7 @@ HEADLINE = [
     # pairs (GEMM signatures); the full curation pipeline composite —
     # TOTAL covers 39 from here
     "salted_skew_join",
+    "hot_key_detection",
     # round 5: bench the PRODUCTION LSH config (θ=0.9, 8×12) instead of
     # the recall-1 oracle demo (intentionally ≈all-pairs, it cost 38%
     # of the r4 headline); the demo config stays registered for driver

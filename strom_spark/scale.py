@@ -256,6 +256,26 @@ def detect_hot_keys(
     ``threshold_rows`` overrides the size-derived threshold (useful in
     tests or when the schema-width estimate misleads, e.g. giant
     string payloads)."""
+    rows = hot_key_table(
+        df, key, advisory_bytes=advisory_bytes, max_keys=max_keys,
+        threshold_rows=threshold_rows,
+    ).collect()
+    return [r[0] for r in rows]
+
+
+def hot_key_table(
+    df: DataFrame,
+    key: str,
+    *,
+    advisory_bytes: int | None = None,
+    max_keys: int = 64,
+    threshold_rows: int | None = None,
+) -> DataFrame:
+    """The distributed plan behind :func:`detect_hot_keys` as a
+    DataFrame — ``(key, n_rows)`` for every key above the threshold,
+    ordered by descending frequency with a deterministic key
+    tie-break.  Use directly when the hot list feeds another plan
+    (no driver round-trip) or for auditing key distributions."""
     if threshold_rows is None:
         if advisory_bytes is None:
             advisory_bytes = _parse_bytes(
@@ -264,15 +284,13 @@ def detect_hot_keys(
                 )
             )
         threshold_rows = max(1, advisory_bytes // estimate_row_bytes(df))
-    rows = (
+    return (
         df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > threshold_rows)
-        .orderBy(F.col("__n").desc())
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > threshold_rows)
+        .orderBy(F.col("n_rows").desc(), F.col(key))
         .limit(max_keys)
-        .collect()
     )
-    return [r[0] for r in rows]
 
 
 def salted_join(
