@@ -46,6 +46,7 @@ from strom_spark import (
     Join,
     MatchDecide,
     MediaFeatures,
+    MinHashDedup,
     MinHashLSHPairs,
     Mixer,
     NgramJaccardPairs,
@@ -1158,6 +1159,65 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stalled DuckDB at sf0.1."""
     flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
     return SimHashDedup("docs", "keep", max_distance=4)(flow)["keep"]
+
+
+def _unrolled_pair_cc(rounds: int) -> str:
+    """Unrolled min-label propagation over a symmetric PAIR edge table
+    (CTEs ``edges(a,b)`` + universe from ``norm``) — the oracle replay
+    of ConnectedComponents (graph.py:43) for dedup_minhash_clusters.
+    Each round: neighbor-min over edges, least() step, pointer jump
+    (lab := min(lab, lab[lab])), so `rounds` rounds converge for any
+    component of pointer depth <= 2^rounds; the fixpoint (every node
+    labelled its component minimum) is unique, so matching the engine
+    needs only convergence.  MATERIALIZED for the same reason as
+    _unrolled_simhash_cc: two references per round would inline the
+    whole upstream pipeline exponentially."""
+    parts = [
+        "l0 AS MATERIALIZED (SELECT DISTINCT doc_id AS id, doc_id AS lab FROM norm)"
+    ]
+    for r in range(1, rounds + 1):
+        p = f"l{r-1}"
+        parts.append(
+            f"nm{r} AS MATERIALIZED (SELECT e.a AS id, min(l.lab) AS nlab "
+            f"FROM edges e JOIN {p} l ON l.id = e.b GROUP BY e.a)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT l.id, least(l.lab, coalesce(n.nlab, l.lab)) AS lab "
+            f"FROM {p} l LEFT JOIN nm{r} n ON n.id = l.id)"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT s.id, least(s.lab, coalesce(j.lab, s.lab)) AS lab "
+            f"FROM s{r} s LEFT JOIN s{r} j ON s.lab = j.id)"
+        )
+    return ",\n".join(parts)
+
+
+@_q(
+    "dedup_minhash_clusters",
+    f"""
+WITH {_NORM_DOCS}, {_SHINGLES}, {_JACCARD_PAIRS},
+edges AS MATERIALIZED (
+  SELECT da AS a, db AS b FROM jac WHERE jaccard >= 0.8
+  UNION ALL
+  SELECT db AS a, da AS b FROM jac WHERE jaccard >= 0.8
+),
+{_unrolled_pair_cc(8)}
+SELECT id, lab AS keep_id FROM l8
+""",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash cluster dedup: (id, keep_id) per doc,
+    keep_id = min id of the doc's connected component in the exact
+    Jaccard >= 0.8 pair graph (LSH candidates, exact-verified — every
+    merge is a true near-dup, unlike the bucket-superset semantics of
+    dedup_simhash_clusters).  The oracle computes the exact pair graph
+    quadratically (the same _JACCARD_PAIRS CTE dedup_minhash_lsh
+    verifies against — at the 16-band × 2-row config LSH recall at
+    j>=0.8 is ≈0.9999 and the pair sets measured EQUAL at all SFs, so
+    components are equal too) and replays the min-label fixpoint as 8
+    unrolled pointer-jumping rounds (_unrolled_pair_cc)."""
+    flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
+    return MinHashDedup("docs", "keep", threshold=0.8)(flow)["keep"]
 
 
 #: Portable SRP-LSH config shared by dedup_embedding and its recall

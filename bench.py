@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "simhash_pairs",
     "dedup_simhash_clusters",
+    "dedup_minhash_clusters",
     "dedup_embedding",
     "knn_topk",
     "text_quality",

@@ -45,6 +45,7 @@ from .operators.dedup import (
     WinnowFingerprints,
     NgramJaccardPairs,
     MinHashLSHPairs,
+    MinHashDedup,
     SimHash,
     SimHashPairs,
     EmbeddingNearDupPairs,
@@ -147,6 +148,7 @@ __all__ = [
     "SimHashDedup",
     "NgramJaccardPairs",
     "MinHashLSHPairs",
+    "MinHashDedup",
     "SimHash",
     "SimHashPairs",
     "EmbeddingNearDupPairs",

@@ -425,6 +425,107 @@ class MinHashLSHPairs(Component):
         return (self.output,)
 
 
+class MinHashDedup(Component):
+    """Cluster-level near-dup dedup over the VERIFIED MinHash-LSH pair
+    graph: one ``(id, keep_id)`` row per distinct input doc,
+    ``keep_id`` = the minimum doc id of the doc's connected component
+    in the exact-Jaccard >= threshold graph.  Docs in no near-dup pair
+    keep themselves.
+
+    Precision contrast with :class:`SimHashDedup`: that operator
+    merges components of the *bucket* graph (a pigeonhole superset —
+    unrelated docs sharing one block can over-merge), while this one
+    merges only pairs that PASSED exact Jaccard verification, so every
+    merge is a true near-dup at the threshold.  The price is that the
+    verified pair set is materialized — bounded by the corpus's
+    physical near-dup density, not by bucket collisions, but still
+    O(cluster²) for a cluster of c mutual near-dups.  For corpora with
+    pathological duplication (thousands of identical copies), run
+    :class:`ExactDedup` first to collapse identical docs, or use
+    :class:`SimHashDedup` (label propagation over buckets, never
+    materializes pairs).
+
+    Components come from :class:`~strom_spark.operators.graph.
+    ConnectedComponents` min-label propagation: per round the static
+    symmetric edge table is persisted partitioned on the join key and
+    only node-sized label state shuffles; pointer jumping converges in
+    O(log diameter) rounds (near-dup components are shallow — the
+    graph is dense inside a cluster).
+
+    Reference parity: cluster-representative dedup (keep the minimum
+    id) — the reference's dedup flows compose pair generation with a
+    grouping stage (SURVEY §2.3 routing/group rows); here the grouping
+    is transitive closure, the semantics a user actually wants from
+    "dedup this corpus by near-duplicate clusters".
+    """
+
+    def __init__(
+        self,
+        input: str,
+        output: str | None = None,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 3,
+        threshold: float = 0.8,
+        num_hashes: int = 32,
+        rows_per_band: int = 2,
+        max_iterations: int = 30,
+        label: str | None = None,
+    ):
+        self.input = input
+        self.output = output or input
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.rows_per_band = rows_per_band
+        self.max_iterations = int(max_iterations)
+        self.label = label
+
+    def transform(self, flow: Flow) -> Flow:
+        from .graph import ConnectedComponents
+
+        df = flow[self.input]
+        pairs = MinHashLSHPairs(
+            "__docs",
+            "__pairs",
+            id_col=self.id_col,
+            text_col=self.text_col,
+            k=self.k,
+            threshold=self.threshold,
+            num_hashes=self.num_hashes,
+            rows_per_band=self.rows_per_band,
+        )(Flow({"__docs": df}))["__pairs"]
+        comp = ConnectedComponents(
+            "__edges", "__cc", max_iterations=self.max_iterations
+        )(
+            Flow(
+                {
+                    "__edges": pairs.select(
+                        F.col("d1").alias("src"), F.col("d2").alias("dst")
+                    )
+                }
+            )
+        )["__cc"]
+        # universe = every distinct input id; isolated docs (no verified
+        # near-dup pair) are their own representatives
+        ids = df.select(F.col(self.id_col).alias("id")).distinct()
+        out = ids.join(
+            comp.select(F.col("node").alias("id"), F.col("component")),
+            "id",
+            "left",
+        ).select("id", F.coalesce("component", F.col("id")).alias("keep_id"))
+        return flow.without(self.input).with_stream(self.output, out)
+
+    def input_names(self) -> Sequence[str]:
+        return (self.input,)
+
+    def output_names(self) -> Sequence[str]:
+        return (self.output,)
+
+
 def _simhash_bit_cond(j: int):
     """Per-token condition for signature bit j (1-based, MSB-first).
     Bits 1..32 use the high bit of md5 hex digit j (>= '8'); bits

@@ -225,6 +225,49 @@ def test_simhash_dedup_clusters_match_union_find(spark, sf_dir):
     assert len(got) == docs.count()
 
 
+def test_minhash_dedup_matches_union_find_over_verified_pairs(spark, sf_dir):
+    """MinHashDedup = connected components of the VERIFIED LSH pair
+    graph: keep_id must equal a driver-side union-find over the exact
+    pairs MinHashLSHPairs emits, with isolated docs keeping themselves
+    (one row per distinct doc — the precision contrast with
+    SimHashDedup's bucket-superset merge)."""
+    from strom_spark.operators.dedup import MinHashDedup, MinHashLSHPairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["id"]: r["keep_id"]
+        for r in MinHashDedup("docs", "keep", threshold=0.8)(Flow({"docs": docs}))[
+            "keep"
+        ].collect()
+    }
+    pairs = MinHashLSHPairs("docs", "p", threshold=0.8)(Flow({"docs": docs}))[
+        "p"
+    ].collect()
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["d1"]), find(r["d2"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {i: find(i) for i in ids}
+    comp_min: dict[int, int] = {}
+    for i, r in roots.items():
+        comp_min[r] = min(comp_min.get(r, i), i)
+    expected = {i: comp_min[roots[i]] for i in ids}
+    assert got == expected
+    assert len(got) == len(ids)
+    # sanity: at least one real merge exists at this SF, and merged
+    # docs merge through verified pairs only
+    assert any(k != v for k, v in got.items())
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     exact = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
