@@ -226,6 +226,25 @@ def main() -> None:
     spark.range(2_000_000).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Box-speed canary (r11): a FIXED CPU-bound codegen workload (md5
+    # over 40M longs, all cores, no shuffle/IO) whose warm-min wall
+    # time measures THIS box's throughput at bench time.  Motivation:
+    # the drift gate ratchets against the best prior ever recorded,
+    # which is by construction measured on the fastest box state ever
+    # seen — a shared-VM slowdown (r11 measured the SAME commit 1.8×
+    # slower on shingle queries than the r10 artifact, via a worktree
+    # replay) then indicts innocent plans.  The gate divides drift
+    # ratios by the canary ratio (capped: relax-only) when both
+    # artifacts carry one.
+    canary_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(40_000_000).selectExpr(
+            "count(if(md5(cast(id as string)) > 'f0', 1, null)) as n"
+        ).collect()
+        canary_runs.append(time.time() - t0)
+    box_canary_s = round(min(canary_runs), 3)
+
     qs = entrymod.queries()
     # SPARK_GRAFT_BENCH_FULL=1: bench EVERY registered query (the
     # round-9 full-registry sweep — 57 of 146 queries were invisible
@@ -307,6 +326,7 @@ def main() -> None:
     # summary guaranteed to fit the tail window.
     detail = {
         "cold": cold,
+        "box_canary_s": box_canary_s,
         "warm_runs": n_warm,
         "testdata_fingerprint": _testdata_fingerprint(sf_dir),
         # queries whose callable memoizes its first result (the eager

@@ -46,6 +46,39 @@ ADJUDICATED = {
         "exact GEMM it replaced",
         "SCALE.md: dedup_embedding re-registration (round 10)",
     ),
+    # r11 box-drift batch: a worktree replay of the PRIOR commit
+    # (7675980) on the r11 box measured the same slowdowns on
+    # identical code + identical sf0.1 data — the priors were recorded
+    # on a faster box state.  The canary normalization (bench.py
+    # box_canary_s) prevents this class going forward; these entries
+    # cover the canary-less historical priors.
+    "curation_v2": (
+        "box drift: old-code replay measures 3.48s on the r11 box for "
+        "the 1.89s prior (identical code+data)",
+        "SCALE.md: Round-11 box-drift adjudication + bench canary",
+    ),
+    "dedup_ngram_jaccard": (
+        "box drift: old-code replay measures 2.06s on the r11 box for "
+        "the 1.24s prior (identical code+data)",
+        "SCALE.md: Round-11 box-drift adjudication + bench canary",
+    ),
+    "dedup_minhash_lsh": (
+        "box drift: old-code replay measures 1.56s on the r11 box for "
+        "the 1.19s prior (identical code+data)",
+        "SCALE.md: Round-11 box-drift adjudication + bench canary",
+    ),
+    "ann_recall_floor": (
+        "r10 re-registration AT the IVF auto-k production default "
+        "(45 lists at sf0.1) + box drift: old-code replay measures "
+        "2.79s on the r11 box for the 2.15s prior",
+        "SCALE.md: Round-11 box-drift adjudication + bench canary",
+    ),
+    "ivf_index_search": (
+        "r10 re-registration AT the IVF auto-k production default "
+        "(builds 45 lists at sf0.1 vs 32 before — buys the 0.675 "
+        "recall operating point) + box drift",
+        "SCALE.md: Round-11 box-drift adjudication + bench canary",
+    ),
 }
 
 #: the SCALE.md-documented whole-session jitter band: warm runs of
@@ -67,7 +100,8 @@ def test_no_unadjudicated_warm_min_drift():
     assert os.path.exists(path), "run SPARK_GRAFT_BENCH_FULL=1 python bench.py first"
     cur = json.load(open(path))
     assert cur.get("sf") == 0.1, "drift priors are sf0.1-only"
-    prior = best_prior()
+    prior, canaries = best_prior(with_canaries=True)
+    cur_canary = cur.get("box_canary_s")
     failures = []
     for name, sec in sorted((cur.get("queries") or {}).items()):
         if name in EAGER_CACHED or name in ADJUDICATED or name not in prior:
@@ -75,7 +109,15 @@ def test_no_unadjudicated_warm_min_drift():
         best, src = prior[name]
         if best <= 0:
             continue
-        ratio = sec / best
+        # canary normalization (r11): when both artifacts measured the
+        # box-speed canary, RELAX the threshold by how much slower the
+        # current box is (capped 3x; never tightened — a fast box must
+        # not mask a real regression)
+        slow = 1.0
+        pc = canaries.get(src)
+        if isinstance(cur_canary, (int, float)) and pc:
+            slow = min(max(cur_canary / pc, 1.0), 3.0)
+        ratio = sec / (best * slow)
         if ratio <= 2.0:
             continue
         if max(sec, best) < 2.0 and ratio <= SUB2S_JITTER_RATIO:

@@ -35,14 +35,30 @@ def _harvest(best: dict[str, tuple[float, str]], qs, src: str) -> None:
             best[name] = (float(sec), src)
 
 
-def best_prior() -> dict[str, tuple[float, str]]:
+def best_prior(
+    with_canaries: bool = False,
+) -> "dict[str, tuple[float, str]] | tuple[dict[str, tuple[float, str]], dict[str, float]]":
     """Best recorded warm-min per query across (a) every committed
     BENCH_r*.json whose final line embedded the per-query map (rounds
     <= 7) and (b) every git-history version of BENCH_DETAIL.json
-    (rounds >= 7 moved the map to the side file)."""
+    (rounds >= 7 moved the map to the side file).
+
+    ``with_canaries=True`` additionally returns {source -> that
+    artifact's ``box_canary_s``} for the sources that recorded one
+    (r11+), so callers can normalize cross-box comparisons — a prior
+    measured on a faster box state would otherwise ratchet the gate
+    into false alarms (see bench.py's canary comment).  Round-file
+    priors (BENCH_r*.json) carry no canary and stay unnormalized."""
     import subprocess
 
     best: dict[str, tuple[float, str]] = {}
+    canaries: dict[str, float] = {}
+
+    def _note_canary(d, src):
+        c = d.get("box_canary_s")
+        if isinstance(c, (int, float)) and c > 0:
+            canaries[src] = float(c)
+
     for path in sorted(glob.glob(f"{ROOT}/BENCH_r*.json")):
         try:
             d = json.load(open(path))
@@ -71,9 +87,13 @@ def best_prior() -> dict[str, tuple[float, str]]:
                     continue
                 if d.get("sf") != 0.1:
                     continue  # only sf0.1 artifacts are comparable
-                _harvest(best, d.get("queries"), f"{artifact.split('.')[0]}@{sha}")
+                src = f"{artifact.split('.')[0]}@{sha}"
+                _harvest(best, d.get("queries"), src)
+                _note_canary(d, src)
         except Exception:
             pass
+    if with_canaries:
+        return best, canaries
     return best
 
 
