@@ -613,7 +613,26 @@ class CosineLSHJoin(Component):
     a SQL oracle replays bit-for-bit (see _rademacher_planes /
     _sig_frame), and the exact-cosine verify runs the same
     normalize→GEMM→round-6 float64 kernel the oracle-green blocked
-    GEMM uses.  Same plan shape, fully auditable buckets."""
+    GEMM uses.  Same plan shape, fully auditable buckets.
+
+    **Auto sizing (r11, the production default).**  With
+    ``bits_per_table`` FIXED while the corpus grows, candidate volume
+    is quadratic: expected bucket occupancy is N/2^bits per table, so
+    candidates ~ n_tables · N²/2^bits — the r11 sf10 probe filled 75 GB
+    of shuffle disk at 200k vectors on a pinned 24×6 config (2^6 = 64
+    buckets per table CANNOT bound a growing corpus).  Defaults are
+    therefore ``bits_per_table=None`` → ceil(log2(N /
+    target_bucket_rows)) from one corpus count (clamped [6, 24]) and
+    ``n_tables=None`` → the smallest table count holding
+    ``target_recall`` at the threshold boundary under the SRP S-curve
+    recall = 1-(1-p^bits)^tables, p = 1-θ/π.  Candidate volume is then
+    ~ n_tables · N · target_bucket_rows — LINEAR in N at a held recall
+    contract.  Thresholds below the LSH-viable regime (p^bits so small
+    that the implied table count exceeds ``max_tables``) raise with
+    the physics spelled out instead of silently going quadratic —
+    sub-~0.5-cosine "near-dup" joins belong on the exact primitives
+    (EmbeddingNearDupPairs / SemDeDup), not LSH (SCALE.md "SRP
+    physics")."""
 
     def __init__(
         self,
@@ -624,14 +643,17 @@ class CosineLSHJoin(Component):
         vec_col: str = "embedding",
         dim: int = 64,
         threshold: float = 0.9,
-        n_tables: int = 8,
-        bits_per_table: int = 12,
+        n_tables: int | None = None,
+        bits_per_table: int | None = None,
+        target_bucket_rows: int = 256,
+        target_recall: float = 0.9,
+        max_tables: int = 64,
         seed: int = 42,
         portable: bool = False,
         quantize_scale: int = 1_000_000,
         label: str | None = None,
     ):
-        if not 0 < bits_per_table <= 62:
+        if bits_per_table is not None and not 0 < bits_per_table <= 62:
             raise ValueError("bits_per_table must be in [1, 62] (bigint-packed)")
         self.input = input
         self.output = output or input
@@ -641,13 +663,53 @@ class CosineLSHJoin(Component):
         self.threshold = threshold
         self.n_tables = n_tables
         self.bits_per_table = bits_per_table
+        self.target_bucket_rows = int(target_bucket_rows)
+        self.target_recall = float(target_recall)
+        self.max_tables = int(max_tables)
         self.seed = seed
         self.portable = portable
         self.quantize_scale = quantize_scale
         self.label = label
 
+    def _resolve(self, df: DataFrame) -> tuple[int, int]:
+        """(n_tables, bits_per_table) with the auto (None) defaults
+        resolved from one corpus count — the IVF auto-k discipline
+        (IVFTopK._resolve).  Explicit pins are never overridden."""
+        import math
+
+        bits = self.bits_per_table
+        tables = self.n_tables
+        if bits is None:
+            n = df.count()
+            bits = max(6, min(24, math.ceil(
+                math.log2(max(n, 1) / self.target_bucket_rows)
+            ) if n > self.target_bucket_rows else 6))
+        if tables is None:
+            theta = math.acos(min(max(self.threshold, -1.0), 1.0))
+            p_bit = 1.0 - theta / math.pi
+            p_table = p_bit ** bits
+            if p_table < 1e-12:
+                p_table = 0.0
+            needed = (
+                math.ceil(math.log(1.0 - self.target_recall)
+                          / math.log(1.0 - p_table))
+                if 0.0 < p_table < 1.0 else (1 if p_table >= 1.0 else 10**9)
+            )
+            if needed > self.max_tables:
+                raise ValueError(
+                    f"threshold={self.threshold} needs {needed} LSH tables at "
+                    f"{bits} bits to hold recall {self.target_recall} "
+                    f"(p_bit={p_bit:.3f}, p_table={p_table:.2e}) — below the "
+                    f"LSH-viable regime; use the exact primitives "
+                    f"(EmbeddingNearDupPairs / SemDeDup) or pin n_tables/"
+                    f"bits_per_table explicitly to accept the recall/cost"
+                )
+            tables = max(4, needed)
+        return tables, bits
+
     def transform(self, flow: Flow) -> Flow:
         df = flow[self.input]
+        n_tables, bits_per_table = self._resolve(df)
         if self.portable:
             # raw vectors: the verify kernel normalizes in float64 and
             # np.rounds to 6dp — byte-identical to the oracle-green
@@ -657,13 +719,13 @@ class CosineLSHJoin(Component):
                 F.col(self.vec_col).cast("array<double>").alias("v"),
             )
             planes = _rademacher_planes(
-                self.dim, self.n_tables * self.bits_per_table
+                self.dim, n_tables * bits_per_table
             )
         else:
             normed = df.select(
                 F.col(self.id_col).alias("id"), V.l2_normalize(self.vec_col).alias("v")
             )
-            planes = _hyperplanes(self.dim, self.n_tables * self.bits_per_table, self.seed)
+            planes = _hyperplanes(self.dim, n_tables * bits_per_table, self.seed)
         # Join key is (table, signature): pure integer equi-join,
         # candidates never leave their bucket partition.  The VECTORS
         # do not ride the explode or the self-join at all — replicating
@@ -691,10 +753,10 @@ class CosineLSHJoin(Component):
         #     and dedup with one dropDuplicates shuffle of two ints —
         #     measured 15.9s -> ~4s at 96 tables x 500 vectors, where
         #     the 95-term chain + 2x768-byte sig payloads dominated.
-        use_chain = self.n_tables <= 16
+        use_chain = n_tables <= 16
         sig = _sig_frame(
             df, self.id_col, self.vec_col, np.asarray(planes),
-            self.n_tables, self.bits_per_table,
+            n_tables, bits_per_table,
             quantize_scale=self.quantize_scale if self.portable else None,
         )
         cols = ["id", "sigs"] if use_chain else ["id"]
@@ -711,7 +773,7 @@ class CosineLSHJoin(Component):
         )
         if use_chain:
             first_match = F.lit(True)
-            for j in range(self.n_tables - 1):
+            for j in range(n_tables - 1):
                 first_match = first_match & (
                     (F.lit(j) >= F.col("a.t"))
                     | (F.col("a.sigs")[j] != F.col("b.sigs")[j])

@@ -109,6 +109,39 @@ def test_embedding_near_dup_and_lsh(emb):
     assert l <= e
 
 
+def test_cosine_lsh_auto_sizing(emb):
+    """r11 auto defaults: bits_per_table=None resolves to
+    ceil(log2(N/target_bucket_rows)) clamped [6,24] from one corpus
+    count, n_tables=None to the smallest count holding target_recall
+    at the threshold under the SRP S-curve; explicit pins are never
+    overridden; thresholds below the LSH-viable regime raise with the
+    physics instead of going quadratic."""
+    import math
+
+    op = CosineLSHJoin("e", "p", threshold=0.9)
+    t, b = op._resolve(emb)
+    n = emb.count()
+    assert b == max(6, min(24, math.ceil(math.log2(n / 256)))) if n > 256 else b == 6
+    p = (1 - math.acos(0.9) / math.pi) ** b
+    assert t == max(4, math.ceil(math.log(0.1) / math.log(1 - p)))
+    # explicit pins respected
+    assert CosineLSHJoin("e", "p", n_tables=24, bits_per_table=6)._resolve(emb) == (24, 6)
+    # auto mode produces verified pairs end-to-end on planted dups
+    dup = emb.limit(5).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding",
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    pairs = CosineLSHJoin("e", "p", threshold=0.99)(
+        Flow({"e": emb.unionByName(dup)})
+    )["p"]
+    assert pairs.filter("cosine >= 0.999999").count() >= 5
+    # sub-viable threshold raises once bits grow with N: simulate the
+    # 200k-corpus operating point by pinning bits to the value auto
+    # would pick there (10) — 0.3-cosine then needs ~400 tables
+    with pytest.raises(ValueError, match="LSH-viable"):
+        CosineLSHJoin("e", "p", threshold=0.3, bits_per_table=10)._resolve(emb)
+
+
 def test_cosine_lsh_portable_mode(emb):
     """Portable SRP-LSH (r10): md5-parity Rademacher planes over
     trunc-quantized int64 vectors.  (a) output is a subset of the
