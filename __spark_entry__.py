@@ -4002,26 +4002,66 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """,
 )
 def cosine_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION CosineLSHJoin config (θ=0.9, 8 tables × 12 bits
-    — the candidate-economy point from SCALE.md): high bits per table
-    keep buckets tiny, so candidate pairs stay near-linear in corpus
-    size.  This is the config you would run at 100 TB, and the one the
-    headline bench times; `cosine_lsh_pairs` keeps the recall-1 demo
-    config (48×4, θ=0.3) for exact oracle verification of non-empty
-    output from the same machinery.
+    """The PRODUCTION CosineLSHJoin config — since r11 the AUTO
+    defaults: bits_per_table from one corpus count (bounded bucket
+    occupancy — the fixed-bits pinned config DNF'd the sf10 probe on
+    75 GB of candidate shuffle), n_tables from the SRP S-curve at the
+    0.9 threshold under the 0.9 recall target.  This registered row
+    therefore exercises the per-SF auto resolution exactly as a 100-TB
+    run would; `cosine_lsh_pairs` keeps the recall-1 demo config
+    (48×4, θ=0.3) for exact oracle verification of non-empty output
+    from the same machinery.
 
     Oracle note (honest): the testdata corpus has NO pair above cosine
     0.6 (measured: max 0.51 at sf0.01, 0.60 at sf0.1), so the true
     θ=0.9 pair set is EMPTY and the all-pairs oracle hash-matches the
-    LSH output exactly — the check this buys is PRECISION (exact
-    verification emits no spurious pair even though the bucket join
-    generates candidates).  Recall on non-empty truth sets is covered
-    by `cosine_lsh_pairs` (recall-1 config, hash-matched) and the
-    recall measurements in tests/test_llm_ops.py."""
+    LSH output under ANY config — the check this buys is PRECISION
+    (exact verification emits no spurious pair even though the bucket
+    join generates candidates), which is exactly what makes the oracle
+    valid for an auto config that varies with N.  Recall on non-empty
+    truth sets is covered by `cosine_lsh_pairs` (recall-1 config,
+    hash-matched), `lsh_auto_recall_floor` (planted identical dups
+    through the auto config), and tests/test_llm_ops.py."""
     flow = Flow({"emb": load_table(spark, sf_dir, "embeddings")})
-    return CosineLSHJoin(
-        "emb", "pairs", dim=64, threshold=0.9, n_tables=8, bits_per_table=12
-    )(flow)["pairs"]
+    return CosineLSHJoin("emb", "pairs", dim=64, threshold=0.9)(flow)["pairs"]
+
+
+@_q(
+    "lsh_auto_recall_floor",
+    """
+SELECT CAST(20 AS BIGINT) AS n_planted, CAST(20 AS BIGINT) AS n_found,
+       CAST(1 AS BIGINT) AS recall_ok
+""",
+)
+def lsh_auto_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying recall row for the AUTO CosineLSHJoin sizing:
+    plant 20 identical copies of the lowest-id embeddings under
+    shifted ids, run the auto config at θ=0.99, and count how many
+    planted (id, id+10⁷) pairs come back.  The count is DETERMINISTIC,
+    not probabilistic: an identical vector has every sign bit equal,
+    so the pair collides in EVERY table regardless of the resolved
+    (n_tables, bits) — recall on exact duplicates is 1.0 by
+    construction at any SF, which is what lets the oracle be a
+    constant row.  A miss means a real bucketing/verify regression.
+    Corpus pairs can't contaminate the count: the planted-pair filter
+    (d2 = d1 + 10⁷, d1 < 20) admits only the planted set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = [c for c in emb.columns if c != "vec_id"]
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), *keep
+    )
+    pairs = CosineLSHJoin("e", "p", dim=64, threshold=0.99)(
+        Flow({"e": emb.unionByName(planted)})
+    )["p"]
+    n_found = pairs.filter(
+        (F.col("d2") == F.col("d1") + 10_000_000) & (F.col("d1") < 20)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    return n_found.select(
+        F.lit(20).cast("bigint").alias("n_planted"),
+        "n_found",
+        F.when(F.col("n_found") == 20, F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("recall_ok"),
+    )
 
 
 _Q4_SQL = """

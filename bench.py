@@ -90,6 +90,7 @@ HEADLINE = [
     # of the r4 headline); the demo config stays registered for driver
     # correctness on a fixed 500-vector corpus
     "cosine_lsh_prod",
+    "lsh_auto_recall_floor",
     "curation_v2",
     # round 5: the complete curation pipeline (v2 + langid/quality
     # gates) — TOTAL covers 40 from here
