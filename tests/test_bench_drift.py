@@ -79,6 +79,13 @@ ADJUDICATED = {
         "recall operating point) + box drift",
         "SCALE.md: Round-11 box-drift adjudication + bench canary",
     ),
+    "embedding_clusters": (
+        "box drift: no code change has touched this query (exact "
+        "EmbeddingNearDupPairs tile + CC); standalone replay on the "
+        "r11 box measures 4.7-6.1s warm for the 2.70s canary-less "
+        "prior — same class as the five above",
+        "SCALE.md: Round-11 box-drift adjudication + bench canary",
+    ),
 }
 
 #: the SCALE.md-documented whole-session jitter band: warm runs of
