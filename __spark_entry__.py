@@ -1039,12 +1039,22 @@ SELECT da AS d1, db AS d2, jaccard FROM jac WHERE jaccard >= 0.8
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH candidates, exact-verified — with the
-    16-band × 2-row config the output equals the exact Jaccard pairs
-    at threshold 0.8 (recall ≈ 0.9999; verified in tests), so the
-    oracle is the exact-pairs SQL."""
+    """MinHash + banded LSH candidates, exact-verified — registered on
+    the AUTO banding (r12, the production default): (rows, bands)
+    resolve from the Jaccard S-curve at target_recall 0.9999 → 24
+    bands × 5 rows at threshold 0.8, the sharpest filter inside the
+    128-hash budget.  P(catch | j ≥ 0.8) ≥ 0.9999 and the corpus's
+    true pairs sit near j=1, so the output still equals the exact
+    Jaccard pairs (measured EQUAL to the pinned 16×2 output at sf0.01;
+    re-verified at each SF in the sweeps) and the oracle stays the
+    exact-pairs SQL.  The sharper bands are the sf10 spill fix: the
+    16×2 config admitted j≈0.5 pairs as candidates with P≈0.99, and
+    those candidates' shingle arrays were what spilled at the heap
+    boundary (r11 DECADE2 adjudication)."""
     flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
-    return MinHashLSHPairs("docs", "pairs", threshold=0.8)(flow)["pairs"]
+    return MinHashLSHPairs(
+        "docs", "pairs", threshold=0.8, num_hashes=None, rows_per_band=None
+    )(flow)["pairs"]
 
 
 @_q(
@@ -4044,7 +4054,14 @@ def lsh_auto_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction at any SF, which is what lets the oracle be a
     constant row.  A miss means a real bucketing/verify regression.
     Corpus pairs can't contaminate the count: the planted-pair filter
-    (d2 = d1 + 10⁷, d1 < 20) admits only the planted set."""
+    (d2 = d1 + 10⁷, d1 < 20) admits only the planted set.
+
+    ``n_planted`` is COUNTED from the planted frame (cross-joined
+    1-row stat, the repo's adjudicated form), not hardcoded (r12
+    ADVICE): if a future corpus lacks some vec_ids 0..19 the row still
+    goes red against the constant-20 oracle, but now n_planted itself
+    shows the plant was short — distinguishing a fixture drift from a
+    real recall regression."""
     emb = load_table(spark, sf_dir, "embeddings")
     keep = [c for c in emb.columns if c != "vec_id"]
     planted = emb.filter(F.col("vec_id") < 20).select(
@@ -4056,10 +4073,13 @@ def lsh_auto_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_found = pairs.filter(
         (F.col("d2") == F.col("d1") + 10_000_000) & (F.col("d1") < 20)
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
-    return n_found.select(
-        F.lit(20).cast("bigint").alias("n_planted"),
+    n_planted = planted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_planted")
+    )
+    return n_found.crossJoin(n_planted).select(
+        "n_planted",
         "n_found",
-        F.when(F.col("n_found") == 20, F.lit(1))
+        F.when(F.col("n_found") == F.col("n_planted"), F.lit(1))
         .otherwise(F.lit(0)).cast("bigint").alias("recall_ok"),
     )
 
@@ -4440,10 +4460,11 @@ def minhash_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
       guarantees it), comfortably above the 0.8 operator threshold.
       Tags embed the id so planted copies never pair with each other.
     - ``recall_ok``: ≥ 0.80 of planted (orig, copy) pairs must surface
-      through the banded LSH (32 hashes, 16 bands × 2 rows: P(catch |
-      J=0.92) = 1-(1-0.92²)^16 ≈ 1-5e-14 — a miss means a real
-      regression in shingling, signatures, banding, or the verify
-      join, not sampling luck).
+      through the banded LSH — run at the AUTO banding (r12), which
+      resolves 24 bands × 5 rows at threshold 0.8: P(catch | J=0.92)
+      = 1-(1-0.92⁵)^24 ≈ 1-6e-12 — a miss means a real regression in
+      shingling, signatures, auto band resolution, or the verify
+      join, not sampling luck.
     - ``verified_ok``: every EMITTED pair (planted or natural — the
       corpus contains genuine duplicates) carries exact Jaccard ≥ the
       0.8 threshold: the candidate-verify invariant (no false
@@ -4468,7 +4489,8 @@ def minhash_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(planted)
     pairs = MinHashLSHPairs(
-        "c", "pairs", id_col="doc_id", text_col="text", k=3, threshold=THRESH
+        "c", "pairs", id_col="doc_id", text_col="text", k=3,
+        threshold=THRESH, num_hashes=None, rows_per_band=None,
     )(Flow({"c": corpus}))["pairs"]
     is_planted = (F.col("d2") == F.col("d1") + 1_000_000) & (
         F.col("d1") < N_PLANT

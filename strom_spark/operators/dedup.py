@@ -303,6 +303,42 @@ class MinHashLSHPairs(Component):
     no false positives; recall is the standard LSH S-curve
     (32 hashes / 16 bands × 2 rows -> P(catch | j=0.8) ≈ 1-(1-0.64)^16
     ≈ 0.9999).
+
+    **Auto banding (r12 — the CosineLSHJoin auto-sizing discipline,
+    similarity.py).**  ``rows_per_band=None`` resolves (rows, bands)
+    from the Jaccard threshold's S-curve at ``target_recall``: the
+    LARGEST rows-per-band whose implied band count b =
+    ⌈log(1-R)/log(1-t^r)⌉ fits the ``max_hashes`` budget — the
+    sharpest filter the budget affords.  Sharper bands are the scale
+    lever: the pinned 16×2 config admits a candidate at Jaccard 0.5
+    with P ≈ 1-(1-0.25)^16 ≈ 0.99 — on a Zipf corpus nearly every
+    mid-similarity pair ships two full shingle arrays through the
+    verify join (the r11 sf10 probe's 12.8× wall was adjudicated as
+    exactly this shuffle spilling at the heap boundary) — while the
+    auto config at t=0.8 (r=5, b=24) cuts that to ≈ 0.53 and keeps
+    P(catch | j ≥ t) ≥ R.  Pins are never overridden.
+
+    **Hot-bucket guard (always on).**  A pathological shingle set
+    (thousands of near-identical docs sharing one band signature)
+    makes one bucket quadratic — |bucket|²/2 candidates — which no
+    banding choice can bound.  Buckets over ``max_bucket_rows``
+    degrade to STAR pairing (every member joins the bucket's min id
+    only): candidates O(|bucket|), connectivity preserved exactly (so
+    :class:`MinHashDedup`'s connected components are unchanged), and
+    the full pair set inside a monster bucket is intentionally NOT
+    materialized — it was the quadratic being guarded against.  Pairs
+    co-occurring in any healthy bucket still surface.
+
+    **Auto shuffle sizing (auto mode only).**  One corpus count sizes
+    the band-bucket/verify shuffle width at ⌈N /
+    ``target_partition_docs``⌉ partitions (floored at the session's
+    ``spark.sql.shuffle.partitions``, capped 2048): at sf10 the
+    session's 32 partitions put ~16k docs' shingle arrays in every
+    sort-merge task, past the spill line; 4k docs/partition holds the
+    per-task working set flat as N grows.  The input is persisted
+    before counting (it feeds the signature and both verify subtrees
+    anyway — the count materializes the cache instead of running a
+    composed upstream twice; CosineLSHJoin.transform discipline).
     """
 
     def __init__(
@@ -314,12 +350,32 @@ class MinHashLSHPairs(Component):
         text_col: str = "text",
         k: int = 3,
         threshold: float = 0.8,
-        num_hashes: int = 32,
-        rows_per_band: int = 2,
+        num_hashes: int | None = 32,
+        rows_per_band: int | None = 2,
+        target_recall: float = 0.9999,
+        max_hashes: int = 128,
+        max_bucket_rows: int = 5000,
+        target_partition_docs: int = 4096,
         label: str | None = None,
     ):
-        if num_hashes % rows_per_band:
+        if num_hashes is not None and rows_per_band is not None and (
+            num_hashes % rows_per_band
+        ):
             raise ValueError("num_hashes must be divisible by rows_per_band")
+        if (num_hashes is None) != (rows_per_band is None):
+            raise ValueError(
+                "num_hashes and rows_per_band must be pinned together or "
+                "both None (auto resolves the pair from the S-curve; "
+                "pinning one alone leaves the band count unconstrained)"
+            )
+        if not 0.0 < target_recall < 1.0:
+            raise ValueError(
+                f"target_recall={target_recall} must be in (0, 1): the "
+                "S-curve solve takes log(1-recall); for recall-1 intent pin "
+                "num_hashes/rows_per_band explicitly"
+            )
+        if not 0.0 < threshold <= 1.0:
+            raise ValueError("threshold must be in (0, 1]")
         self.input = input
         self.output = output or input
         self.id_col = id_col
@@ -328,7 +384,44 @@ class MinHashLSHPairs(Component):
         self.threshold = threshold
         self.num_hashes = num_hashes
         self.rows_per_band = rows_per_band
+        self.target_recall = float(target_recall)
+        self.max_hashes = int(max_hashes)
+        self.max_bucket_rows = int(max_bucket_rows)
+        self.target_partition_docs = int(target_partition_docs)
         self.label = label
+
+    def _resolve(self) -> tuple[int, int]:
+        """(num_hashes, rows_per_band) with the auto (None) defaults
+        resolved from the threshold's S-curve — pure math, no data
+        pass (unlike CosineLSHJoin's bits, the band keyspace is a full
+        64-bit hash, so occupancy is driven by TRUE signature
+        collisions, not corpus size).  Explicit pins are never
+        overridden."""
+        import math
+
+        if self.rows_per_band is not None:
+            return int(self.num_hashes), int(self.rows_per_band)
+        t = min(self.threshold, 0.999999)
+        log_miss = math.log(1.0 - self.target_recall)
+        best = None
+        # cost b·r is NOT monotone in r (≈ c·r/t^r dips then climbs),
+        # so scan the whole range and keep the sharpest fit
+        for r in range(1, 17):
+            p = t ** r
+            if not 0.0 < p < 1.0:
+                continue
+            b = max(1, math.ceil(log_miss / math.log(1.0 - p)))
+            if b * r <= self.max_hashes:
+                best = (b * r, r)
+        if best is None:
+            raise ValueError(
+                f"threshold={self.threshold} cannot hold recall "
+                f"{self.target_recall} within max_hashes={self.max_hashes} "
+                f"at any rows_per_band in [1, 16] — lower target_recall, "
+                f"raise max_hashes, or pin num_hashes/rows_per_band "
+                f"explicitly"
+            )
+        return best
 
     def _doc_shingles(self, df: DataFrame) -> DataFrame:
         """(id, sh: array<string>) — distinct shingle set per doc, no
@@ -347,7 +440,16 @@ class MinHashLSHPairs(Component):
     _P = (1 << 31) - 1
 
     def signatures(self, df: DataFrame) -> DataFrame:
-        """(id, h0..h{n-1}) — one shuffle (groupBy id), min-agg per seed.
+        """(id, h0..h{n-1}) — one shuffle (groupBy id), min-agg per seed."""
+        num_hashes, _ = self._resolve()
+        return self._signatures_from_shingles(self._doc_shingles(df), num_hashes)
+
+    def _signatures_from_shingles(
+        self, doc_sh: DataFrame, num_hashes: int
+    ) -> DataFrame:
+        """Signature frame off an existing (id, sh) shingle frame — the
+        transform path hands in its (persisted, in auto mode) shingle
+        subtree so tokenization isn't re-derived per consumer.
 
         Each shingle is string-hashed ONCE (xxhash64); the n min-hash
         "permutations" are modular linear transforms a_i*h + b_i mod
@@ -359,15 +461,13 @@ class MinHashLSHPairs(Component):
         hash only affects recall, not correctness."""
         import random
 
-        postings = (
-            self._doc_shingles(df)
-            .select("id", F.explode("sh").alias("shingle"))
-            .select("id", F.pmod(F.xxhash64("shingle"), F.lit(self._P)).alias("__h"))
+        postings = doc_sh.select("id", F.explode("sh").alias("shingle")).select(
+            "id", F.pmod(F.xxhash64("shingle"), F.lit(self._P)).alias("__h")
         )
         rng = random.Random(97)
         coeffs = [
             (rng.randrange(1, self._P), rng.randrange(0, self._P))
-            for _ in range(self.num_hashes)
+            for _ in range(num_hashes)
         ]
         mins = [
             F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(self._P))).alias(f"h{i}")
@@ -376,10 +476,26 @@ class MinHashLSHPairs(Component):
         return postings.groupBy("id").agg(*mins)
 
     def transform(self, flow: Flow) -> Flow:
+        from pyspark import StorageLevel
+        from pyspark.sql import Window
+
         df = flow[self.input]
+        num_hashes, rows_per_band = self._resolve()
+        auto = self.rows_per_band is None
         doc_sh = self._doc_shingles(df)
-        sig = self.signatures(df)
-        n_bands = self.num_hashes // self.rows_per_band
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        if auto:
+            # shared three ways (signature postings + both verify
+            # sides): persist so the sizing count materializes the
+            # cache instead of running tokenization 3x / a composed
+            # upstream 4x; freed by LRU (CosineLSHJoin discipline)
+            doc_sh = doc_sh.persist(StorageLevel.MEMORY_AND_DISK)
+            n_docs = doc_sh.count()
+            n_part = min(
+                2048, max(n_part, -(-n_docs // self.target_partition_docs))
+            )
+        sig = self._signatures_from_shingles(doc_sh, num_hashes)
+        n_bands = num_hashes // rows_per_band
         # one LONG key per band: xxhash64(band, row hashes...) — integer
         # shuffle/join keys; a (vanishingly rare) 64-bit collision only
         # adds a candidate, which exact verification then rejects
@@ -387,25 +503,49 @@ class MinHashLSHPairs(Component):
             *[
                 F.xxhash64(
                     F.lit(b),
-                    *[F.col(f"h{b * self.rows_per_band + r}") for r in range(self.rows_per_band)],
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
                 )
                 for b in range(n_bands)
             ]
         )
+        # ONE explicit exchange on bk (at the auto-sized width) feeds
+        # the hot-bucket window AND pre-satisfies the self-join's
+        # distribution — the window's partitionBy and both join sides
+        # reuse it instead of shuffling again
         buckets = sig.select(F.col("id"), F.explode(band_keys).alias("bk"))
-        ba, bb = buckets.alias("a"), buckets.alias("b")
+        buckets = buckets.repartition(n_part, "bk")
+        w = Window.partitionBy("bk")
+        marked = buckets.withColumn(
+            "__n", F.count(F.lit(1)).over(w)
+        ).withColumn("__root", F.min("id").over(w))
+        healthy = marked.filter(F.col("__n") <= self.max_bucket_rows).select(
+            "id", "bk"
+        )
+        # hot-bucket guard: oversized buckets degrade to STAR pairs
+        # (member, bucket-min) — O(|bucket|) candidates, connectivity
+        # preserved; root = min(id) so d1 < d2 holds by construction
+        hot_star = marked.filter(
+            (F.col("__n") > self.max_bucket_rows)
+            & (F.col("id") != F.col("__root"))
+        ).select(F.col("__root").alias("d1"), F.col("id").alias("d2"))
+        ba, bb = healthy.alias("a"), healthy.alias("b")
         candidates = (
             ba.join(bb, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+            .unionByName(hot_star)
             .distinct()
         )
         # verify with exact jaccard on the two shingle SETS — candidates
         # are few, so per-pair array_intersect beats re-deriving an
-        # inverted-index join (half the plan, no second postings pass)
+        # inverted-index join (half the plan, no second postings pass).
+        # Explicit widths on both verify exchanges: the frames carry
+        # full shingle arrays, the sf10 spill surface
         s1 = doc_sh.select(F.col("id").alias("d1"), F.col("sh").alias("__s1"))
         s2 = doc_sh.select(F.col("id").alias("d2"), F.col("sh").alias("__s2"))
         out = (
-            candidates.join(s1, "d1")
+            candidates.repartition(n_part, "d1")
+            .join(s1, "d1")
+            .repartition(n_part, "d2")
             .join(s2, "d2")
             .withColumn("__c", F.size(F.array_intersect("__s1", "__s2")))
             # int/int double division — bit-identical to the oracle
@@ -468,8 +608,9 @@ class MinHashDedup(Component):
         text_col: str = "text",
         k: int = 3,
         threshold: float = 0.8,
-        num_hashes: int = 32,
-        rows_per_band: int = 2,
+        num_hashes: int | None = 32,
+        rows_per_band: int | None = 2,
+        target_recall: float = 0.9999,
         max_iterations: int = 30,
         label: str | None = None,
     ):
@@ -481,6 +622,7 @@ class MinHashDedup(Component):
         self.threshold = threshold
         self.num_hashes = num_hashes
         self.rows_per_band = rows_per_band
+        self.target_recall = float(target_recall)
         self.max_iterations = int(max_iterations)
         self.label = label
 
@@ -497,6 +639,7 @@ class MinHashDedup(Component):
             threshold=self.threshold,
             num_hashes=self.num_hashes,
             rows_per_band=self.rows_per_band,
+            target_recall=self.target_recall,
         )(Flow({"__docs": df}))["__pairs"]
         comp = ConnectedComponents(
             "__edges", "__cc", max_iterations=self.max_iterations

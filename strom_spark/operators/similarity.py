@@ -655,6 +655,14 @@ class CosineLSHJoin(Component):
     ):
         if bits_per_table is not None and not 0 < bits_per_table <= 62:
             raise ValueError("bits_per_table must be in [1, 62] (bigint-packed)")
+        if not 0.0 < target_recall < 1.0:
+            raise ValueError(
+                f"target_recall={target_recall} must be in (0, 1): the SRP "
+                "S-curve solve takes log(1-recall), so recall 1.0 is not a "
+                "probabilistic contract — for recall-1 behaviour pin "
+                "n_tables/bits_per_table explicitly (as cosine_lsh_pairs "
+                "does) and LSH degenerates to exhaustive bucketing"
+            )
         self.input = input
         self.output = output or input
         self.id_col = id_col
@@ -708,7 +716,19 @@ class CosineLSHJoin(Component):
         return tables, bits
 
     def transform(self, flow: Flow) -> Flow:
+        from pyspark import StorageLevel
+
         df = flow[self.input]
+        if self.bits_per_table is None:
+            # Auto sizing counts the corpus inside _resolve; when the
+            # input is a composed Flow (not a base table) that count
+            # would execute the whole upstream pipeline a second time
+            # ahead of signature materialization.  Persist first so the
+            # count materializes the cache and signatures read from it
+            # (MEMORY_AND_DISK; freed by Spark's LRU — an eager
+            # unpersist here would land before the lazy output plan
+            # ever executed and force the recompute back in).
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
         n_tables, bits_per_table = self._resolve(df)
         if self.portable:
             # raw vectors: the verify kernel normalizes in float64 and

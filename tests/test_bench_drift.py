@@ -46,12 +46,18 @@ ADJUDICATED = {
         "exact GEMM it replaced",
         "SCALE.md: dedup_embedding re-registration (round 10)",
     ),
-    # r11 box-drift batch: a worktree replay of the PRIOR commit
-    # (7675980) on the r11 box measured the same slowdowns on
-    # identical code + identical sf0.1 data — the priors were recorded
-    # on a faster box state.  The canary normalization (bench.py
-    # box_canary_s) prevents this class going forward; these entries
-    # cover the canary-less historical priors.
+}
+
+#: r11 box-drift batch: a worktree replay of the PRIOR commit
+#: (7675980) on the r11 box measured the same slowdowns on
+#: identical code + identical sf0.1 data — the priors were recorded
+#: on a faster box state.  The canary normalization (bench.py
+#: box_canary_s) prevents this class going forward, so these entries
+#: apply ONLY while the best prior is a canary-less historical
+#: artifact (r12 ADVICE): once a canary-carrying artifact becomes the
+#: best prior, the normalization takes over and a real regression in
+#: these queries is flagged again.
+BOX_DRIFT_ADJUDICATED = {
     "curation_v2": (
         "box drift: old-code replay measures 3.48s on the r11 box for "
         "the 1.89s prior (identical code+data)",
@@ -108,7 +114,15 @@ def test_no_unadjudicated_warm_min_drift():
     cur = json.load(open(path))
     assert cur.get("sf") == 0.1, "drift priors are sf0.1-only"
     prior, canaries = best_prior(with_canaries=True)
-    cur_canary = cur.get("box_canary_s")
+    # current artifact: worst box state seen during the run (start or
+    # post-loop canary, r12) — relax-only, so the max is the honest
+    # normalizer; priors keep their own single recorded value
+    cur_canary = max(
+        (c for c in (cur.get("box_canary_s"), cur.get("box_canary_end_s"))
+         if isinstance(c, (int, float))),
+        default=None,
+    )
+    steal = cur.get("steal_pct") or {}
     failures = []
     for name, sec in sorted((cur.get("queries") or {}).items()):
         if name in EAGER_CACHED or name in ADJUDICATED or name not in prior:
@@ -116,6 +130,8 @@ def test_no_unadjudicated_warm_min_drift():
         best, src = prior[name]
         if best <= 0:
             continue
+        if name in BOX_DRIFT_ADJUDICATED and canaries.get(src) is None:
+            continue  # box-drift entries cover canary-less priors only
         # canary normalization (r11): when both artifacts measured the
         # box-speed canary, RELAX the threshold by how much slower the
         # current box is (capped 3x; never tightened — a fast box must
@@ -129,8 +145,12 @@ def test_no_unadjudicated_warm_min_drift():
             continue
         if max(sec, best) < 2.0 and ratio <= SUB2S_JITTER_RATIO:
             continue  # documented sub-2s jitter band
+        sp = steal.get(name)
         failures.append(
             f"{name}: {sec:.2f}s vs best prior {best:.2f}s ({src}) = "
-            f"{ratio:.2f}x — adjudicate in SCALE.md + ADJUDICATED or fix"
+            f"{ratio:.2f}x"
+            + (f" [steal {sp:.1f}% in-window]" if isinstance(sp, (int, float))
+               else "")
+            + " — adjudicate in SCALE.md + ADJUDICATED or fix"
         )
     assert not failures, "unadjudicated warm-min drifts:\n" + "\n".join(failures)

@@ -64,6 +64,86 @@ def test_minhash_lsh_matches_exact(docs):
     assert len(e) > 0
 
 
+def test_minhash_auto_banding_resolution():
+    """Auto (rows, bands) from the S-curve (r12): pins are never
+    overridden; the resolved config holds the recall contract at the
+    threshold and fits the hash budget; invalid contracts raise."""
+    import math
+
+    assert MinHashLSHPairs("d")._resolve() == (32, 2)  # pinned default
+    for t in (0.5, 0.7, 0.8, 0.9, 0.99):
+        m = MinHashLSHPairs(
+            "d", num_hashes=None, rows_per_band=None, threshold=t
+        )
+        nh, r = m._resolve()
+        b = nh // r
+        assert nh == b * r and nh <= m.max_hashes
+        assert 1 - (1 - t**r) ** b >= m.target_recall
+    # sharper than the pinned 16x2 at the default threshold: fewer
+    # mid-similarity false-positive candidates (the sf10 spill surface)
+    nh, r = MinHashLSHPairs(
+        "d", num_hashes=None, rows_per_band=None, threshold=0.8
+    )._resolve()
+    b = nh // r
+    fp_auto = 1 - (1 - 0.4**r) ** b
+    fp_pinned = 1 - (1 - 0.4**2) ** 16
+    assert fp_auto < fp_pinned / 2
+    with pytest.raises(ValueError, match="pinned together"):
+        MinHashLSHPairs("d", rows_per_band=None)
+    with pytest.raises(ValueError, match="target_recall"):
+        MinHashLSHPairs(
+            "d", num_hashes=None, rows_per_band=None, target_recall=1.0
+        )
+    with pytest.raises(ValueError, match="cannot hold recall"):
+        MinHashLSHPairs(
+            "d", num_hashes=None, rows_per_band=None, threshold=0.2,
+            max_hashes=8,
+        )._resolve()
+
+
+def test_minhash_auto_matches_exact(docs):
+    """The auto-banded production config must still equal the exact
+    Jaccard pairs on the real corpus (recall contract at work)."""
+    flow = Flow({"docs": docs})
+    exact = NgramJaccardPairs("docs", "p", threshold=0.8)(flow)["p"]
+    lsh = MinHashLSHPairs(
+        "docs", "p", threshold=0.8, num_hashes=None, rows_per_band=None
+    )(flow)["p"]
+    e = {(r.d1, r.d2, round(r.jaccard, 9)) for r in exact.collect()}
+    l = {(r.d1, r.d2, round(r.jaccard, 9)) for r in lsh.collect()}
+    assert e == l and len(e) > 0
+
+
+def test_minhash_hot_bucket_star_guard(spark):
+    """A pathological corpus (many near-identical docs collapsing into
+    one band bucket) must NOT materialize |bucket|² candidates: over
+    ``max_bucket_rows`` the bucket degrades to star pairs around the
+    bucket-min id, bounding candidates at O(|bucket|) while preserving
+    connectivity (every member verifies against the root at j=1)."""
+    from strom_spark.operators.dedup import MinHashDedup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    rows = [{"doc_id": i, "text": text} for i in range(60)] + [
+        {"doc_id": 1000 + i, "text": f"unique words only here {i} "
+         + " ".join(f"tok{i}w{j}" for j in range(30))}
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows)
+    guarded = MinHashLSHPairs(
+        "d", "p", threshold=0.8, max_bucket_rows=10
+    )(Flow({"d": docs}))["p"]
+    got = {(r.d1, r.d2) for r in guarded.collect()}
+    # star shape: identical docs pair with the min id (0), not all-pairs
+    assert {(0, i) for i in range(1, 60)} <= got
+    assert len(got) < 60 * 59 / 2  # quadratic pair set NOT materialized
+    # cluster semantics unchanged: one component, root keeps all
+    keep = MinHashDedup(
+        "d", "k", threshold=0.8
+    )(Flow({"d": docs}))["k"].collect()
+    comp = {r.keep_id for r in keep if r.id < 1000}
+    assert comp == {0}
+
+
 def test_simhash_and_pairs(docs):
     flow = Flow({"docs": docs})
     sig = SimHash("docs", "sig")(flow)["sig"]
