@@ -1041,9 +1041,11 @@ SELECT da AS d1, db AS d2, jaccard FROM jac WHERE jaccard >= 0.8
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidates, exact-verified — registered on
     the AUTO banding (r12, the production default): (rows, bands)
-    resolve from the Jaccard S-curve at target_recall 0.9999 → 24
-    bands × 5 rows at threshold 0.8, the sharpest filter inside the
-    128-hash budget.  P(catch | j ≥ 0.8) ≥ 0.9999 and the corpus's
+    resolve from the Jaccard S-curve at target_recall 0.9999 → 18
+    bands × 4 rows at threshold 0.8, the sharpest filter inside the
+    96-hash budget (96, not more: the signature min-agg must stay
+    under Spark's codegen field limit — dedup.py docstring has the
+    measured 5x cliff).  P(catch | j ≥ 0.8) ≥ 0.9999 and the corpus's
     true pairs sit near j=1, so the output still equals the exact
     Jaccard pairs (measured EQUAL to the pinned 16×2 output at sf0.01;
     re-verified at each SF in the sweeps) and the oracle stays the
@@ -4084,6 +4086,58 @@ def lsh_auto_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "semdedup_dup_floor",
+    """
+SELECT CAST(20 AS BIGINT) AS n_planted, CAST(20 AS BIGINT) AS n_flagged,
+       CAST(1 AS BIGINT) AS dup_ok
+""",
+)
+def semdedup_dup_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying floor for the AUTO-k SemDeDup (r12): plant 20
+    identical copies of the lowest-id embeddings under shifted ids
+    (+10⁷), run the PRODUCTION path (kmeans centroids, n_clusters=None
+    → k = ⌈N/target_cluster_rows⌉ from one corpus count), and require
+    every planted copy to come back ``is_dup``.  The check is
+    DETERMINISTIC at any resolved k: an identical vector normalizes
+    identically, scores identically against every centroid (round-6
+    cosine, first-max tie-break), so original and copy ALWAYS land in
+    the same cluster, where their round-6 cosine is exactly 1.0 ≥ any
+    threshold and the copy (larger id) is flagged by the strict
+    lower-triangle rule.  A miss means a real regression in
+    assignment, the per-cluster GEMM, or the auto-k resolution — not
+    clustering luck.  This row is what certifies SemDeDup at decade
+    SFs where the pinned-pivot ``semdedup_flags`` oracle's in-cluster
+    quadratic replay is DuckDB-infeasible (tools/big_sweep.py
+    INVARIANT_COVER), and the auto-k it exercises is the fix for the
+    Σcᵢ²=N²/k quadratic at fixed k (dedup.py:SemDeDup docstring).
+    ``n_planted`` is counted from the planted frame (cross-joined
+    1-row stat) so a short plant is distinguishable from a flagging
+    regression."""
+    from strom_spark import SemDeDup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = [c for c in emb.columns if c != "vec_id"]
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), *keep
+    )
+    flags = SemDeDup(
+        "e", "f", threshold=0.95, n_clusters=None, centroids="kmeans"
+    )(Flow({"e": emb.unionByName(planted)}))["f"]
+    n_flagged = flags.filter(
+        (F.col("vec_id") >= 10_000_000) & F.col("is_dup")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_flagged"))
+    n_planted = planted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_planted")
+    )
+    return n_planted.crossJoin(n_flagged).select(
+        "n_planted",
+        "n_flagged",
+        F.when(F.col("n_flagged") == F.col("n_planted"), F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("dup_ok"),
+    )
+
+
 _Q4_SQL = """
 SELECT o_orderpriority, COUNT(*) AS n
 FROM orders o
@@ -4461,8 +4515,8 @@ def minhash_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
       Tags embed the id so planted copies never pair with each other.
     - ``recall_ok``: ≥ 0.80 of planted (orig, copy) pairs must surface
       through the banded LSH — run at the AUTO banding (r12), which
-      resolves 24 bands × 5 rows at threshold 0.8: P(catch | J=0.92)
-      = 1-(1-0.92⁵)^24 ≈ 1-6e-12 — a miss means a real regression in
+      resolves 18 bands × 4 rows at threshold 0.8: P(catch | J=0.92)
+      = 1-(1-0.92⁴)^18 ≈ 1-1.5e-10 — a miss means a real regression in
       shingling, signatures, auto band resolution, or the verify
       join, not sampling luck.
     - ``verified_ok``: every EMITTED pair (planted or natural — the

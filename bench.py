@@ -167,6 +167,9 @@ HEADLINE = [
     # round 7: semantic dedup (SemDeDup) — per-cluster GEMM flags,
     # no pair materialization — TOTAL covers 60 from here
     "semdedup_flags",
+    # round 12: auto-k SemDeDup planted-dup floor (the production
+    # path; k = ceil(N/target_cluster_rows) from one corpus count)
+    "semdedup_dup_floor",
     # round 7: DSIR hashed-ngram importance weights + Gumbel-top-k
     # resampling — TOTAL covers 62 from here
     "dsir_weights",

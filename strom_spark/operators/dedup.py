@@ -315,8 +315,15 @@ class MinHashLSHPairs(Component):
     mid-similarity pair ships two full shingle arrays through the
     verify join (the r11 sf10 probe's 12.8× wall was adjudicated as
     exactly this shuffle spilling at the heap boundary) — while the
-    auto config at t=0.8 (r=5, b=24) cuts that to ≈ 0.53 and keeps
-    P(catch | j ≥ t) ≥ R.  Pins are never overridden.
+    auto config at t=0.8 (r=4, b=18) cuts that to ≈ 0.69 (0.37 at
+    j=0.4) and keeps P(catch | j ≥ t) ≥ R.  The default budget is 96,
+    NOT higher, for two measured reasons (sf1.0, r12): the signature
+    min-agg must stay under Spark's whole-stage-codegen field limit
+    (spark.sql.codegen.maxFields = 100 — at 120 hash columns the
+    aggregate falls back to interpreted eval and the signature pass
+    5x'd), and a 64-budget r=3 config under-filters (P(cand | j=0.5)
+    = 0.82 floods the verify join: 45s vs 8s warm).  Pins are never
+    overridden.
 
     **Hot-bucket guard (always on).**  A pathological shingle set
     (thousands of near-identical docs sharing one band signature)
@@ -353,7 +360,7 @@ class MinHashLSHPairs(Component):
         num_hashes: int | None = 32,
         rows_per_band: int | None = 2,
         target_recall: float = 0.9999,
-        max_hashes: int = 128,
+        max_hashes: int = 96,
         max_bucket_rows: int = 5000,
         target_partition_docs: int = 4096,
         label: str | None = None,
@@ -482,8 +489,21 @@ class MinHashLSHPairs(Component):
         df = flow[self.input]
         num_hashes, rows_per_band = self._resolve()
         auto = self.rows_per_band is None
-        doc_sh = self._doc_shingles(df)
         n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        if auto:
+            # Scan rebalance (r12): a corpus written as ONE parquet row
+            # group (this repo's documents.parquet at every SF) gives
+            # Spark byte-range splits that collapse to a single
+            # non-empty task — scan, tokenize, shingle, AND the persist
+            # below all run single-threaded, and every later pass reads
+            # the 1-partition cache.  One cheap id-hash shuffle of the
+            # raw (id, text) rows restores parallelism for the CPU-
+            # heavy shingling; deterministic (hash of id, not round-
+            # robin).  At healthy layouts this is one extra narrow
+            # exchange of the input — noise next to the passes it
+            # parallelizes.
+            df = df.repartition(n_part, F.col(self.id_col))
+        doc_sh = self._doc_shingles(df)
         if auto:
             # shared three ways (signature postings + both verify
             # sides): persist so the sizing count materializes the
@@ -1960,6 +1980,21 @@ class SemDeDup(Component):
     Output: one row per vector — ``(id_col, centroid_id, is_dup)``;
     ``is_dup`` marks vectors with a SMALLER-id cluster-mate at cosine
     >= ``threshold``.
+
+    **Auto cluster count (r12 — the same corpus-adaptive discipline
+    as CosineLSHJoin bits and MinHash banding).**  At FIXED k the
+    per-cluster work Σcᵢ² ≈ N²/k is quadratic in the corpus — the
+    identical failure mode the r11 sf10 probe caught in fixed-bits
+    LSH (a constant-way partition cannot bound a growing corpus).
+    ``n_clusters=None`` resolves k = ⌈N / ``target_cluster_rows``⌉
+    from one corpus count (clamped to [1, ``sample_size``/4] so Lloyd
+    always has ≥4 sample points per centroid), making Σcᵢ² ≈
+    N·target_cluster_rows — LINEAR at a held per-cluster bound; the
+    paper scales k the same way (110k clusters over LAION).  Past
+    N ≈ (sample_size/4)·target_cluster_rows the clamp re-grows
+    clusters — ``sample_size`` is the scale knob to raise with the
+    corpus, and ``max_cluster_rows`` still hard-fails before any
+    silent quadratic.  Explicit k pins are never overridden.
     """
 
     def __init__(
@@ -1970,18 +2005,19 @@ class SemDeDup(Component):
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         threshold: float = 0.95,
-        n_clusters: int = 16,
+        n_clusters: int | None = 16,
         centroids: str = "kmeans",
         sample_size: int = 4096,
         iters: int = 5,
         seed: int = 13,
         max_cluster_rows: int = 2_000_000,
+        target_cluster_rows: int = 4096,
         label: str | None = None,
     ):
         if centroids not in ("kmeans", "pivot"):
             raise ValueError("centroids must be 'kmeans' or 'pivot'")
-        if n_clusters < 1:
-            raise ValueError("n_clusters must be >= 1")
+        if n_clusters is not None and n_clusters < 1:
+            raise ValueError("n_clusters must be >= 1 (or None for auto)")
         self.input = input
         self.output = output or input
         self.id_col = id_col
@@ -1993,16 +2029,39 @@ class SemDeDup(Component):
         self.iters = iters
         self.seed = seed
         self.max_cluster_rows = max_cluster_rows
+        self.target_cluster_rows = int(target_cluster_rows)
         self.label = label
 
-    def _assign_pivot(self, slim: DataFrame) -> DataFrame:
-        """JVM-only assignment against the n_clusters lowest-id vectors:
+    def _resolve_k(self, slim: DataFrame) -> tuple[int, DataFrame]:
+        """(k, slim) with ``n_clusters=None`` resolved from one corpus
+        count; the input is persisted first so the count materializes
+        the cache for the assignment scan instead of re-running a
+        composed upstream (CosineLSHJoin discipline)."""
+        from pyspark import StorageLevel
+
+        if self.n_clusters is not None:
+            return int(self.n_clusters), slim
+        # scan rebalance before persisting: a single-row-group corpus
+        # file collapses to one non-empty scan task, which would make
+        # the assignment GEMM and the persist single-threaded (see
+        # MinHashLSHPairs.transform)
+        n_part = int(slim.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        slim = slim.repartition(n_part, F.col("id")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n = slim.count()
+        cap = max(1, self.sample_size // 4)
+        k = min(cap, max(1, -(-n // self.target_cluster_rows)))
+        return k, slim
+
+    def _assign_pivot(self, slim: DataFrame, k: int) -> DataFrame:
+        """JVM-only assignment against the k lowest-id vectors:
         argmax over literal centroid arrays via an orderable-struct
         ``array_max`` — round-6 cosine first, then lowest centroid id
         (encoded as max of -id).  Bounded driver state: k rows."""
         import numpy as np
 
-        rows = slim.orderBy("id").limit(self.n_clusters).collect()
+        rows = slim.orderBy("id").limit(k).collect()
         if not rows:
             raise ValueError("SemDeDup: input has no vectors")
         normed = slim.select("id", V.l2_normalize("v").alias("nv"))
@@ -2023,7 +2082,7 @@ class SemDeDup(Component):
             "id", (-best["nc"]).alias("centroid_id"), "nv"
         )
 
-    def _assign_kmeans(self, slim: DataFrame) -> DataFrame:
+    def _assign_kmeans(self, slim: DataFrame, k: int) -> DataFrame:
         """Bounded-sample Lloyd training driver-side, then one linear
         broadcast-GEMM assignment scan (the IVFTopK pattern)."""
         import numpy as np
@@ -2043,7 +2102,7 @@ class SemDeDup(Component):
         X = np.stack(sample["v"].to_list()).astype("float64")
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
         rng = np.random.default_rng(self.seed)
-        k = min(self.n_clusters, len(X))
+        k = min(k, len(X))
         C = X[rng.choice(len(X), size=k, replace=False)]
         for _ in range(self.iters):
             assign = np.argmax(X @ C.T, axis=1)
@@ -2123,10 +2182,11 @@ class SemDeDup(Component):
             F.col(self.id_col).cast("bigint").alias("id"),
             F.col(self.vec_col).cast("array<double>").alias("v"),
         )
+        k, slim = self._resolve_k(slim)
         assigned = (
-            self._assign_pivot(slim)
+            self._assign_pivot(slim, k)
             if self.centroids == "pivot"
-            else self._assign_kmeans(slim)
+            else self._assign_kmeans(slim, k)
         )
         out = self._flag(assigned).select(
             F.col("id").alias(self.id_col), "centroid_id", "is_dup"

@@ -727,8 +727,18 @@ class CosineLSHJoin(Component):
             # count materializes the cache and signatures read from it
             # (MEMORY_AND_DISK; freed by Spark's LRU — an eager
             # unpersist here would land before the lazy output plan
-            # ever executed and force the recompute back in).
-            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            # ever executed and force the recompute back in).  The
+            # id-hash repartition ahead of the persist is the scan
+            # rebalance (r12): a single-row-group corpus file collapses
+            # to one non-empty scan task, which would single-thread the
+            # signature GEMM and cache every later pass as 1 partition
+            # (dedup.py:MinHashLSHPairs.transform).
+            n_scan = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+            df = df.repartition(n_scan, F.col(self.id_col)).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         n_tables, bits_per_table = self._resolve(df)
         if self.portable:
             # raw vectors: the verify kernel normalizes in float64 and

@@ -46,6 +46,20 @@ ADJUDICATED = {
         "exact GEMM it replaced",
         "SCALE.md: dedup_embedding re-registration (round 10)",
     ),
+    "dedup_minhash_lsh": (
+        "r12 re-registration on the auto banding (18 bands x 4 rows, "
+        "72 hashes vs the pinned 32) + hot-bucket guard + scan "
+        "rebalance — 2.25x the signature hash volume at small SF buys "
+        "the sf10 spill fix (auto 41.5s vs pinned 74.5s at sf10, "
+        "identical 925 pairs)",
+        "SCALE.md: Round-12 MinHash auto-banding",
+    ),
+    "minhash_recall_floor": (
+        "r12 re-registration at the auto banding (same change as "
+        "dedup_minhash_lsh; the planted-pair floor runs the full "
+        "operator on corpus+plants)",
+        "SCALE.md: Round-12 MinHash auto-banding",
+    ),
 }
 
 #: r11 box-drift batch: a worktree replay of the PRIOR commit
@@ -66,11 +80,6 @@ BOX_DRIFT_ADJUDICATED = {
     "dedup_ngram_jaccard": (
         "box drift: old-code replay measures 2.06s on the r11 box for "
         "the 1.24s prior (identical code+data)",
-        "SCALE.md: Round-11 box-drift adjudication + bench canary",
-    ),
-    "dedup_minhash_lsh": (
-        "box drift: old-code replay measures 1.56s on the r11 box for "
-        "the 1.19s prior (identical code+data)",
         "SCALE.md: Round-11 box-drift adjudication + bench canary",
     ),
     "ann_recall_floor": (

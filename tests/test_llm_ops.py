@@ -1976,6 +1976,41 @@ def test_semdedup_kmeans_path(spark, emb):
     assert not a.loc[a["vec_id"].idxmin(), "is_dup"]
 
 
+def test_semdedup_auto_k(spark, emb):
+    """Auto cluster count (r12): n_clusters=None resolves k =
+    ceil(N/target_cluster_rows) clamped to [1, sample_size/4] — the
+    linear-Σc² production sizing; pins are never overridden; planted
+    identical vectors are always flagged at any resolved k."""
+    from strom_spark import SemDeDup
+
+    # resolution math (no data pass needed beyond the count)
+    n = emb.count()
+    op = SemDeDup("e", "f", n_clusters=None, target_cluster_rows=100)
+    slim = emb.select(
+        F.col("vec_id").cast("bigint").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    k, _ = op._resolve_k(slim)
+    assert k == min(op.sample_size // 4, -(-n // 100))
+    assert SemDeDup("e", "f", n_clusters=7)._resolve_k(slim)[0] == 7  # pin
+    # planted-dup determinism at auto-k: identical vectors share a
+    # cluster at ANY k, the larger id is flagged
+    keep = [c for c in emb.columns if c != "vec_id"]
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), *keep
+    )
+    flags = SemDeDup(
+        "e", "f", threshold=0.95, n_clusters=None, centroids="kmeans",
+        target_cluster_rows=256,
+    )(Flow({"e": emb.unionByName(planted)}))["f"]
+    flagged = {
+        r.vec_id for r in flags.filter(
+            (F.col("vec_id") >= 10_000_000) & F.col("is_dup")
+        ).collect()
+    }
+    assert flagged == {10_000_000 + i for i in range(5)}
+
+
 def test_semdedup_cluster_cap_raises(spark, emb):
     from strom_spark import SemDeDup
 

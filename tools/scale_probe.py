@@ -660,18 +660,39 @@ def decade2_main() -> None:
         spark.catalog.clearCache()
         gc.collect()
 
+    def _canary() -> float:
+        # the bench box-speed canary (bench.py): this VM bursts 3-6x
+        # within minutes, so each timed row carries the contemporaneous
+        # box state for adjudication (r12; the r11 probe's 12.8x carried
+        # an unquantified spill/burst mix)
+        t0 = time.time()
+        spark.range(40_000_000).selectExpr(
+            "count(if(md5(cast(id as string)) > 'f0', 1, null)) as n"
+        ).collect()
+        return round(time.time() - t0, 3)
+
     for name in TIMED:
         row = {}
         for tag, d in (("small", small), ("big", big)):
             runs = []
+            row[f"{tag}_canary_s"] = _canary()
             for _ in range(3):
                 _drain_caches()
                 t0 = time.time()
                 qs[name](spark, d).count()
                 runs.append(round(time.time() - t0, 2))
+            row[f"{tag}_runs"] = runs
             row[f"{tag}_cold"] = runs[0]
             row[f"{tag}_warm"] = min(runs[1:])
+            # best-of-all: on a bursty box a "warm" run can read slower
+            # than cold (measured warm 71s vs cold 27s on identical
+            # code+data); min over every run is the honest steady-state
+            # estimator when burst noise exceeds cache-population cost
+            row[f"{tag}_best"] = min(runs)
         row["decade_ratio"] = round(row["big_warm"] / max(row["small_warm"], 0.01), 2)
+        row["decade_ratio_best"] = round(
+            row["big_best"] / max(row["small_best"], 0.01), 2
+        )
         out["timed"][name] = row
         print(json.dumps({name: row}), flush=True)
     for name in VERIFY:
@@ -684,6 +705,263 @@ def decade2_main() -> None:
                     for k, v in rows[0].asDict().items()} if rows else None,
         }
         print(json.dumps({name: out["verify"][name]}), flush=True)
+    print(json.dumps(out))
+
+
+def cep_decade_main() -> None:
+    """CEP relational lowering at the second decade (r12 verdict task
+    4): the sf1.0 16.9x result (streaming/cep.py:
+    StreamingMatchDecideRelational vs per-key Python state) is the
+    repo's streaming-at-scale flagship, but stream-stream join state
+    and the watermark delay are exactly what grows with the corpus —
+    probe sf1.0 vs sf10 (15M orders / 60M parcels) with the RocksDB
+    state store, recording wall, per-operator state rows/memory from
+    the query's progress events, and the self-verifying count
+    invariant (shipped + threshold == N orders, one decision per
+    order) so the big run is correctness-checked without an oracle.
+
+    Usage: python tools/scale_probe.py cep_decade [small_dir] [big_dir]
+    (STROM_SPARK_DRIVER_MEM=64g for the sf10 row; per-key Python is
+    NOT probed at sf10 — its sf1.0 wall was already 445s, the decade
+    run would be ~hours for a lowering the repo documents as the
+    semantics-parity surface, not the scale path.)"""
+    import datetime
+    import shutil
+    import tempfile
+
+    small = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1.0"
+    big = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/testdata_sf10"
+    sys.path.insert(0, "/root/repo")
+    from strom_spark.session import use_state_store
+    from strom_spark.streaming.cep import StreamingMatchDecideRelational
+    from strom_spark.streaming.control import run_available
+
+    spark = get_spark("cep_decade_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    use_state_store(spark, "rocksdb")
+    spark.range(2_000_000).selectExpr("sum(id*2)").collect()
+
+    out: dict = {"state_store": "rocksdb", "runs": {}}
+    for tag, sf_dir in (("sf1.0", small), ("sf10", big)):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        n_orders = orders.count()
+        n_parcels = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+            F.count("*").alias("__n")
+        )
+        order_events = orders.join(n_parcels, "o_orderkey", "left").select(
+            F.col("o_orderkey").alias("order_id"),
+            F.lit("ORDER_CREATED").alias("type"),
+            F.greatest(F.coalesce(F.col("__n"), F.lit(0)), F.lit(1)).alias(
+                "expected"
+            ),
+            F.col("o_orderdate").alias("ts"),
+        )
+        parcel_events = li.select(
+            F.col("l_orderkey").alias("order_id"),
+            F.lit("PARCEL_SHIPPED").alias("type"),
+            F.lit(0).cast("bigint").alias("expected"),
+            F.col("l_shipdate").alias("ts"),
+        )
+        max_ts = orders.agg(F.max("o_orderdate")).collect()[0][0]
+        tick = spark.createDataFrame(
+            [(-1, "TICK", 1, max_ts + datetime.timedelta(days=5700))],
+            "order_id bigint, type string, expected bigint, ts timestamp",
+        )
+        row: dict = {"n_orders": n_orders}
+        runs = []
+        for i in range(2):  # cold + 1 repeat: each drain re-runs ALL state
+            d = tempfile.mkdtemp(prefix=f"strom_cep_decade_{tag}_")
+            try:
+                order_events.unionByName(parcel_events).write.mode(
+                    "overwrite"
+                ).parquet(f"{d}/a_events")
+                tick.write.mode("overwrite").parquet(f"{d}/z_tick")
+                schema = (
+                    "order_id bigint, type string, expected bigint, ts timestamp"
+                )
+                stream = spark.readStream.schema(schema).parquet(f"{d}/*")
+                op = StreamingMatchDecideRelational(
+                    "events", "decisions", key="order_id",
+                    timeout_s=30 * 86400, span_lb_s=2600 * 86400,
+                )
+                decisions = op.transform_df(stream, "3000 days")
+                name = f"t_cep_decade_{tag.replace('.', '_')}_{i}"
+                spark.catalog.clearCache()
+                t0 = time.time()
+                q = run_available(decisions, query_name=name,
+                                  output_mode="append")
+                wall = round(time.time() - t0, 1)
+                runs.append(wall)
+                if i == 0:
+                    # state metrics: max rows/memory per stateful
+                    # operator across the drain's progress events
+                    ops: dict[int, dict] = {}
+                    for p in q.recentProgress:
+                        for j, so in enumerate(p.get("stateOperators", [])):
+                            cur = ops.setdefault(j, {
+                                "operatorName": so.get("operatorName"),
+                                "numRowsTotal_max": 0,
+                                "memoryUsedBytes_max": 0,
+                            })
+                            cur["numRowsTotal_max"] = max(
+                                cur["numRowsTotal_max"],
+                                so.get("numRowsTotal", 0) or 0)
+                            cur["memoryUsedBytes_max"] = max(
+                                cur["memoryUsedBytes_max"],
+                                so.get("memoryUsedBytes", 0) or 0)
+                    row["state_operators"] = list(ops.values())
+                    dec = (
+                        spark.table(name)
+                        .filter(F.col("order_id") >= 0)
+                        .groupBy("decision").count().collect()
+                    )
+                    counts = {r["decision"]: r["count"] for r in dec}
+                    row["decisions"] = counts
+                    row["invariant_ok"] = int(
+                        sum(counts.values()) == n_orders
+                        and set(counts) <= {"ALL_PARCELS_SHIPPED",
+                                            "THRESHOLD_EXCEEDED"}
+                    )
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+        row["cold_s"], row["best_s"] = runs[0], min(runs)
+        out["runs"][tag] = row
+        print(json.dumps({tag: row}), flush=True)
+    s, b = out["runs"].get("sf1.0"), out["runs"].get("sf10")
+    if s and b:
+        out["decade_ratio"] = round(b["best_s"] / max(s["best_s"], 0.01), 2)
+    print(json.dumps(out))
+
+
+def streaming_decade_main() -> None:
+    """Streaming operator family at scale (r12 verdict task 5): drive
+    StreamingExactDedup, StreamingStatefulTransformer, and the
+    event-time window aggregation at sf1.0 through a REAL multi-batch
+    file source (16 file splits, maxFilesPerTrigger=2 -> 8 triggers)
+    with the RocksDB state store, recording per-trigger rows/s and
+    state rows/memory from the progress events.  The question each row
+    answers: does state grow with the CORPUS (unbounded — needs a
+    watermark/TTL bound) or with the working set (keys / in-delay
+    fingerprints / open windows)?
+
+    Usage: python tools/scale_probe.py streaming_decade [sf_dir]
+    """
+    import shutil
+    import tempfile
+
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1.0"
+    sys.path.insert(0, "/root/repo")
+    from strom_spark.session import use_state_store
+    from strom_spark.streaming.control import run_available
+
+    spark = get_spark("streaming_decade_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    use_state_store(spark, "rocksdb")
+    spark.range(2_000_000).selectExpr("sum(id*2)").collect()
+    out: dict = {"sf_dir": sf_dir, "state_store": "rocksdb", "ops": {}}
+
+    def drain_and_meter(build, name: str, src_df, n_files: int = 16):
+        """Write src_df as n_files splits, stream with
+        maxFilesPerTrigger=2, drain availableNow through build(stream),
+        aggregate per-trigger throughput + state metrics."""
+        d = tempfile.mkdtemp(prefix=f"strom_sd_{name}_")
+        try:
+            src_df.repartition(n_files).write.mode("overwrite").parquet(
+                f"{d}/in"
+            )
+            stream = (
+                spark.readStream.schema(src_df.schema)
+                .option("maxFilesPerTrigger", "2")
+                .parquet(f"{d}/in")
+            )
+            sink = build(stream)
+            t0 = time.time()
+            q = run_available(sink, query_name=f"t_sd_{name}",
+                              output_mode="append")
+            wall = round(time.time() - t0, 1)
+            trig = []
+            state_last: list[dict] = []
+            for p in q.recentProgress:
+                n_in = p.get("numInputRows", 0) or 0
+                dur = (p.get("batchDuration", 0) or 0) / 1000.0
+                if n_in:
+                    trig.append({
+                        "rows": n_in,
+                        "rows_per_s": round(n_in / max(dur, 1e-3)),
+                    })
+                sos = p.get("stateOperators", [])
+                if sos:
+                    state_last = [
+                        {"operatorName": so.get("operatorName"),
+                         "numRowsTotal": so.get("numRowsTotal"),
+                         "memoryUsedBytes": so.get("memoryUsedBytes")}
+                        for so in sos
+                    ]
+            n_out = spark.table(f"t_sd_{name}").count()
+            row = {
+                "wall_s": wall,
+                "triggers": len(trig),
+                "rows_in": sum(t["rows"] for t in trig),
+                "rows_out": n_out,
+                "rows_per_s_median": sorted(
+                    t["rows_per_s"] for t in trig
+                )[len(trig) // 2] if trig else None,
+                "state_final": state_last,
+            }
+            out["ops"][name] = row
+            print(json.dumps({name: row}), flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text",
+        # synthetic event time: spread over a day so the watermark has
+        # room; deterministic from doc_id
+        F.timestamp_seconds(
+            F.lit(1_600_000_000) + F.col("doc_id") % 86_400
+        ).alias("ts"),
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def build_dedup(stream):
+        from strom_spark.operators.dedup import StreamingExactDedup
+        s = stream.withWatermark("ts", "2 hours")
+        return StreamingExactDedup("d", "o")(Flow({"d": s}))["o"].select(
+            "doc_id", "fingerprint"
+        )
+
+    def build_stateful(stream):
+        # per-user running max + event counter: the arity-2 contract
+        # (state grows with KEYS, never with corpus)
+        from strom_spark.streaming.stateful import StreamingStatefulTransformer
+
+        def fn(event, acc):
+            n, mx = acc or (0, float("-inf"))
+            n += 1
+            mx = max(mx, event["value"] or float("-inf"))
+            return [{"user_id": event["user_id"], "n": n, "running_max": mx}], (n, mx)
+
+        return StreamingStatefulTransformer(
+            "e", fn, acc=None,
+            schema="user_id bigint, n bigint, running_max double",
+            key_by=["user_id"], order_by=["ts", "event_id"],
+        ).transform_df(stream)
+
+    def build_window(stream):
+        # event-time tumbling hour window + watermark: closed windows
+        # purge, state = open windows only
+        s = stream.withWatermark("ts", "1 hour")
+        return s.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        ).agg(F.count("*").alias("n"), F.sum("value").alias("total")).select(
+            F.col("w.start").alias("w_start"), "event_type", "n", "total"
+        )
+
+    drain_and_meter(build_dedup, "streaming_exact_dedup", docs)
+    drain_and_meter(build_stateful, "streaming_stateful_transformer", events)
+    drain_and_meter(build_window, "streaming_time_window", events)
     print(json.dumps(out))
 
 
@@ -708,6 +986,12 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "decade2":
         decade2_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "cep_decade":
+        cep_decade_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "streaming_decade":
+        streaming_decade_main()
         return
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale_probe")
