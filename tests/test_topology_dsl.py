@@ -265,6 +265,8 @@ def test_no_quadratic_join_sweep(spark, sf_dir):
         "triangle_doubling_invariant": ("flag-row assembly — 1-row edge-count aggregate crossJoin 1-row mismatch aggregate", None),
         "cc_label_invariant": ("flag-row assembly — three 1-row invariant aggregates crossJoined", None),
         "minhash_recall_floor": ("flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key", None),
+        "lsh_auto_recall_floor": ("flag-row assembly — 1-row found-count aggregate crossJoin 1-row planted-count aggregate (r12: n_planted counted, not lit)", None),
+        "semdedup_dup_floor": ("flag-row assembly — 1-row planted-count aggregate crossJoin 1-row flagged-count aggregate", None),
         "curation_v2": ("corpus stats attach inside quality scoring — 1-row side", None),
         "quality_percentiles": ("corpus-count attach for the percentile denominator — 1-row side", None),
         "q11_important_part_value": ("global value total attach — 1-row side", None),
