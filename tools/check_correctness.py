@@ -70,6 +70,15 @@ def main():
         c.execute(
             f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '24GB')}'"
         )
+        # an in-memory duckdb has NO temp directory and therefore NO
+        # operator spilling — a decade-size window/join oracle hits the
+        # memory limit with 'bad allocation' instead of spilling.
+        # SPARK_GRAFT_DUCK_TMP points it at disk (r12, found when the
+        # sf10 substring oracle OOM'd at a 56GB limit)
+        tmp = os.environ.get("SPARK_GRAFT_DUCK_TMP")
+        if tmp:
+            os.makedirs(tmp, exist_ok=True)
+            c.execute(f"SET temp_directory='{tmp}'")
         for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

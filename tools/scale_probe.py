@@ -950,8 +950,11 @@ def streaming_decade_main() -> None:
 
     def build_window(stream):
         # event-time tumbling hour window + watermark: closed windows
-        # purge, state = open windows only
-        s = stream.withWatermark("ts", "1 hour")
+        # purge, state = open windows only.  The events parquet carries
+        # TIMESTAMP_NTZ and EventTimeWatermark requires TIMESTAMP —
+        # cast first (the registered TimeWindow operator does the same)
+        s = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        s = s.withWatermark("ts", "1 hour")
         return s.groupBy(
             F.window("ts", "1 hour").alias("w"),
             "event_type",
@@ -959,9 +962,19 @@ def streaming_decade_main() -> None:
             F.col("w.start").alias("w_start"), "event_type", "n", "total"
         )
 
-    drain_and_meter(build_dedup, "streaming_exact_dedup", docs)
-    drain_and_meter(build_stateful, "streaming_stateful_transformer", events)
-    drain_and_meter(build_window, "streaming_time_window", events)
+    only = os.environ.get("SPARK_GRAFT_STREAMING_ONLY")
+    for build, name, src in (
+        (build_dedup, "streaming_exact_dedup", docs),
+        (build_stateful, "streaming_stateful_transformer", events),
+        (build_window, "streaming_time_window", events),
+    ):
+        if only and name not in only.split(","):
+            continue
+        try:
+            drain_and_meter(build, name, src)
+        except Exception as e:  # one op's failure must not lose the rest
+            out["ops"][name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+            print(json.dumps({name: out["ops"][name]}), flush=True)
     print(json.dumps(out))
 
 
