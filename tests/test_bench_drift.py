@@ -101,6 +101,14 @@ BOX_DRIFT_ADJUDICATED = {
         "prior — same class as the five above",
         "SCALE.md: Round-11 box-drift adjudication + bench canary",
     ),
+    "triangle_counts": (
+        "box drift vs a pre-canary prior: r12 measures 6.36s (marginal "
+        "2.05x vs the 3.10s canary-less e35ab16 prior, 0.2% in-window "
+        "steal, code untouched since) while the r11 artifact itself "
+        "recorded 10.83s on its box state — today's number is a 1.7x "
+        "IMPROVEMENT on the canary era",
+        "SCALE.md: Round-11 box-drift adjudication + bench canary",
+    ),
 }
 
 #: the SCALE.md-documented whole-session jitter band: warm runs of
