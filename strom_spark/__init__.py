@@ -8,6 +8,7 @@ itself a component.  All compute lowers to DataFrame/SQL plans so
 Catalyst/Tungsten/AQE handle optimization and physical execution.
 """
 
+from .cache import release_caches
 from .flow import Flow, as_flow
 from .component import Component, Pipeline
 from .planprobe import capture_bounded_broadcasts, capture_loop_plans
@@ -89,6 +90,7 @@ from .operators.multimodal import (
 )
 
 __all__ = [
+    "release_caches",
     "Flow",
     "as_flow",
     "Component",

@@ -56,16 +56,72 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _scan_row_groups(df: DataFrame, threshold: int) -> int | None:
+    """Total parquet row groups behind ``df``'s scan, or ``None`` when
+    that can't be determined cheaply (non-file source, remote scheme,
+    unreadable footer).
+
+    Spark splits a parquet file into byte ranges, but a range only
+    produces rows if a row-group START falls inside it — so the number
+    of non-empty scan tasks is capped by the row-group count, not the
+    split count.  A big single-row-group file therefore arrives as N
+    splits with N-1 of them empty.  Footer reads are driver-side and
+    ~ms each; we stop as soon as ``threshold`` row groups are proven
+    (each file has ≥1, so ≥threshold files short-circuits for free —
+    the 100 TB case, where scans have thousands of files)."""
+    try:
+        if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+            return None  # already redistributed; scan layout irrelevant
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) >= threshold:
+        return len(files)
+    from urllib.parse import unquote, urlparse
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return None  # remote fs: footer read needs a configured fs
+        try:
+            total += pq.ParquetFile(unquote(parsed.path)).metadata.num_row_groups
+        except Exception:
+            return None
+        if total >= threshold:
+            return total
+    return total
+
+
 def spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's parallelism when the input has
-    too few partitions for heavy per-row compute (a small parquet file
-    arrives as ONE split, serializing regex/hash/UDF work on one core).
-    No-op when the scan already has enough splits — at 100 TB scans
-    have thousands of splits and this never adds a shuffle."""
+    """Repartition up to the session's parallelism when the input can't
+    feed enough tasks for heavy per-row compute.  Two hazards, both
+    checked (r13 — the second was the round-12 decade wall):
+
+    * too few SPLITS — a small parquet file arrives as ONE split,
+      serializing regex/hash/UDF work on one core;
+    * too few ROW GROUPS — a big single-row-group file (this repo's
+      documents.parquet at every SF) splits into many byte ranges of
+      which exactly one is non-empty, so the split count looks healthy
+      while all rows ride one task (measured at sf10: 31 splits, 1
+      non-empty with all 500k rows; line_dedup_docs 48× for 10× data).
+
+    No-op when the scan genuinely has enough parallelism — at 100 TB
+    scans have thousands of files/row groups and the row-group probe
+    short-circuits on the file count alone, adding no footer reads and
+    no shuffle."""
     if df.isStreaming:
         return df  # partitioning is per-microbatch; no RDD to inspect
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    floor = max(2, target // 2)
+    if df.rdd.getNumPartitions() < floor:
+        return df.repartition(target)
+    row_groups = _scan_row_groups(df, floor)
+    if row_groups is not None and row_groups < floor:
         return df.repartition(target)
     return df
 

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..component import Component
+from ..cache import track as _track
 from ..flow import Flow
 from ..functions import text as TXT
 from ..functions import vectors as V
@@ -325,16 +326,24 @@ class MinHashLSHPairs(Component):
     = 0.82 floods the verify join: 45s vs 8s warm).  Pins are never
     overridden.
 
-    **Hot-bucket guard (always on).**  A pathological shingle set
-    (thousands of near-identical docs sharing one band signature)
-    makes one bucket quadratic — |bucket|²/2 candidates — which no
-    banding choice can bound.  Buckets over ``max_bucket_rows``
-    degrade to STAR pairing (every member joins the bucket's min id
-    only): candidates O(|bucket|), connectivity preserved exactly (so
-    :class:`MinHashDedup`'s connected components are unchanged), and
-    the full pair set inside a monster bucket is intentionally NOT
-    materialized — it was the quadratic being guarded against.  Pairs
-    co-occurring in any healthy bucket still surface.
+    **Hot-bucket guard (on by default; ``max_bucket_rows=None``
+    disables it).**  A pathological shingle set (thousands of
+    near-identical docs sharing one band signature) makes one bucket
+    quadratic — |bucket|²/2 candidates — which no banding choice can
+    bound.  Buckets over ``max_bucket_rows`` degrade to O(|bucket|)
+    candidates: STAR pairs (every member vs the bucket's min id) plus
+    CHAIN pairs linking neighbors in (first-minhash, id) order, so
+    equal-h0 near-duplicate strata stay path-connected even when they
+    don't verify against the star root.  This is an approximation with
+    honest limits: above the cap the output is NOT the full
+    exact-Jaccard pair set, and a hot-bucket member keeps its
+    component in :class:`MinHashDedup` only if its star or chain edge
+    (or a co-occurrence in a healthy bucket) survives exact
+    verification — a mixed-similarity hot bucket can drop true
+    ≥threshold pairs.  For strict exact-pairs parity (oracle
+    registrations, corpora with known duplicate groups larger than the
+    cap) pass ``max_bucket_rows=None`` and accept the quadratic
+    bucket.
 
     **Auto shuffle sizing (auto mode only).**  One corpus count sizes
     the band-bucket/verify shuffle width at ⌈N /
@@ -361,7 +370,7 @@ class MinHashLSHPairs(Component):
         rows_per_band: int | None = 2,
         target_recall: float = 0.9999,
         max_hashes: int = 96,
-        max_bucket_rows: int = 5000,
+        max_bucket_rows: int | None = 5000,
         target_partition_docs: int = 4096,
         label: str | None = None,
     ):
@@ -393,7 +402,9 @@ class MinHashLSHPairs(Component):
         self.rows_per_band = rows_per_band
         self.target_recall = float(target_recall)
         self.max_hashes = int(max_hashes)
-        self.max_bucket_rows = int(max_bucket_rows)
+        self.max_bucket_rows = (
+            None if max_bucket_rows is None else int(max_bucket_rows)
+        )
         self.target_partition_docs = int(target_partition_docs)
         self.label = label
 
@@ -491,25 +502,25 @@ class MinHashLSHPairs(Component):
         auto = self.rows_per_band is None
         n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         if auto:
-            # Scan rebalance (r12): a corpus written as ONE parquet row
-            # group (this repo's documents.parquet at every SF) gives
-            # Spark byte-range splits that collapse to a single
-            # non-empty task — scan, tokenize, shingle, AND the persist
-            # below all run single-threaded, and every later pass reads
-            # the 1-partition cache.  One cheap id-hash shuffle of the
-            # raw (id, text) rows restores parallelism for the CPU-
-            # heavy shingling; deterministic (hash of id, not round-
-            # robin).  At healthy layouts this is one extra narrow
-            # exchange of the input — noise next to the passes it
-            # parallelizes.
-            df = df.repartition(n_part, F.col(self.id_col))
+            # Scan rebalance: a corpus written as ONE parquet row group
+            # (this repo's documents.parquet at every SF) gives Spark
+            # byte-range splits that collapse to a single non-empty
+            # task — scan, tokenize, shingle, AND the persist below all
+            # run single-threaded, and every later pass reads the
+            # 1-partition cache.  spread() (row-group aware since r13)
+            # detects the concentration from the parquet footer and
+            # repartitions only then — when the flow already shuffled
+            # upstream (e.g. a registry-level spread()) this is a no-op
+            # instead of a second exchange.
+            df = _spread(df)
         doc_sh = self._doc_shingles(df)
         if auto:
             # shared three ways (signature postings + both verify
             # sides): persist so the sizing count materializes the
             # cache instead of running tokenization 3x / a composed
-            # upstream 4x; freed by LRU (CosineLSHJoin discipline)
-            doc_sh = doc_sh.persist(StorageLevel.MEMORY_AND_DISK)
+            # upstream 4x; tracked for strom_spark.release_caches()
+            # (LRU-evictable until then — CosineLSHJoin discipline)
+            doc_sh = doc_sh.persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
             n_docs = doc_sh.count()
             n_part = min(
                 2048, max(n_part, -(-n_docs // self.target_partition_docs))
@@ -532,29 +543,67 @@ class MinHashLSHPairs(Component):
         # the hot-bucket window AND pre-satisfies the self-join's
         # distribution — the window's partitionBy and both join sides
         # reuse it instead of shuffling again
-        buckets = sig.select(F.col("id"), F.explode(band_keys).alias("bk"))
+        buckets = sig.select(
+            F.col("id"), F.col("h0").alias("__s0"), F.explode(band_keys).alias("bk")
+        )
         buckets = buckets.repartition(n_part, "bk")
-        w = Window.partitionBy("bk")
-        marked = buckets.withColumn(
-            "__n", F.count(F.lit(1)).over(w)
-        ).withColumn("__root", F.min("id").over(w))
-        healthy = marked.filter(F.col("__n") <= self.max_bucket_rows).select(
-            "id", "bk"
-        )
-        # hot-bucket guard: oversized buckets degrade to STAR pairs
-        # (member, bucket-min) — O(|bucket|) candidates, connectivity
-        # preserved; root = min(id) so d1 < d2 holds by construction
-        hot_star = marked.filter(
-            (F.col("__n") > self.max_bucket_rows)
-            & (F.col("id") != F.col("__root"))
-        ).select(F.col("__root").alias("d1"), F.col("id").alias("d2"))
-        ba, bb = healthy.alias("a"), healthy.alias("b")
-        candidates = (
-            ba.join(bb, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
-            .unionByName(hot_star)
-            .distinct()
-        )
+        if self.max_bucket_rows is None:
+            # guard disabled (oracle-parity / pinned registrations):
+            # the FULL same-bucket pair set, quadratic in the largest
+            # bucket by explicit caller choice
+            ba, bb = buckets.alias("a"), buckets.alias("b")
+            candidates = (
+                ba.join(
+                    bb,
+                    (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
+                )
+                .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+                .distinct()
+            )
+        else:
+            w = Window.partitionBy("bk")
+            marked = buckets.withColumn(
+                "__n", F.count(F.lit(1)).over(w)
+            ).withColumn("__root", F.min("id").over(w))
+            healthy = marked.filter(F.col("__n") <= self.max_bucket_rows).select(
+                "id", "bk"
+            )
+            hot = marked.filter(F.col("__n") > self.max_bucket_rows)
+            # hot-bucket guard: oversized buckets degrade to O(|bucket|)
+            # candidates — STAR pairs (member, bucket-min; root =
+            # min(id) so d1 < d2 by construction) plus CHAIN pairs
+            # linking neighbors in (h0, id) order.  Equal first-minhash
+            # strata are near-duplicate subgroups, so the chain gives
+            # every subgroup a verifiable path even when its members
+            # don't verify against the star root (a mixed-similarity
+            # hot bucket); connectivity is still only guaranteed for
+            # members whose star or chain edge passes exact
+            # verification — the full |bucket|²/2 set is intentionally
+            # NOT materialized (it is the quadratic being guarded
+            # against).
+            hot_star = hot.filter(F.col("id") != F.col("__root")).select(
+                F.col("__root").alias("d1"), F.col("id").alias("d2")
+            )
+            chain_w = Window.partitionBy("bk").orderBy("__s0", "id")
+            hot_chain = (
+                hot.withColumn("__next", F.lead("id").over(chain_w))
+                .filter(F.col("__next").isNotNull())
+                .select(
+                    F.least("id", "__next").alias("d1"),
+                    F.greatest("id", "__next").alias("d2"),
+                )
+            )
+            ba, bb = healthy.alias("a"), healthy.alias("b")
+            candidates = (
+                ba.join(
+                    bb,
+                    (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
+                )
+                .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+                .unionByName(hot_star)
+                .unionByName(hot_chain)
+                .distinct()
+            )
         # verify with exact jaccard on the two shingle SETS — candidates
         # are few, so per-pair array_intersect beats re-deriving an
         # inverted-index join (half the plan, no second postings pass).
@@ -957,11 +1006,11 @@ class SimHashDedup(Component):
         # per copy instead.
         edges = edges.localCheckpoint(eager=True)
         if edges.count() >= self.partition_persist_min_rows:
-            edges_by_id = edges.repartition("id").persist(
-                StorageLevel.MEMORY_AND_DISK
+            edges_by_id = _track(
+                edges.repartition("id").persist(StorageLevel.MEMORY_AND_DISK)
             )
-            edges_by_bk = edges.repartition("bk").persist(
-                StorageLevel.MEMORY_AND_DISK
+            edges_by_bk = _track(
+                edges.repartition("bk").persist(StorageLevel.MEMORY_AND_DISK)
             )
         else:
             edges_by_id = edges_by_bk = edges
@@ -1616,7 +1665,7 @@ class SubstringDedup(Component):
                     TXT.tokens(self.text_col), lambda x: x != F.lit("")
                 ).alias("__w"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         )
         n = F.size("__w")
         win_arr = F.when(
@@ -2044,11 +2093,9 @@ class SemDeDup(Component):
         # scan rebalance before persisting: a single-row-group corpus
         # file collapses to one non-empty scan task, which would make
         # the assignment GEMM and the persist single-threaded (see
-        # MinHashLSHPairs.transform)
-        n_part = int(slim.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        slim = slim.repartition(n_part, F.col("id")).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # MinHashLSHPairs.transform).  spread() is row-group aware and
+        # a no-op when the flow already shuffled upstream.
+        slim = _spread(slim).persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         n = slim.count()
         cap = max(1, self.sample_size // 4)
         k = min(cap, max(1, -(-n // self.target_cluster_rows)))

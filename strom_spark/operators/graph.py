@@ -36,6 +36,7 @@ from typing import Sequence
 from pyspark.sql import functions as F
 
 from ..component import Component
+from ..cache import track as _track
 from ..flow import Flow
 from ..planprobe import probe_loop_plan
 
@@ -94,7 +95,7 @@ class ConnectedComponents(Component):
             df.select(F.col(self.dst).alias("a"), F.col(self.src).alias("b"))
         )
         probe_loop_plan("ConnectedComponents/setup", sym)
-        sym = sym.repartition("b").persist(StorageLevel.MEMORY_AND_DISK)
+        sym = sym.repartition("b").persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         labels = sym.select("a").distinct().select("a", F.col("a").alias("lab"))
         prev_sum = None
         for _ in range(self.max_iterations):
@@ -244,7 +245,7 @@ class PageRank(Component):
             .unionAll(edges.select(F.col("__dst").alias("__node")))
             .distinct()
             .repartition("__node")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         )
         # the degree table is STATIC — join it into the edge list once,
         # instead of re-joining every round (saves one join per
@@ -253,7 +254,7 @@ class PageRank(Component):
         deg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
         adjacency = edges.join(deg, "__src").repartition("__src")
         probe_loop_plan("PageRank/setup", adjacency)
-        edges = adjacency.persist(StorageLevel.MEMORY_AND_DISK)
+        edges = adjacency.persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         n = nodes.count()
         if n == 0:
             raise ValueError(
@@ -368,7 +369,7 @@ class TriangleCount(Component):
             und.select(F.explode(F.array("u", "v")).alias("n"))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         )
         withdeg = (
             und.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
@@ -381,7 +382,7 @@ class TriangleCount(Component):
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
             F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
 
         e1, e2 = ori.alias("e1"), ori.alias("e2")
         # (deg, id)-order the wedge pair so the closing edge, if it

@@ -28,8 +28,10 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..component import Component
+from ..cache import track as _track
 from ..flow import Flow
 from ..functions import vectors as V
+from ..io import spread as _io_spread
 
 
 class CosineTopK(Component):
@@ -728,17 +730,13 @@ class CosineLSHJoin(Component):
             # (MEMORY_AND_DISK; freed by Spark's LRU — an eager
             # unpersist here would land before the lazy output plan
             # ever executed and force the recompute back in).  The
-            # id-hash repartition ahead of the persist is the scan
-            # rebalance (r12): a single-row-group corpus file collapses
-            # to one non-empty scan task, which would single-thread the
-            # signature GEMM and cache every later pass as 1 partition
-            # (dedup.py:MinHashLSHPairs.transform).
-            n_scan = int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
-            df = df.repartition(n_scan, F.col(self.id_col)).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            # spread() ahead of the persist is the scan rebalance: a
+            # single-row-group corpus file collapses to one non-empty
+            # scan task, which would single-thread the signature GEMM
+            # and cache every later pass as 1 partition
+            # (dedup.py:MinHashLSHPairs.transform).  Row-group aware
+            # and a no-op when the flow already shuffled upstream.
+            df = _io_spread(df).persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         n_tables, bits_per_table = self._resolve(df)
         if self.portable:
             # raw vectors: the verify kernel normalizes in float64 and
@@ -1084,7 +1082,7 @@ class MMRRerank(Component):
         cv = (
             joined
             .select("__q", "__c", "__rel", "__v", "__n")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         )
         a, b = cv.alias("a"), cv.alias("b")
         pairs = a.join(
@@ -1313,7 +1311,7 @@ class CoOccurrenceJaccard(Component):
         # the scan+distinct+cap lineage a single time, and the two
         # join sides + sizes read the cache (without it the plan
         # re-derives the postings five times)
-        li = li0.join(ok.select("__g"), "__g").persist(StorageLevel.MEMORY_AND_DISK)
+        li = li0.join(ok.select("__g"), "__g").persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         sizes = li.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
         a, b = li.alias("a"), li.alias("b")
         pairs = (

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..component import Component, require_batch
+from ..cache import track as _track
 from ..flow import Flow
 from ..functions import text as TXT
 
@@ -605,13 +606,13 @@ class DSIRWeights(Component):
             self._doc_buckets(raw_src)
             .groupBy("__b")
             .agg(F.sum("__cnt").alias("__cr"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         )
         tgt_b = (
             self._doc_buckets(target)
             .groupBy("__b")
             .agg(F.sum("__cnt").alias("__ct"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         )
         # ≤ n_buckets rows; __lr arrives as decimal.Decimal, so the
         # replay accumulates cnt·lr EXACTLY like the batch DECIMAL sum
@@ -694,30 +695,31 @@ class DSIRWeights(Component):
         # THREE times and the target's twice).  ``doc_b`` is the one
         # corpus-sized pin (MEMORY_AND_DISK — same materialization cost
         # class as the shuffle that produces it); the bucket tables are
-        # ≤ n_buckets rows.  Caches are left to Spark's LRU eviction —
-        # call ``.unpersist()`` on the output's lineage in a long-lived
-        # session if memory pressure matters before the next query.
+        # ≤ n_buckets rows.  Every persist is registered with
+        # strom_spark.cache.track — call strom_spark.release_caches()
+        # at pipeline end in a long-lived session; until then Spark's
+        # LRU eviction keeps memory bounded.
         from pyspark import StorageLevel
 
-        doc_b = self._doc_buckets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        doc_b = self._doc_buckets(docs).persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         if raw_src is None:
             raw_b = (
                 doc_b.groupBy("__b")
                 .agg(F.sum("__cnt").alias("__cr"))
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
             )
         else:
             raw_b = (
                 self._doc_buckets(raw_src)
                 .groupBy("__b")
                 .agg(F.sum("__cnt").alias("__cr"))
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
             )
         tgt_b = (
             self._doc_buckets(target)
             .groupBy("__b")
             .agg(F.sum("__cnt").alias("__ct"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         )
         ratio = self._ratio(raw_b, tgt_b)
 

@@ -40,11 +40,24 @@ ADJUDICATED = {
         "0.198s, code unchanged since — the sub-2s jitter band",
         "SCALE.md: Round-8 bench adjudications (2)",
     ),
+}
+
+#: Re-registration adjudications (r12 ADVICE): a query re-registered on
+#: a different (scale-safe) algorithm is slower at small SF by DESIGN —
+#: but only versus priors that measured the OLD registration.  Each
+#: entry carries the re-registration commit; the entry EXPIRES for any
+#: best prior recorded at-or-after that commit (git ancestry for
+#: git-history priors, round number for BENCH_rNN.json priors), so a
+#: post-re-registration regression is flagged again instead of being
+#: masked forever.
+RE_REGISTRATION_ADJUDICATED = {
     "dedup_embedding": (
         "r10 re-registration on the portable sub-quadratic LSH plan — "
         "a different (scale-safe) algorithm, not a regression of the "
         "exact GEMM it replaced",
         "SCALE.md: dedup_embedding re-registration (round 10)",
+        "08fbf77",
+        10,
     ),
     "dedup_minhash_lsh": (
         "r12 re-registration on the auto banding (18 bands x 4 rows, "
@@ -53,14 +66,45 @@ ADJUDICATED = {
         "the sf10 spill fix (auto 41.5s vs pinned 74.5s at sf10, "
         "identical 925 pairs)",
         "SCALE.md: Round-12 MinHash auto-banding",
+        "31156fb",
+        12,
     ),
     "minhash_recall_floor": (
         "r12 re-registration at the auto banding (same change as "
         "dedup_minhash_lsh; the planted-pair floor runs the full "
         "operator on corpus+plants)",
         "SCALE.md: Round-12 MinHash auto-banding",
+        "31156fb",
+        12,
     ),
 }
+
+
+def _prior_predates(src: str, reg_sha: str, reg_round: int) -> bool:
+    """True when the best-prior artifact was recorded BEFORE the
+    re-registration — i.e. it measured the old algorithm and the
+    adjudication still applies.  git-history priors (``ARTIFACT@sha``)
+    use commit ancestry; round files (``BENCH_rNN.json``) use the round
+    number.  Unknown provenance counts as pre-dating (keep the
+    adjudication rather than raise a false alarm)."""
+    import re
+    import subprocess
+
+    m = re.fullmatch(r"BENCH_r(\d+)\.json", src)
+    if m:
+        return int(m.group(1)) < reg_round
+    if "@" in src:
+        sha = src.rsplit("@", 1)[1]
+        try:
+            rc = subprocess.run(
+                ["git", "merge-base", "--is-ancestor", reg_sha, sha],
+                cwd=ROOT, capture_output=True,
+            ).returncode
+            if rc in (0, 1):
+                return rc == 1  # reg ∉ ancestors(prior) → prior is older
+        except Exception:
+            pass
+    return True
 
 #: r11 box-drift batch: a worktree replay of the PRIOR commit
 #: (7675980) on the r11 box measured the same slowdowns on
@@ -149,6 +193,10 @@ def test_no_unadjudicated_warm_min_drift():
             continue
         if name in BOX_DRIFT_ADJUDICATED and canaries.get(src) is None:
             continue  # box-drift entries cover canary-less priors only
+        if name in RE_REGISTRATION_ADJUDICATED:
+            _, _, reg_sha, reg_round = RE_REGISTRATION_ADJUDICATED[name]
+            if _prior_predates(src, reg_sha, reg_round):
+                continue  # prior measured the pre-re-registration algo
         # canary normalization (r11): when both artifacts measured the
         # box-speed canary, RELAX the threshold by how much slower the
         # current box is (capped 3x; never tightened — a fast box must

@@ -135,6 +135,9 @@ def test_minhash_hot_bucket_star_guard(spark):
     got = {(r.d1, r.d2) for r in guarded.collect()}
     # star shape: identical docs pair with the min id (0), not all-pairs
     assert {(0, i) for i in range(1, 60)} <= got
+    # chain shape: neighbors in (h0, id) order — identical docs share
+    # h0, so consecutive ids link (the mixed-bucket connectivity path)
+    assert {(i, i + 1) for i in range(1, 59)} <= got
     assert len(got) < 60 * 59 / 2  # quadratic pair set NOT materialized
     # cluster semantics unchanged: one component, root keeps all
     keep = MinHashDedup(
@@ -142,6 +145,13 @@ def test_minhash_hot_bucket_star_guard(spark):
     )(Flow({"d": docs}))["k"].collect()
     comp = {r.keep_id for r in keep if r.id < 1000}
     assert comp == {0}
+    # max_bucket_rows=None: guard off, FULL exact pair set by choice
+    # (oracle-parity mode for corpora with dup groups above any cap)
+    unguarded = MinHashLSHPairs(
+        "d", "p", threshold=0.8, max_bucket_rows=None
+    )(Flow({"d": docs}))["p"]
+    full = {(r.d1, r.d2) for r in unguarded.collect()}
+    assert {(a, b) for a in range(60) for b in range(a + 1, 60)} <= full
 
 
 def test_simhash_and_pairs(docs):

@@ -621,3 +621,79 @@ def test_hot_key_salted_join_equals_plain_join(spark):
 
     with _pytest.raises(ValueError, match="single-column"):
         salted_join(left, right, ["k", "v"], hot_keys=[1])
+
+
+def test_spread_fires_on_single_row_group_file(spark, tmp_path):
+    """The r12 decade wall: a big SINGLE-row-group parquet file splits
+    into many byte ranges, but only the range holding the row-group
+    start produces rows — split count looks healthy while all rows ride
+    one task.  spread() must detect the concentration via the parquet
+    footer and repartition; a genuinely multi-row-group layout with the
+    same split count must stay a no-op (no gratuitous shuffle)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from strom_spark.io import spread
+
+    n = 20_000
+    tbl = pa.table(
+        {"id": list(range(n)), "text": ["lorem ipsum dolor sit amet " * 8] * n}
+    )
+    one_rg = str(tmp_path / "one_rg.parquet")
+    many_rg = str(tmp_path / "many_rg.parquet")
+    pq.write_table(tbl, one_rg, row_group_size=n, compression="none")
+    pq.write_table(tbl, many_rg, row_group_size=n // 64, compression="none")
+
+    target = spark.sparkContext.defaultParallelism
+    floor = max(2, target // 2)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # force splits >> floor so the old split-count guard would no-op
+        size = __import__("os").path.getsize(one_rg)
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(max(4096, size // (2 * floor)))
+        )
+        df = spark.read.parquet(one_rg)
+        assert df.rdd.getNumPartitions() >= floor  # guard's blind spot
+        nonempty = df.rdd.mapPartitions(
+            lambda it: [1] if next(iter(it), None) is not None else []
+        ).count()
+        assert nonempty == 1  # ...hiding total row concentration
+        out = spread(df)
+        assert out.rdd.getNumPartitions() == target
+        assert out.count() == n
+
+        # healthy layout, same split count: spread returns df untouched
+        df2 = spark.read.parquet(many_rg)
+        assert df2.rdd.getNumPartitions() >= floor
+        assert spread(df2) is df2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_cache_registry_release(spark):
+    """Operator-internal persists register with strom_spark.cache so a
+    long-lived session can bulk-release them at pipeline end instead of
+    waiting on LRU eviction (r12 advice)."""
+    from strom_spark import release_caches
+    from strom_spark.cache import track
+
+    df = spark.range(1000).persist()
+    track(df)
+    df.count()
+    assert df.storageLevel.useMemory
+    assert release_caches() >= 1
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+    assert release_caches() == 0  # registry drained, idempotent
+
+    # end-to-end: an auto-mode operator's internal persists are tracked
+    from strom_spark.flow import Flow
+    from strom_spark.operators.dedup import MinHashLSHPairs
+
+    docs = spark.createDataFrame(
+        [{"doc_id": i, "text": f"alpha beta gamma {i} delta epsilon"} for i in range(50)]
+    )
+    MinHashLSHPairs(
+        "d", "p", threshold=0.8, num_hashes=None, rows_per_band=None
+    )(Flow({"d": docs}))["p"].count()
+    assert release_caches() >= 1

@@ -112,6 +112,13 @@ def main():
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
             continue
+        finally:
+            # operator-internal persists are dead once the query is
+            # collected; releasing here keeps decade-SF sweeps from
+            # accumulating disk-backed blocks (the r9 OOM cascade)
+            from strom_spark.cache import release_caches
+
+            release_caches()
         t1 = time.time()
         if name not in oracles:
             print(f"ok?   {name}: rows={len(srows)} (no oracle, rows-only) [{t1-t0:.1f}s]")
