@@ -1870,7 +1870,8 @@ def pagerank_mass_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "triangle_doubling_invariant",
     """
-WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_orderkey % 10 = 0)
 SELECT CAST(count(*) AS BIGINT) AS n_edges, CAST(1 AS BIGINT) AS doubling_ok
 FROM (SELECT DISTINCT a.l_partkey AS s, c.l_partkey AS d
       FROM b a JOIN b c
@@ -1889,11 +1890,23 @@ def triangle_doubling_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     or dedup regression that miscounts under different degree
     orderings/bucket layouts breaks the equality; `doubling_ok` flips
     red against the oracle's constant 1.  The oracle's n_edges is the
-    plain co-purchase edge count — cheap at every SF."""
+    subsampled co-purchase edge count — cheap at every SF.
+
+    The graph is a DETERMINISTIC 1/10-orders subsample (l_orderkey %
+    10 = 0 — SQL-replayable and offset-symmetric, unlike a hash coin):
+    the co-purchase projection has no degree tail to cap (sf10 max
+    degree 273 at 120M edges) — the decade wall is sheer wedge VOLUME
+    (Σd² = 3.0e10), and the r11 sf10 run of the full doubled join
+    exhausted shuffle disk.  Order-subsampling keeps baskets intact,
+    shrinks wedges ~100×, and the r11 compensating run (same 1/10
+    subsample, 12M edges, 0 mismatches) is now the REGISTERED
+    semantics instead of an exclusion.  Full-graph exactness at
+    ≤ sf1.0 stays covered by triangle_counts' value-hash oracle."""
     from strom_spark import TriangleCount
 
     li = (
         load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -1944,6 +1957,131 @@ def triangle_doubling_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         F.when(F.coalesce(F.col("__bad"), F.lit(1)) == 0, F.lit(1))
         .otherwise(F.lit(0)).cast("bigint").alias("doubling_ok"),
+    )
+
+
+@_q(
+    "triangle_capped_counts",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n
+),
+ec AS (
+  SELECT e.u, e.v FROM e
+  JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+  WHERE du.d <= 128 AND dv.d <= 128
+),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM ec e1 JOIN ec e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN ec e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+n AS (
+  SELECT a AS part_id FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+)
+SELECT part_id, CAST(count(*) AS BIGINT) AS n_triangles FROM n GROUP BY part_id
+""",
+)
+def triangle_capped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TriangleCount's DECADE mode (r12 verdict task 2): ``max_degree``
+    drops every edge incident to a raw-degree > 128 hub BEFORE the
+    wedge join, making the count exact on the induced low-degree
+    subgraph — the standard Zipf-tail shear (the full wedge join's
+    Σdeg² exhausted 78 GB of shuffle disk at sf10).  The cap predicate
+    uses raw canonical degrees, so the DuckDB oracle replays it
+    verbatim: this row certifies the capped SEMANTICS, not just a
+    floor.  graph.py:TriangleCount(max_degree=...)."""
+    from strom_spark import TriangleCount
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return TriangleCount(
+        "edges", "tri", node_col="part_id", count_col="n_triangles",
+        max_degree=128,
+    )(Flow({"edges": edges}))["tri"]
+
+
+@_q(
+    "triangle_doulion_floor",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT CAST(count(*) AS BIGINT) AS n_edges, CAST(1 AS BIGINT) AS doulion_ok
+FROM (SELECT DISTINCT a.l_partkey AS s, c.l_partkey AS d
+      FROM li a JOIN li c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey)
+""",
+)
+def triangle_doulion_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-VERIFYING row for TriangleCount's DOULION mode
+    (``edge_sample`` — Tsourakakis et al. 2009): a deterministic
+    xxhash64 coin keeps each canonical edge w.p. p=0.5, per-node
+    counts scale by 1/p³.  The row computes the exact triangle TOTAL
+    and the DOULION estimate on the same graph and asserts the
+    estimate lands within 15% (p=0.5 keeps 1/8 of triangles in
+    expectation; at the ≥10k-triangle co-purchase totals the estimator
+    SD is ~1-2%, so 15% is an ~8σ floor, deterministic per seed).
+    The sampling coin is Spark xxhash64 — not SQL-replayable — so the
+    oracle checks the data-derived edge count plus the constant flag
+    (the floor-row pattern: the hash match enforces the flag)."""
+    from strom_spark import TriangleCount
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    exact = TriangleCount(
+        "e", "t", node_col="part_id", count_col="n_tri"
+    )(Flow({"e": edges}))["t"]
+    est = TriangleCount(
+        "e", "t", node_col="part_id", count_col="n_tri",
+        edge_sample=0.5, seed=42,
+    )(Flow({"e": edges}))["t"]
+    # per-node counts triple-count each triangle on BOTH sides — the
+    # ratio of totals is still the DOULION total-estimate ratio
+    te = exact.agg(F.sum("n_tri").alias("__t")).select(
+        F.lit(1).alias("__k"), F.col("__t")
+    )
+    td = est.agg(F.sum("n_tri").alias("__e")).select(
+        F.lit(1).alias("__k"), F.col("__e")
+    )
+    n_edges = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct().agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")).select(
+        F.lit(1).alias("__k"), F.col("n_edges")
+    )
+    return n_edges.join(te, "__k").join(td, "__k").select(
+        "n_edges",
+        F.when(
+            F.abs(F.col("__e") / F.col("__t") - 1.0) <= 0.15, F.lit(1)
+        ).otherwise(F.lit(0)).cast("bigint").alias("doulion_ok"),
     )
 
 

@@ -2412,6 +2412,58 @@ def test_triangle_count_hand_computed(spark):
     assert TriangleCount("e", "t")(Flow({"e": path}))["t"].count() == 0
 
 
+def test_triangle_count_bounded_modes(spark):
+    """r13 decade modes.  max_degree: a hub (node 0, degree 5) sits in
+    triangles with every spoke pair; capping at its spokes' degree
+    removes exactly the hub's edges and the count is exact on the
+    induced subgraph.  edge_sample: p=1.0 is the identity; p<1 scales
+    by 1/p³ and a kept triangle reads 8.0 at p=0.5."""
+    from strom_spark import Flow, TriangleCount
+
+    # hub 0 connected to 1..5; spokes form a cycle 1-2-3-4-5-1
+    hub_edges = [(0, i) for i in range(1, 6)]
+    cycle = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]
+    g = spark.createDataFrame(hub_edges + cycle, "src bigint, dst bigint")
+    full = {
+        r.node: r.n_triangles
+        for r in TriangleCount("e", "t")(Flow({"e": g}))["t"].collect()
+    }
+    assert full[0] == 5  # hub closes every cycle edge
+    # cap 4 < hub degree 5: hub removed, spokes alone (a C5) have none
+    capped = TriangleCount("e", "t", max_degree=4)(Flow({"e": g}))["t"]
+    assert capped.count() == 0
+    # cap above every degree: identical to full
+    capped_hi = {
+        r.node: r.n_triangles
+        for r in TriangleCount("e", "t", max_degree=100)(
+            Flow({"e": g})
+        )["t"].collect()
+    }
+    assert capped_hi == full
+    # edge_sample=1.0: exact, bigint
+    same = {
+        r.node: r.n_triangles
+        for r in TriangleCount("e", "t", edge_sample=1.0)(
+            Flow({"e": g})
+        )["t"].collect()
+    }
+    assert same == full
+    # p=0.5 on a single triangle: either all 3 edges survive the coin
+    # (counts = 1/p³ = 8.0 per node) or the output is empty
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src bigint, dst bigint")
+    est = TriangleCount("e", "t", edge_sample=0.5, seed=7)(
+        Flow({"e": tri})
+    )["t"].collect()
+    assert est == [] or sorted(r.n_triangles for r in est) == [8.0, 8.0, 8.0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_degree"):
+        TriangleCount("e", "t", max_degree=1)
+    with _pytest.raises(ValueError, match="edge_sample"):
+        TriangleCount("e", "t", edge_sample=0.0)
+
+
 def test_pagerank_empty_and_damping_guards(spark):
     from strom_spark import Flow, PageRank
 

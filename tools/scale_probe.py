@@ -641,6 +641,14 @@ def decade2_main() -> None:
         keep = set(only.split(","))
         TIMED = [n for n in TIMED if n in keep]
         VERIFY = [n for n in VERIFY if n in keep]
+    # SPARK_GRAFT_DECADE2_QUERIES=a,b,c: REPLACE the timed list with an
+    # arbitrary registered subset (r13: re-probing the spread()-guarded
+    # text family after the row-group fix) — verify rows off unless
+    # also named via SPARK_GRAFT_DECADE2_ONLY semantics
+    custom = os.environ.get("SPARK_GRAFT_DECADE2_QUERIES")
+    if custom:
+        TIMED = [n for n in custom.split(",") if n]
+        VERIFY = []
     spark = get_spark("decade2_probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(2_000_000).selectExpr("sum(id*2)").collect()  # JIT warmup
