@@ -4596,7 +4596,11 @@ def lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
-    corpus = emb.unionByName(planted)
+    # spread: the pinned path does no auto rebalance, and the
+    # single-row-group embeddings scan would otherwise run the whole
+    # signature GEMM in ONE task at decade SF (r12: 746.7s at sf10 for
+    # a 219.7s sf1.0 base; the row-group-aware spread() is the fix)
+    corpus = spread(emb.unionByName(planted))
     pairs = CosineLSHJoin(
         "c", "pairs", dim=DIM, threshold=0.9, n_tables=8, bits_per_table=12
     )(Flow({"c": corpus}))["pairs"]

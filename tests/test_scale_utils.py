@@ -697,3 +697,40 @@ def test_cache_registry_release(spark):
         "d", "p", threshold=0.8, num_hashes=None, rows_per_band=None
     )(Flow({"d": docs}))["p"].count()
     assert release_caches() >= 1
+
+
+def test_spread_idempotent_across_layers(spark, tmp_path):
+    """Registry-level spread(load_table(...)) followed by an operator's
+    internal _spread must NOT add a second exchange: the row-group
+    probe skips any plan that already contains an Exchange (r13
+    consolidation — one rebalance discipline, one shuffle)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from strom_spark.io import spread
+
+    n = 20_000
+    tbl = pa.table(
+        {"id": list(range(n)), "text": ["lorem ipsum dolor sit amet " * 8] * n}
+    )
+    p = str(tmp_path / "one_rg2.parquet")
+    pq.write_table(tbl, p, row_group_size=n, compression="none")
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        import os as _os
+
+        size = _os.path.getsize(p)
+        floor = max(2, spark.sparkContext.defaultParallelism // 2)
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(max(4096, size // (2 * floor)))
+        )
+        df = spark.read.parquet(p)
+        once = spread(df)
+        assert once is not df  # first layer fires on the 1-row-group scan
+        twice = spread(once)
+        assert twice is once  # second layer sees the Exchange and no-ops
+        # narrow transform between layers: still no second exchange
+        sel = once.select("id", "text")
+        assert spread(sel) is sel
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
