@@ -581,16 +581,34 @@ class MinHashLSHPairs(Component):
             # verification — the full |bucket|²/2 set is intentionally
             # NOT materialized (it is the quadratic being guarded
             # against).
-            hot_star = hot.filter(F.col("id") != F.col("__root")).select(
-                F.col("__root").alias("d1"), F.col("id").alias("d2")
-            )
+            # star + chain from ONE windowed pass (a single hot subtree
+            # in the plan — the lead() sort rides the same bk
+            # partitioning as the count/min window): explode both pair
+            # shapes per member, drop the degenerate rows (root's own
+            # star = (root,root); the last member's chain has a null
+            # next)
             chain_w = Window.partitionBy("bk").orderBy("__s0", "id")
-            hot_chain = (
+            hot_pairs = (
                 hot.withColumn("__next", F.lead("id").over(chain_w))
-                .filter(F.col("__next").isNotNull())
                 .select(
-                    F.least("id", "__next").alias("d1"),
-                    F.greatest("id", "__next").alias("d2"),
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("__root").alias("d1"),
+                                F.col("id").alias("d2"),
+                            ),
+                            F.struct(
+                                F.least("id", "__next").alias("d1"),
+                                F.greatest("id", "__next").alias("d2"),
+                            ),
+                        )
+                    ).alias("__p")
+                )
+                .select("__p.d1", "__p.d2")
+                .filter(
+                    F.col("d1").isNotNull()
+                    & F.col("d2").isNotNull()
+                    & (F.col("d1") != F.col("d2"))
                 )
             )
             ba, bb = healthy.alias("a"), healthy.alias("b")
@@ -600,8 +618,7 @@ class MinHashLSHPairs(Component):
                     (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
                 )
                 .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
-                .unionByName(hot_star)
-                .unionByName(hot_chain)
+                .unionByName(hot_pairs)
                 .distinct()
             )
         # verify with exact jaccard on the two shingle SETS — candidates

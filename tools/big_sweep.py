@@ -45,6 +45,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 INVARIANT_COVER = {
     "pagerank_order_part": "pagerank_mass_invariant",
     "triangle_counts": "triangle_doubling_invariant",
+    # r13: the capped row's oracle replays the degree-cap wedge join in
+    # DuckDB — value-hash green at sf0.01/0.1 where the join is
+    # feasible; above that the wedge machinery is covered by the
+    # doubling invariant (cap semantics don't change with SF)
+    "triangle_capped_counts": "triangle_doubling_invariant",
     "embedding_clusters": "cc_label_invariant",
     "dedup_minhash_lsh": "minhash_recall_floor",
     "dedup_minhash_clusters": "minhash_recall_floor",
