@@ -267,6 +267,7 @@ def test_no_quadratic_join_sweep(spark, sf_dir):
         "minhash_recall_floor": ("flag-row assembly — 1-row aggregate joined to 1-row aggregate on a folded literal key", None),
         "lsh_auto_recall_floor": ("flag-row assembly — 1-row found-count aggregate crossJoin 1-row planted-count aggregate (r12: n_planted counted, not lit)", None),
         "semdedup_dup_floor": ("flag-row assembly — 1-row planted-count aggregate crossJoin 1-row flagged-count aggregate", None),
+        "triangle_doulion_floor": ("flag-row assembly — 1-row edge-count, exact-total and DOULION-estimate aggregates joined on a literal key (r13)", None),
         "curation_v2": ("corpus stats attach inside quality scoring — 1-row side", None),
         "quality_percentiles": ("corpus-count attach for the percentile denominator — 1-row side", None),
         "q11_important_part_value": ("global value total attach — 1-row side", None),
