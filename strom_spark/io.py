@@ -117,12 +117,26 @@ def spread(df: DataFrame) -> DataFrame:
     if df.isStreaming:
         return df  # partitioning is per-microbatch; no RDD to inspect
     target = df.sparkSession.sparkContext.defaultParallelism
+
+    def _rebalance(frame: DataFrame) -> DataFrame:
+        # hash-on-all-columns, NOT round-robin: repartition(n) uses
+        # RoundRobinPartitioning which pays a full local SORT of every
+        # row for retry-determinism (spark.sql.execution.
+        # sortBeforeRepartition) — measured +35% on the sf1.0 minhash
+        # wall when text columns ride the sort.  Hashing the row is
+        # deterministic without sorting, and rows are unique wherever
+        # spread() matters (scans carry an id column), so the spread
+        # is uniform.
+        if not frame.columns:
+            return frame.repartition(target)
+        return frame.repartition(target, *[F.col(c) for c in frame.columns])
+
     floor = max(2, target // 2)
     if df.rdd.getNumPartitions() < floor:
-        return df.repartition(target)
+        return _rebalance(df)
     row_groups = _scan_row_groups(df, floor)
     if row_groups is not None and row_groups < floor:
-        return df.repartition(target)
+        return _rebalance(df)
     return df
 
 
