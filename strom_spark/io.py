@@ -21,8 +21,11 @@ operator free of per-encoding branches.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 TABLES = (
     "region",
@@ -70,8 +73,18 @@ def _scan_row_groups(df: DataFrame, threshold: int) -> int | None:
     (each file has ≥1, so ≥threshold files short-circuits for free —
     the 100 TB case, where scans have thousands of files)."""
     try:
-        if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
-            return None  # already redistributed; scan layout irrelevant
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # SHUFFLE exchanges only: a BroadcastExchange (small dim side of
+        # a BHJ) does not redistribute the probe side, so a single-row-
+        # group scan broadcast-joined to a tiny table still rides one
+        # task — the exact hazard this probe exists to catch (r14
+        # advice).  The negative lookbehind excludes "BroadcastExchange"
+        # while matching "Exchange hashpartitioning", "Exchange
+        # RoundRobinPartitioning", "Exchange rangepartitioning",
+        # "Exchange SinglePartition"; the AQE node names cover plans
+        # re-planned at runtime.
+        if re.search(r"(?<!Broadcast)Exchange|ShuffleQueryStage|AQEShuffleRead", plan):
+            return None  # already shuffle-redistributed; scan layout irrelevant
         files = df.inputFiles()
     except Exception:
         return None
@@ -118,18 +131,39 @@ def spread(df: DataFrame) -> DataFrame:
         return df  # partitioning is per-microbatch; no RDD to inspect
     target = df.sparkSession.sparkContext.defaultParallelism
 
+    def _hash_safe(dt) -> bool:
+        # Catalyst's HashExpression rejects MapType (and any type
+        # containing one) — hashing such a column raises
+        # AnalysisException, so it must never reach the partitioning key
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _hash_safe(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_hash_safe(f.dataType) for f in dt.fields)
+        return True
+
     def _rebalance(frame: DataFrame) -> DataFrame:
-        # hash-on-all-columns, NOT round-robin: repartition(n) uses
+        # hash-partition, NOT round-robin: repartition(n) uses
         # RoundRobinPartitioning which pays a full local SORT of every
         # row for retry-determinism (spark.sql.execution.
         # sortBeforeRepartition) — measured +35% on the sf1.0 minhash
-        # wall when text columns ride the sort.  Hashing the row is
-        # deterministic without sorting, and rows are unique wherever
-        # spread() matters (scans carry an id column), so the spread
-        # is uniform.
-        if not frame.columns:
+        # wall when text columns ride the sort.  Key choice (r14
+        # advice): prefer an id-like column subset — high-cardinality
+        # by construction, so fully-duplicate PAYLOAD rows don't
+        # collapse into one partition — falling back to every
+        # hash-safe column, and to plain round-robin when nothing is
+        # hashable (e.g. a frame of MapType columns).
+        hashable = [
+            f.name for f in frame.schema.fields if _hash_safe(f.dataType)
+        ]
+        if not hashable:
             return frame.repartition(target)
-        return frame.repartition(target, *[F.col(c) for c in frame.columns])
+        id_like = [
+            c for c in hashable if re.search(r"(^|_)(id|key)s?($|_)", c, re.I)
+        ]
+        cols = id_like or hashable
+        return frame.repartition(target, *[F.col(c) for c in cols])
 
     floor = max(2, target // 2)
     if df.rdd.getNumPartitions() < floor:

@@ -349,7 +349,21 @@ class TriangleCount(Component):
       counts by 1/p³ (each triangle survives w.p. p³ → unbiased
       estimator; ``count_col`` becomes DOUBLE).  The volume defense:
       wedges shrink ~p², so p=0.1 turns the sf10 join into ~1% of the
-      shuffle.
+      shuffle.  When combined with ``max_degree``, the cap still reads
+      RAW canonical-graph degrees (computed pre-coin), so the predicate
+      stays seed-independent and oracle-replayable.
+
+    **Wedge-budget guard (r14 — the CosineLSHJoin discipline).**  The
+    degree frame is already materialized, so one extra aggregate gives
+    the raw wedge-volume bound Σd² before any expensive join runs.
+    When the EFFECTIVE volume — Σd² unsampled, p²·Σd² under
+    ``edge_sample`` — exceeds ``wedge_budget`` (default 4e9, ~the
+    budget this box shuffles in minutes; the sf10 co-purchase wall
+    measured Σd² = 3.0e10), transform() raises with the measured
+    number and the two remedies, instead of letting the user discover
+    a tens-of-billions-row wedge join at runtime.  ``max_degree``
+    skips the guard — the cap bounds fan-out at m·K by construction,
+    an explicit scale decision.  ``wedge_budget=None`` disables.
 
     Output: (node_col, count_col) for every node in >= 1 triangle
     (bigint exact, or double estimate under ``edge_sample``).
@@ -367,12 +381,15 @@ class TriangleCount(Component):
         max_degree: int | None = None,
         edge_sample: float | None = None,
         seed: int = 42,
+        wedge_budget: int | None = 4_000_000_000,
         label: str | None = None,
     ):
         if max_degree is not None and max_degree < 2:
             raise ValueError("max_degree must be >= 2 (a triangle needs degree 2)")
         if edge_sample is not None and not 0.0 < edge_sample <= 1.0:
             raise ValueError("edge_sample must be in (0, 1]")
+        if wedge_budget is not None and wedge_budget < 1:
+            raise ValueError("wedge_budget must be >= 1 (or None to disable)")
         self.input = input
         self.output = output or input
         self.src, self.dst = src, dst
@@ -380,6 +397,7 @@ class TriangleCount(Component):
         self.max_degree = max_degree
         self.edge_sample = edge_sample
         self.seed = seed
+        self.wedge_budget = wedge_budget
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
@@ -394,6 +412,56 @@ class TriangleCount(Component):
             )
             .distinct()
         )
+        # degrees via ONE explode (not a self-unionAll — that consumes
+        # the edge build twice); the NODE-sized result is persisted
+        # because it joins twice (u-side and v-side) — caching 1 row
+        # per node is cheap insurance, caching the EDGE table is not
+        # (measured 2x slower at sf0.1; the edge build runs twice —
+        # deg materialization + orient join — which is the floor).
+        # Degrees come from the PRE-sample canonical edge set (r14
+        # advice): with edge_sample + max_degree combined, the cap must
+        # apply to the documented RAW canonical-graph degrees, not
+        # seed-dependent sampled degrees — otherwise the cap predicate
+        # isn't oracle-replayable.  Orientation by raw degree is valid
+        # on the sampled subgraph too (any total order orients; the
+        # sampled out-degree is <= the raw oriented out-degree, so the
+        # sqrt(2m) fan-out bound still holds).
+        deg = (
+            und.select(F.explode(F.array("u", "v")).alias("n"))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
+        )
+        if self.wedge_budget is not None and self.max_degree is None:
+            # one agg over the persisted NODE-sized degree frame — the
+            # edge build it forces runs exactly once (cached) and was
+            # needed by every downstream join anyway.  Raw Σd² bounds
+            # the wedge-join row count; sampling shrinks it ~p².
+            sum_d2 = (
+                deg.agg(F.sum(F.col("d").cast("double") * F.col("d")).alias("s"))
+                .collect()[0]["s"]
+            ) or 0.0
+            effective = sum_d2 * (
+                float(self.edge_sample) ** 2
+                if self.edge_sample is not None
+                else 1.0
+            )
+            if effective > self.wedge_budget:
+                raise RuntimeError(
+                    f"TriangleCount wedge volume Σd² = {sum_d2:.3g}"
+                    + (
+                        f" (× p² = {effective:.3g} effective)"
+                        if self.edge_sample is not None
+                        else ""
+                    )
+                    + f" exceeds wedge_budget = {self.wedge_budget:.3g}: the "
+                    "wedge join would materialize that many candidate rows "
+                    "(the sf10 co-purchase graph hit this wall at 3.0e10 "
+                    "without any degree tail).  Bound it with max_degree=K "
+                    "(exact on the induced subgraph, volume <= m*K), a "
+                    "smaller edge_sample=p (unbiased estimate, volume ~ "
+                    "p^2*Σd²), or raise/disable wedge_budget explicitly."
+                )
         if self.edge_sample is not None and self.edge_sample < 1.0:
             # DOULION coin: deterministic per canonical edge — the
             # same edge always lands the same side at any partitioning
@@ -401,18 +469,6 @@ class TriangleCount(Component):
                 F.pmod(F.xxhash64("u", "v", F.lit(self.seed)), F.lit(1_000_000))
                 < int(self.edge_sample * 1_000_000)
             )
-        # degrees via ONE explode (not a self-unionAll — that consumes
-        # the edge build twice); the NODE-sized result is persisted
-        # because it joins twice (u-side and v-side) — caching 1 row
-        # per node is cheap insurance, caching the EDGE table is not
-        # (measured 2x slower at sf0.1; the edge build runs twice —
-        # deg materialization + orient join — which is the floor)
-        deg = (
-            und.select(F.explode(F.array("u", "v")).alias("n"))
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
-        )
         withdeg = (
             und.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
             .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")

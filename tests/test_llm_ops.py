@@ -2462,6 +2462,77 @@ def test_triangle_count_bounded_modes(spark):
         TriangleCount("e", "t", max_degree=1)
     with _pytest.raises(ValueError, match="edge_sample"):
         TriangleCount("e", "t", edge_sample=0.0)
+    with _pytest.raises(ValueError, match="wedge_budget"):
+        TriangleCount("e", "t", wedge_budget=0)
+
+
+def test_triangle_count_combined_modes_raw_degrees(spark):
+    """r14 advice: with edge_sample AND max_degree combined, the cap
+    must read RAW canonical-graph degrees (pre-coin), not sampled
+    degrees — otherwise the cap is seed-dependent and not oracle-
+    replayable.  edge_sample=1.0 keeps every edge, so any divergence
+    between (cap alone) and (cap + sample@1.0) would expose a
+    post-sample degree source; and at p<1 the kept-triangle counts on
+    a capped graph must still be 1/p³-scaled."""
+    from strom_spark import Flow, TriangleCount
+
+    hub_edges = [(0, i) for i in range(1, 6)]
+    cycle = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]
+    g = spark.createDataFrame(hub_edges + cycle, "src bigint, dst bigint")
+
+    capped = {
+        r.node: r.n_triangles
+        for r in TriangleCount("e", "t", max_degree=4)(Flow({"e": g}))["t"].collect()
+    }
+    combined = {
+        r.node: r.n_triangles
+        for r in TriangleCount("e", "t", max_degree=4, edge_sample=1.0)(
+            Flow({"e": g})
+        )["t"].collect()
+    }
+    assert combined == capped  # raw-degree cap, identity coin
+
+    # p<1 on a capped graph: single triangle among low-degree nodes
+    # plus a hub wired to everything; cap removes the hub, coin either
+    # keeps the whole triangle (8.0 each) or drops it
+    tri = [(1, 2), (2, 3), (1, 3)]
+    hub = [(9, n) for n in (1, 2, 3)] + [(9, i) for i in range(10, 17)]
+    g2 = spark.createDataFrame(tri + hub, "src bigint, dst bigint")
+    est = TriangleCount("e", "t", max_degree=3, edge_sample=0.5, seed=7)(
+        Flow({"e": g2})
+    )["t"].collect()
+    assert est == [] or sorted(r.n_triangles for r in est) == [8.0, 8.0, 8.0]
+    assert all(r.node in (1, 2, 3) for r in est)  # hub sheared pre-coin
+
+
+def test_triangle_count_wedge_budget_guard(spark):
+    """r14: the Σd² guard fires BEFORE the wedge join materializes —
+    a RuntimeError naming the measured volume and the remedies, the
+    CosineLSHJoin auto-discipline applied to graphs.  max_degree
+    skips the guard (explicit m·K bound); edge_sample discounts the
+    effective volume by p²; wedge_budget=None disables."""
+    import pytest as _pytest
+
+    from strom_spark import Flow, TriangleCount
+
+    hub_edges = [(0, i) for i in range(1, 6)]
+    cycle = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]
+    g = spark.createDataFrame(hub_edges + cycle, "src bigint, dst bigint")
+    # degrees: hub 5, spokes 3 each -> Σd² = 25 + 5*9 = 70
+
+    with _pytest.raises(RuntimeError, match="wedge_budget"):
+        TriangleCount("e", "t", wedge_budget=69)(Flow({"e": g}))
+    # budget exactly at the volume: passes (guard is strict-greater)
+    ok = TriangleCount("e", "t", wedge_budget=70)(Flow({"e": g}))["t"]
+    assert ok.count() == 6  # hub + every spoke sits in >= 1 triangle
+    # max_degree skips the guard entirely
+    TriangleCount("e", "t", max_degree=4, wedge_budget=1)(Flow({"e": g}))["t"].count()
+    # edge_sample discounts by p²: 70 * 0.25 = 17.5 <= 18 passes
+    TriangleCount("e", "t", edge_sample=0.5, wedge_budget=18)(Flow({"e": g}))
+    with _pytest.raises(RuntimeError, match="effective"):
+        TriangleCount("e", "t", edge_sample=0.5, wedge_budget=17)(Flow({"e": g}))
+    # None disables
+    TriangleCount("e", "t", wedge_budget=None)(Flow({"e": g}))["t"].count()
 
 
 def test_pagerank_empty_and_damping_guards(spark):

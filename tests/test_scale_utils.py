@@ -641,11 +641,14 @@ def test_spread_fires_on_single_row_group_file(spark, tmp_path):
     )
     one_rg = str(tmp_path / "one_rg.parquet")
     many_rg = str(tmp_path / "many_rg.parquet")
-    pq.write_table(tbl, one_rg, row_group_size=n, compression="none")
-    pq.write_table(tbl, many_rg, row_group_size=n // 64, compression="none")
-
     target = spark.sparkContext.defaultParallelism
     floor = max(2, target // 2)
+    pq.write_table(tbl, one_rg, row_group_size=n, compression="none")
+    # healthy file gets ~2*floor row groups whatever the box's
+    # parallelism — a fixed divisor fails spuriously when floor > 64
+    pq.write_table(
+        tbl, many_rg, row_group_size=max(1, n // (2 * floor)), compression="none"
+    )
     prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         # force splits >> floor so the old split-count guard would no-op
@@ -734,3 +737,91 @@ def test_spread_idempotent_across_layers(spark, tmp_path):
         assert spread(sel) is sel
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_spread_fires_through_broadcast_join(spark, tmp_path):
+    """r14 advice: a BroadcastExchange (tiny dim side of a BHJ) does
+    NOT redistribute the probe side — a single-row-group scan
+    broadcast-joined to a 3-row dim still rides one task, and the old
+    bare-substring 'Exchange' check wrongly treated that plan as
+    already spread.  Only SHUFFLE exchanges may suppress the probe."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from strom_spark.io import spread
+
+    n = 20_000
+    tbl = pa.table(
+        {
+            "doc_id": list(range(n)),
+            "cat": [i % 3 for i in range(n)],
+            "text": ["lorem ipsum dolor sit amet " * 8] * n,
+        }
+    )
+    p = str(tmp_path / "one_rg_bhj.parquet")
+    pq.write_table(tbl, p, row_group_size=n, compression="none")
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        import os as _os
+
+        floor = max(2, spark.sparkContext.defaultParallelism // 2)
+        size = _os.path.getsize(p)
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(max(4096, size // (2 * floor)))
+        )
+        dim = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c")], "cat long, name string"
+        )
+        joined = spark.read.parquet(p).join(F.broadcast(dim), "cat")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan and "hashpartitioning" not in plan
+        out = spread(joined)
+        assert out is not joined  # broadcast no longer masks the 1-RG scan
+        assert out.count() == n
+        # a genuine shuffle exchange still suppresses (idempotency)
+        assert spread(out) is out
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_spread_rebalance_key_choice(spark):
+    """r14 advice: _rebalance prefers an id-like hash key (payload
+    duplicates must not collapse into one partition), falls back to
+    every hash-safe column, and to plain round-robin when nothing is
+    hashable (MapType raises in Catalyst's hash expression)."""
+    from pyspark.sql import functions as F
+
+    from strom_spark.io import spread
+
+    target = spark.sparkContext.defaultParallelism
+
+    # id-like column present: hash key is exactly that subset
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("same payload").alias("text")
+    ).coalesce(1)
+    out = spread(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(doc_id" in plan
+    assert out.rdd.getNumPartitions() == target
+
+    # duplicate payload rows with distinct ids spread evenly, not 1 bucket
+    counts = out.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    assert max(counts) < 1000  # would be 1000 if hashed on the payload
+
+    # MapType column: un-hashable -> plain repartition, no exception
+    mp = spark.createDataFrame(
+        [({"k": i},) for i in range(50)], "m map<string,int>"
+    ).coalesce(1)
+    out_mp = spread(mp)
+    assert out_mp.rdd.getNumPartitions() == target
+    assert out_mp.count() == 50
+
+    # map + id column: id is hash-safe, used as the key
+    mp_id = spark.createDataFrame(
+        [(i, {"k": i}) for i in range(50)], "doc_id long, m map<string,int>"
+    ).coalesce(1)
+    out_mp_id = spread(mp_id)
+    plan2 = out_mp_id._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(doc_id" in plan2
+    assert out_mp_id.count() == 50
