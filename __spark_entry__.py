@@ -4145,10 +4145,17 @@ def cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "cosine_lsh_prod",
     """
+WITH uni AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 2.0) AS v
+  FROM embeddings WHERE vec_id < 10
+)
 SELECT a.vec_id AS d1, b.vec_id AS d2,
-  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9
+  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
 """,
 )
 def cosine_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4162,17 +4169,34 @@ def cosine_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     (48×4, θ=0.3) for exact oracle verification of non-empty output
     from the same machinery.
 
-    Oracle note (honest): the testdata corpus has NO pair above cosine
-    0.6 (measured: max 0.51 at sf0.01, 0.60 at sf0.1), so the true
-    θ=0.9 pair set is EMPTY and the all-pairs oracle hash-matches the
-    LSH output under ANY config — the check this buys is PRECISION
-    (exact verification emits no spurious pair even though the bucket
-    join generates candidates), which is exactly what makes the oracle
-    valid for an auto config that varies with N.  Recall on non-empty
-    truth sets is covered by `cosine_lsh_pairs` (recall-1 config,
-    hash-matched), `lsh_auto_recall_floor` (planted identical dups
-    through the auto config), and tests/test_llm_ops.py."""
-    flow = Flow({"emb": load_table(spark, sf_dir, "embeddings")})
+    Recall-side oracle (r14 — the r13 verdict's task 5): the raw
+    corpus has NO pair above cosine 0.6 (measured: max 0.51 at sf0.01,
+    0.60 at sf0.1), so the truth set used to be empty and the oracle
+    certified precision only.  Both engines now plant ×2.0-SCALED
+    copies of the 10 lowest-id vectors under shifted ids: ×2 is a pure
+    exponent bump, exact in float32 AND double, so the copy is
+    bit-deterministic in both engines, non-identical as a vector, and
+    direction-identical — cosine exactly 1.0 ≥ θ and every SRP sign
+    bit equal, so each planted pair collides in EVERY table regardless
+    of the resolved (n_tables, bits).  The truth set is exactly the 10
+    planted pairs at any SF (scaling preserves all other cosines), and
+    the full-set hash match now certifies RECALL (all 10 found,
+    deterministically) and PRECISION (nothing spurious) in one row.
+    A near-threshold plant (cos ≈ 0.92) cannot be registered honestly:
+    per-pair SRP collision at the 0.9 recall target is probabilistic
+    over the driver-regenerated corpus, so an exact-set oracle would
+    be flaky by design — near-threshold recall is covered statistically
+    in tests/test_llm_ops.py and by `lsh_auto_recall_floor`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = [c for c in emb.columns if c not in ("vec_id", "embedding")]
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+        *keep,
+    )
+    flow = Flow({"emb": emb.unionByName(planted)})
     return CosineLSHJoin("emb", "pairs", dim=64, threshold=0.9)(flow)["pairs"]
 
 
