@@ -1245,6 +1245,22 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_LSH = dict(threshold=0.3, n_tables=24, bits_per_table=6, dim=64,
                 portable=True)
 
+#: r14 (the triangle_doubling_invariant precedent, applied family-wide):
+#: every PINNED-config oracle-parity demo row over embeddings is bounded
+#: BY REGISTRATION at its design corpus — the first 20k vectors, i.e.
+#: the FULL corpus at every SF <= 1.0 where these rows are value-hash
+#: certified (max vec_id at sf1.0 is 19999, so the cap is a literal
+#: no-op there and below; committed artifacts and bench priors are
+#: unchanged).  At sf10+ the cap keeps the pinned config's quadratic
+#: candidate volume at its certified sf1.0 size instead of letting
+#: fixed-bits/fixed-k physics go quadratic (candidates ~ N²/2^bits at
+#: fixed bits; Σcᵢ² = N²/k at fixed k — the r11 DECADE2 walls), so the
+#: rows run and hash-verify at ANY SF.  The full-corpus scale path at
+#: decade SFs is the AUTO-sized twins (cosine_lsh_prod,
+#: lsh_auto_recall_floor, semdedup_dup_floor, minhash_recall_floor),
+#: which resolve their config from a corpus count per SF.
+_EMB_DEMO_CAP = 20_000
+
 #: shared DuckDB CTE replaying the portable SRP-LSH buckets: planes
 #: from md5 parity, signatures from exact integer dots, candidates
 #: from the per-table bucket self-join (d1 < d2, DISTINCT across
@@ -1253,7 +1269,7 @@ _EMB_LSH_SQL = """
 q AS (
   SELECT vec_id AS id,
          list_transform(embedding::DOUBLE[], x -> trunc(x * 1000000.0)) AS qv
-  FROM embeddings
+  FROM embeddings WHERE vec_id < 20000
 ),
 planes AS (
   SELECT (i // 6) AS t, (i % 6) AS b,
@@ -1302,9 +1318,17 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery itself, not just the output format.  Recall vs the exact
     op is measured by embedding_dedup_recall_floor (~0.72 at this
     threshold-0.3 operating point; SRP physics: at true near-dup
-    thresholds >= 0.9 the same op reaches ~0.94+, see SCALE.md)."""
-    flow = Flow({"emb": load_table(spark, sf_dir, "embeddings")})
-    return CosineLSHJoin("emb", "pairs", **_EMB_LSH)(flow)["pairs"]
+    thresholds >= 0.9 the same op reaches ~0.94+, see SCALE.md).
+
+    Bounded at the pinned config's design corpus (``_EMB_DEMO_CAP`` —
+    a no-op at <= sf1.0, the certified sf1.0 workload at sf10+): at
+    fixed 24x6 the candidate volume is ~ n_tables·N²/2^bits, the r11
+    DECADE2 wall (75 GB shuffle at 200k vectors).  The full-corpus
+    decade path is the AUTO sizing (`cosine_lsh_prod`)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _EMB_DEMO_CAP
+    )
+    return CosineLSHJoin("emb", "pairs", **_EMB_LSH)(Flow({"emb": emb}))["pairs"]
 
 
 @_q(
@@ -1314,7 +1338,8 @@ WITH {_EMB_LSH_SQL},
 exact AS (
   SELECT a.vec_id AS d1, b.vec_id AS d2
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+  WHERE a.vec_id < 20000 AND b.vec_id < 20000
+    AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
 )
 SELECT (SELECT COUNT(*) FROM exact)::BIGINT AS n_exact,
        (SELECT COUNT(*) FROM exact e JOIN cand c ON e.d1 = c.d1 AND e.d2 = c.d2)::BIGINT AS n_hit,
@@ -1332,8 +1357,15 @@ def embedding_dedup_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's constant 1) if fewer than 60% of exact pairs surface —
     measured 71.5%/72.2% at sf0.01/sf0.1, ~8 binomial sigma above the
     floor, so a miss means a real regression in planes, quantization,
-    packing, or the bucket join, not noise."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    packing, or the bucket join, not noise.
+
+    Bounded at ``_EMB_DEMO_CAP`` (r14): the exact side is the one
+    sanctioned quadratic, and the cap fixes it at its certified sf1.0
+    size (4e8 dots) at any SF — a no-op at <= sf1.0, decade-runnable
+    at sf10+ instead of 4e10 dots."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _EMB_DEMO_CAP
+    )
     lsh = CosineLSHJoin("emb", "pairs", **_EMB_LSH)(Flow({"emb": emb}))["pairs"]
     exact = EmbeddingNearDupPairs(
         "emb", "p", threshold=0.3, on_overflow="tile"
@@ -1751,7 +1783,8 @@ def sq8_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "triangle_counts",
     """
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey < 1500000),
 e AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -1780,11 +1813,23 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers — the oracle closes wedges with plain id-orientation and
     MUST produce the identical multiset.  Edge build is an equi-join
     keyed on the order (basket <= 17 rows).  Beyond-reference: graph
-    analytics surface next to PageRank/ConnectedComponents."""
+    analytics surface next to PageRank/ConnectedComponents.
+
+    Bounded at the sf1.0 order keyspace (``l_orderkey < 1.5e6`` — a
+    no-op at <= sf1.0 where the row is certified; r14, the
+    triangle_doubling_invariant precedent): the FULL sf10 graph's
+    wedge volume is Σd² = 3.0e10 with no degree tail (120M edges, max
+    degree 273) — pure volume that DNF'd on 78 GB of wedge shuffle and
+    now trips TriangleCount's wedge_budget guard by design.  The cap
+    keeps exact counting runnable at any SF; unbounded decade graphs
+    go through max_degree (triangle_capped_counts) or edge_sample
+    (triangle_doulion_floor), and scale growth is certified by
+    triangle_doubling_invariant."""
     from strom_spark import TriangleCount
 
     li = (
         load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1_500_000)
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -2091,7 +2136,7 @@ def triangle_doulion_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(count(*) AS BIGINT) AS n_nodes,
        CAST(1 AS BIGINT) AS edge_consistent_ok,
        CAST(1 AS BIGINT) AS root_ok
-FROM embeddings
+FROM embeddings WHERE vec_id < 20000
 """,
 )
 def cc_label_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2110,10 +2155,18 @@ def cc_label_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         regression cannot hide.
 
     Self-loop edges for every vector pin the node universe to the
-    whole corpus, making the oracle's n_nodes a plain count."""
+    whole corpus, making the oracle's n_nodes a plain count.
+
+    Bounded at ``_EMB_DEMO_CAP`` (r14): the edge set is the sanctioned
+    exact quadratic (EmbeddingNearDupPairs tile); the cap fixes it at
+    the certified sf1.0 size at any SF (no-op at <= sf1.0), so the CC
+    invariants verify at sf10+ too.  Full-corpus decade CC is
+    exercised through dedup_minhash_clusters' verified pair graph."""
     from strom_spark import ConnectedComponents
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _EMB_DEMO_CAP
+    )
     pairs = EmbeddingNearDupPairs(
         "emb", "pairs", threshold=0.3, on_overflow="tile"
     )(Flow({"emb": emb}))["pairs"].select("d1", "d2")
@@ -4596,10 +4649,22 @@ def lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
       cross-similarity vs a planted copy is ≈(0.6+ε)/√(1+ε²) ≈ 0.78).
 
     The oracle's constants flip the row red on any regression; only
-    n_planted is data-derived (count of vec_id < 50)."""
+    n_planted is data-derived (count of vec_id < 50).
+
+    Bounded at ``_EMB_DEMO_CAP`` (r14): at the PINNED 8x12 config the
+    candidate volume grows ~ N²/2^bits (r12 sf10: 187.3s, decade ratio
+    56.9 even after the spread fix), so the corpus is capped at the
+    certified sf1.0 size — seeding/packing/bucket-join recall is
+    config-local, not corpus-size-local, and the planted pairs (ids
+    < 50) are untouched by the cap.  Full-corpus auto-sized recall at
+    decade SFs is lsh_auto_recall_floor."""
     N_PLANT, EPS, DIM = 50, 0.2, 64
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _EMB_DEMO_CAP)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
     )
     d = F.transform(
         F.sequence(F.lit(0), F.lit(DIM - 1)),
@@ -6955,7 +7020,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS d1, b.vec_id AS d2
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+  WHERE a.vec_id < 20000 AND b.vec_id < 20000
+    AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
 ),
 e AS (SELECT d1 AS s, d2 AS t FROM pairs UNION SELECT d2, d1 FROM pairs),
 walk(node, lab) AS (
@@ -6973,10 +7039,23 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     state) applied to EmbeddingNearDupPairs edges.  The oracle walks
     the same graph with a recursive CTE.  This is the composition a
     dedup pipeline actually runs: pair generator -> components ->
-    keep min id per component."""
+    keep min id per component.
+
+    Bounded at ``_EMB_DEMO_CAP`` (r14): the edge generator is the
+    sanctioned exact quadratic — the cap keeps it at the certified
+    sf1.0 size at any SF (no-op at <= sf1.0).  Decade-scale clustering
+    over the FULL corpus runs through the sub-quadratic pair graph
+    (dedup_minhash_clusters' verified pairs) with the same CC
+    operator."""
     from strom_spark import ConnectedComponents
 
-    flow = Flow({"emb": load_table(spark, sf_dir, "embeddings")})
+    flow = Flow(
+        {
+            "emb": load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < _EMB_DEMO_CAP
+            )
+        }
+    )
     pairs = EmbeddingNearDupPairs(
         "emb", "pairs", threshold=0.3, on_overflow="tile"
     )(flow)["pairs"]
@@ -7822,7 +7901,7 @@ a AS (
   SELECT e.vec_id, e.embedding::DOUBLE[] AS v, p.cid,
     row_number() OVER (PARTITION BY e.vec_id
       ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], p.pv), 6) DESC, p.cid) AS rk
-  FROM embeddings e CROSS JOIN p
+  FROM embeddings e CROSS JOIN p WHERE e.vec_id < 20000
 ),
 asg AS (SELECT vec_id, cid AS centroid_id, v FROM a WHERE rk = 1),
 d AS (
@@ -7846,10 +7925,23 @@ def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup tractable at 100 TB (the production path swaps the pivots for
     sampled-Lloyd centroids; identical plumbing, exercised in pytest).
     The oracle replays assignment (argmax via row_number) and the
-    within-cluster smaller-id-mate EXISTS declaratively."""
+    within-cluster smaller-id-mate EXISTS declaratively.
+
+    Bounded at ``_EMB_DEMO_CAP`` (r14): at FIXED k=8 the per-cluster
+    GEMM work is Σcᵢ² = N²/8 — the same fixed-parameter quadratic the
+    r11 LSH probe caught — so the pinned-pivot demo is capped at its
+    certified sf1.0 size (no-op at <= sf1.0, 5e7 cosines at any SF).
+    The decade path is auto-k (n_clusters=None), certified at sf10 by
+    semdedup_dup_floor."""
     from strom_spark import SemDeDup
 
-    flow = Flow({"emb": load_table(spark, sf_dir, "embeddings")})
+    flow = Flow(
+        {
+            "emb": load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") < _EMB_DEMO_CAP
+            )
+        }
+    )
     return SemDeDup(
         "emb", "flags", threshold=0.3, n_clusters=8, centroids="pivot"
     )(flow)["flags"]

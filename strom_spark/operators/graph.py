@@ -357,9 +357,10 @@ class TriangleCount(Component):
     degree frame is already materialized, so one extra aggregate gives
     the raw wedge-volume bound Σd² before any expensive join runs.
     When the EFFECTIVE volume — Σd² unsampled, p²·Σd² under
-    ``edge_sample`` — exceeds ``wedge_budget`` (default 4e9, ~the
-    budget this box shuffles in minutes; the sf10 co-purchase wall
-    measured Σd² = 3.0e10), transform() raises with the measured
+    ``edge_sample`` — exceeds ``wedge_budget`` (default 8e9 — geometric middle
+    between the certified sf1.0 co-purchase graph at Σd² = 3.0e9 and
+    the sf10 wall measured at 3.0e10, which DNF'd on 78 GB of wedge
+    shuffle), transform() raises with the measured
     number and the two remedies, instead of letting the user discover
     a tens-of-billions-row wedge join at runtime.  ``max_degree``
     skips the guard — the cap bounds fan-out at m·K by construction,
@@ -381,7 +382,7 @@ class TriangleCount(Component):
         max_degree: int | None = None,
         edge_sample: float | None = None,
         seed: int = 42,
-        wedge_budget: int | None = 4_000_000_000,
+        wedge_budget: int | None = 8_000_000_000,
         label: str | None = None,
     ):
         if max_degree is not None and max_degree < 2:

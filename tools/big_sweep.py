@@ -75,49 +75,32 @@ SCALE_SUBSET = [
     "triangle_doubling_invariant",
     # composites / relational / skew
     "curation_v5", "cep_order_fulfillment", "hot_key_detection",
+    # r14: the previously-excluded pinned-config demo rows, now bounded
+    # BY REGISTRATION at their certified design corpus (_EMB_DEMO_CAP /
+    # the sf1.0 order keyspace — the triangle_doubling_invariant
+    # precedent applied family-wide), so every scale-critical row runs
+    # at sf10 and the exclusion list is empty
+    "dedup_embedding", "embedding_dedup_recall_floor",
+    "embedding_clusters", "cc_label_invariant",
+    "semdedup_flags", "triangle_counts",
 ]
 
-#: rows that cannot run at sf10 AT ALL (not an oracle problem — the
-#: Spark side itself is a sanctioned quadratic or a pinned
-#: oracle-parity demo config), with the compensating coverage.  The
-#: artifact records these so the exclusion list is explicit.
-SCALE_EXCLUDED = {
-    "embedding_dedup_recall_floor": (
-        "exact side is the sanctioned quadratic (4e10 dots at 200k "
-        "vectors); covered by minhash_recall_floor + lsh_auto_recall_"
-        "floor at sf10 and by this row at sf0.01/0.1/1.0"
-    ),
-    "dedup_embedding": (
-        "registered on the PINNED portable 24x6 config (the bit-for-bit "
-        "oracle-parity demo) which DNFs at 200k vectors (r11 DECADE2: "
-        "75GB shuffle, candidates ~ n_tables*N^2/2^bits at fixed bits); "
-        "the production scale path is the auto sizing, certified at "
-        "sf10 by cosine_lsh_prod + lsh_auto_recall_floor"
-    ),
-    "embedding_clusters": (
-        "exact EmbeddingNearDupPairs tile + CC — the same sanctioned "
-        "quadratic; CC machinery certified at sf10 through "
-        "dedup_minhash_clusters' verified-pair graph"
-    ),
-    "cc_label_invariant": (
-        "its edge set is EmbeddingNearDupPairs(on_overflow='tile') — "
-        "the sanctioned quadratic again (4e10 dots at sf10); the CC "
-        "invariants it checks are exercised at sf10 inside "
-        "dedup_minhash_clusters"
-    ),
-    "triangle_counts": (
-        "wedge-join oracle infeasible in DuckDB at decade scale; "
-        "certified by triangle_doubling_invariant in the subset"
-    ),
-    "semdedup_flags": (
-        "registered on the PINNED 8-pivot oracle-parity config — "
-        "per-cluster work Sum(c_i^2) = N^2/8 at fixed k is the same "
-        "quadratic the fixed-bits LSH probe caught (r11); the "
-        "production scale path is auto-k (n_clusters=None, k = "
-        "ceil(N/target_cluster_rows)), certified at sf10 by "
-        "semdedup_dup_floor"
-    ),
-}
+#: rows that cannot run at this SF AT ALL, with compensating coverage.
+#: EMPTY since r14: the six pinned-config demo rows that used to live
+#: here (dedup_embedding, embedding_dedup_recall_floor,
+#: embedding_clusters, cc_label_invariant, semdedup_flags,
+#: triangle_counts) are now bounded BY REGISTRATION at their certified
+#: design corpus — vec_id < _EMB_DEMO_CAP (= the full corpus at
+#: <= sf1.0) for the embedding family, l_orderkey < 1.5e6 (= all
+#: orders at <= sf1.0) for the triangle row — so their fixed-parameter
+#: quadratics (candidates ~ N²/2^bits at fixed bits, Σcᵢ² = N²/k at
+#: fixed k, wedge volume Σd²) stay at the certified sf1.0 size at any
+#: SF and every scale-critical row runs in the sweep.  Full-corpus
+#: decade coverage is the auto-sized twins (cosine_lsh_prod,
+#: lsh_auto_recall_floor, semdedup_dup_floor, minhash_recall_floor,
+#: triangle_capped_counts / triangle_doulion_floor /
+#: triangle_doubling_invariant).
+SCALE_EXCLUDED: dict[str, str] = {}
 
 LINE = re.compile(
     r"^(PASS|FAIL|SKIP|ok\?)\s+(\S+?):\s*(.*)$"
