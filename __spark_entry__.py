@@ -4623,13 +4623,13 @@ FROM embeddings WHERE vec_id < 50
 """,
 )
 def lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CosineLSHJoin retrieval QUALITY at the PRODUCTION config (θ=0.9,
-    8 tables × 12 bits — the config `cosine_lsh_prod` benches) as a
-    driver-checked flag row, mirroring `ann_recall_floor` for IVF.
-    The prod config's registered oracle row can only test PRECISION
-    (the corpus has no natural pair above cosine ~0.6, so truth is
-    empty); this row PLANTS 50 near-duplicates so recall is measured
-    on a non-empty truth set every round:
+    """CosineLSHJoin retrieval QUALITY at a PINNED θ=0.9 config
+    (8 tables × 12 bits — the fixed-width demo twin of the auto-sized
+    `cosine_lsh_prod`, which since r14 carries its own deterministic
+    scaled-copy truth set) as a driver-checked flag row, mirroring
+    `ann_recall_floor` for IVF.  This row PLANTS 50 NON-IDENTICAL
+    near-duplicates so recall at a near-threshold operating point is
+    measured on a non-empty truth set every round:
 
     - each corpus vector with vec_id < 50 gets a copy (id + 1_000_000)
       perturbed by a DETERMINISTIC pseudo-noise direction d with

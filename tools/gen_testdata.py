@@ -9,8 +9,17 @@ planted exact-dup rate, unit-norm clustered embeddings) rather than its
 exact byte stream — which is all correctness and benchmarking need,
 because Spark and the DuckDB oracle always read the SAME files.
 
-Usage:  python tools/gen_testdata.py <out_dir> [sf]
+Usage:  python tools/gen_testdata.py <out_dir> [sf] [tables]
         python tools/gen_testdata.py /root/repo/testdata_sf1.0 1.0
+        python tools/gen_testdata.py /root/repo/testdata_sf100_docs 100 \
+            documents,embeddings
+
+``tables`` (optional comma list) writes only the named tables — the
+per-table RNG children are spawned in a FIXED order from the root
+seed, so a subset run emits byte-identical files to a full run (the
+r10 isolation property; used for the sf100 documents/embeddings
+decade-3 corpus where a full sf100 lineitem would be 600M rows of
+numpy for tables the probe never reads).
 
 Row counts scale linearly from the driver's table (TESTDATA.md):
 lineitem 6M @ sf1.0, orders 1.5M, customer 150k, supplier 10k,
@@ -83,8 +92,12 @@ def _ts_array(days_ns: np.ndarray, origin: str) -> pa.Array:
     return pa.array(base + days_ns.astype("timedelta64[us]"))
 
 
-def generate(out: str, sf: float) -> None:
+def generate(out: str, sf: float, tables: set[str] | None = None) -> None:
     os.makedirs(out, exist_ok=True)
+    def want(t: str) -> bool:
+        # subset writes stay byte-identical: every table's rng child
+        # is spawned below regardless, only the WRITE is skipped
+        return tables is None or t in tables
 
     # Per-table child generators (round 10): one sequential stream
     # meant that changing the DRAW COUNT of any table silently
@@ -104,136 +117,145 @@ def generate(out: str, sf: float) -> None:
     n_emb = int(20_000 * sf)
 
     for t in ("region", "nation"):
-        shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+        if want(t):
+            shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
 
-    # customer: acctbal uniform(-1000, 10000) 2dp, nation uniform 0-24
-    k = np.arange(n_cust, dtype=np.int64)
-    pq.write_table(pa.table({
-        "c_custkey": k,
-        "c_name": pa.array([f"Customer#{i:09d}" for i in k]),
-        "c_nationkey": rng_cust.integers(0, 25, n_cust).astype(np.int32),
-        "c_acctbal": np.round(rng_cust.uniform(-1000, 10000, n_cust), 2),
-        "c_mktsegment": pa.array(list(np.array(SEGMENTS)[rng_cust.integers(0, 5, n_cust)])),
-    }), f"{out}/customer.parquet")
+    if want('customer'):
+        # customer: acctbal uniform(-1000, 10000) 2dp, nation uniform 0-24
+        k = np.arange(n_cust, dtype=np.int64)
+        pq.write_table(pa.table({
+            "c_custkey": k,
+            "c_name": pa.array([f"Customer#{i:09d}" for i in k]),
+            "c_nationkey": rng_cust.integers(0, 25, n_cust).astype(np.int32),
+            "c_acctbal": np.round(rng_cust.uniform(-1000, 10000, n_cust), 2),
+            "c_mktsegment": pa.array(list(np.array(SEGMENTS)[rng_cust.integers(0, 5, n_cust)])),
+        }), f"{out}/customer.parquet")
 
-    k = np.arange(n_supp, dtype=np.int64)
-    pq.write_table(pa.table({
-        "s_suppkey": k,
-        "s_name": pa.array([f"Supplier#{i:09d}" for i in k]),
-        "s_nationkey": rng_supp.integers(0, 25, n_supp).astype(np.int32),
-        "s_acctbal": np.round(rng_supp.uniform(-1000, 10000, n_supp), 2),
-    }), f"{out}/supplier.parquet")
+    if want('supplier'):
+        k = np.arange(n_supp, dtype=np.int64)
+        pq.write_table(pa.table({
+            "s_suppkey": k,
+            "s_name": pa.array([f"Supplier#{i:09d}" for i in k]),
+            "s_nationkey": rng_supp.integers(0, 25, n_supp).astype(np.int32),
+            "s_acctbal": np.round(rng_supp.uniform(-1000, 10000, n_supp), 2),
+        }), f"{out}/supplier.parquet")
 
-    # part: retailprice 900 + 0.1*(key % 1000) (measured lattice)
-    k = np.arange(n_part, dtype=np.int64)
-    pq.write_table(pa.table({
-        "p_partkey": k,
-        "p_name": pa.array([
-            f"{ADJ[a]} {NOUN[b]}" for a, b in zip(
-                rng_part.integers(0, 8, n_part), rng_part.integers(0, 8, n_part))
-        ]),
-        "p_brand": pa.array([f"Brand#{i}" for i in rng_part.integers(1, 26, n_part)]),
-        "p_type": pa.array(list(np.array(PTYPES)[rng_part.integers(0, 6, n_part)])),
-        "p_size": rng_part.integers(1, 51, n_part).astype(np.int32),
-        "p_retailprice": np.round(900.0 + 0.1 * (k % 1000), 2),
-    }), f"{out}/orders_tmp_part.parquet")
-    os.replace(f"{out}/orders_tmp_part.parquet", f"{out}/part.parquet")
+    if want('part'):
+        # part: retailprice 900 + 0.1*(key % 1000) (measured lattice)
+        k = np.arange(n_part, dtype=np.int64)
+        pq.write_table(pa.table({
+            "p_partkey": k,
+            "p_name": pa.array([
+                f"{ADJ[a]} {NOUN[b]}" for a, b in zip(
+                    rng_part.integers(0, 8, n_part), rng_part.integers(0, 8, n_part))
+            ]),
+            "p_brand": pa.array([f"Brand#{i}" for i in rng_part.integers(1, 26, n_part)]),
+            "p_type": pa.array(list(np.array(PTYPES)[rng_part.integers(0, 6, n_part)])),
+            "p_size": rng_part.integers(1, 51, n_part).astype(np.int32),
+            "p_retailprice": np.round(900.0 + 0.1 * (k % 1000), 2),
+        }), f"{out}/orders_tmp_part.parquet")
+        os.replace(f"{out}/orders_tmp_part.parquet", f"{out}/part.parquet")
 
-    # orders: date uniform 1995-01-01..2001-08-01, status uniform O/P/F
-    k = np.arange(n_ord, dtype=np.int64)
-    span_us = int(2404 * 86400e6)  # 1995-01-01 -> 2001-08-01
-    pq.write_table(pa.table({
-        "o_orderkey": k,
-        "o_custkey": rng_ord.integers(0, n_cust, n_ord),
-        "o_orderstatus": pa.array(list(np.array(["O", "P", "F"])[rng_ord.integers(0, 3, n_ord)])),
-        "o_totalprice": np.round(rng_ord.uniform(1000, 500000, n_ord), 2),
-        "o_orderdate": _ts_array(
-            (rng_ord.integers(0, span_us // 86_400_000_000, n_ord) * 86_400_000_000),
-            "1995-01-01"),
-        "o_orderpriority": pa.array(list(np.array(PRIORITIES)[rng_ord.integers(0, 5, n_ord)])),
-    }), f"{out}/orders.parquet")
+    if want('orders'):
+        # orders: date uniform 1995-01-01..2001-08-01, status uniform O/P/F
+        k = np.arange(n_ord, dtype=np.int64)
+        span_us = int(2404 * 86400e6)  # 1995-01-01 -> 2001-08-01
+        pq.write_table(pa.table({
+            "o_orderkey": k,
+            "o_custkey": rng_ord.integers(0, n_cust, n_ord),
+            "o_orderstatus": pa.array(list(np.array(["O", "P", "F"])[rng_ord.integers(0, 3, n_ord)])),
+            "o_totalprice": np.round(rng_ord.uniform(1000, 500000, n_ord), 2),
+            "o_orderdate": _ts_array(
+                (rng_ord.integers(0, span_us // 86_400_000_000, n_ord) * 86_400_000_000),
+                "1995-01-01"),
+            "o_orderpriority": pa.array(list(np.array(PRIORITIES)[rng_ord.integers(0, 5, n_ord)])),
+        }), f"{out}/orders.parquet")
 
-    # lineitem: orderkey uniform over orders (multinomial lines/order),
-    # quantity 1..50 integral double, discount/tax decimal lattices,
-    # flags independent uniform.
-    #
-    # l_shipdate is INDEPENDENT of the parent o_orderdate ON PURPOSE
-    # (r10 advice adjudication): the driver's OWN data draws them
-    # independently too — measured on /root/testdata/sf0.1 and sf0.01,
-    # 48.1%/48.6% of lineitems ship BEFORE their order date with mean
-    # offset +48 days and range [-2399, +2496] days; this generator
-    # reproduces exactly that (48.1%, +48.2, [-2400, +2499]).
-    # "Fixing" shipdate to o_orderdate + positive offset would make the
-    # synthetic decade LESS like the corpus the driver certifies
-    # against and silently change which CEP lateness branches a sf1.0
-    # sweep exercises.
-    k = np.arange(n_li, dtype=np.int64)
-    span_us = int(2499 * 86400e6)  # 1995-01-02 -> 2001-11-04
-    pq.write_table(pa.table({
-        "l_orderkey": rng_li.integers(0, n_ord, n_li),
-        "l_partkey": rng_li.integers(0, n_part, n_li),
-        "l_suppkey": rng_li.integers(0, n_supp, n_li),
-        "l_linenumber": rng_li.integers(1, 8, n_li).astype(np.int32),
-        "l_quantity": rng_li.integers(1, 51, n_li).astype(np.float64),
-        "l_extendedprice": np.round(rng_li.uniform(900, 105000, n_li), 2),
-        "l_discount": np.round(rng_li.integers(0, 11, n_li) * 0.01, 2),
-        "l_tax": np.round(rng_li.integers(0, 9, n_li) * 0.01, 2),
-        "l_returnflag": pa.array(list(np.array(["A", "N", "R"])[rng_li.integers(0, 3, n_li)])),
-        "l_linestatus": pa.array(list(np.array(["O", "F"])[rng_li.integers(0, 2, n_li)])),
-        "l_shipdate": _ts_array(
-            (rng_li.integers(0, span_us // 86_400_000_000, n_li) * 86_400_000_000),
-            "1995-01-02"),
-    }), f"{out}/lineitem.parquet")
+    if want('lineitem'):
+        # lineitem: orderkey uniform over orders (multinomial lines/order),
+        # quantity 1..50 integral double, discount/tax decimal lattices,
+        # flags independent uniform.
+        #
+        # l_shipdate is INDEPENDENT of the parent o_orderdate ON PURPOSE
+        # (r10 advice adjudication): the driver's OWN data draws them
+        # independently too — measured on /root/testdata/sf0.1 and sf0.01,
+        # 48.1%/48.6% of lineitems ship BEFORE their order date with mean
+        # offset +48 days and range [-2399, +2496] days; this generator
+        # reproduces exactly that (48.1%, +48.2, [-2400, +2499]).
+        # "Fixing" shipdate to o_orderdate + positive offset would make the
+        # synthetic decade LESS like the corpus the driver certifies
+        # against and silently change which CEP lateness branches a sf1.0
+        # sweep exercises.
+        k = np.arange(n_li, dtype=np.int64)
+        span_us = int(2499 * 86400e6)  # 1995-01-02 -> 2001-11-04
+        pq.write_table(pa.table({
+            "l_orderkey": rng_li.integers(0, n_ord, n_li),
+            "l_partkey": rng_li.integers(0, n_part, n_li),
+            "l_suppkey": rng_li.integers(0, n_supp, n_li),
+            "l_linenumber": rng_li.integers(1, 8, n_li).astype(np.int32),
+            "l_quantity": rng_li.integers(1, 51, n_li).astype(np.float64),
+            "l_extendedprice": np.round(rng_li.uniform(900, 105000, n_li), 2),
+            "l_discount": np.round(rng_li.integers(0, 11, n_li) * 0.01, 2),
+            "l_tax": np.round(rng_li.integers(0, 9, n_li) * 0.01, 2),
+            "l_returnflag": pa.array(list(np.array(["A", "N", "R"])[rng_li.integers(0, 3, n_li)])),
+            "l_linestatus": pa.array(list(np.array(["O", "F"])[rng_li.integers(0, 2, n_li)])),
+            "l_shipdate": _ts_array(
+                (rng_li.integers(0, span_us // 86_400_000_000, n_li) * 86_400_000_000),
+                "1995-01-02"),
+        }), f"{out}/lineitem.parquet")
 
-    # events: ts sorted ascending over 30 days, value ~ Exp(mean 50) 2dp,
-    # users scale with sf (1500 @ sf0.1), props {"k": 0..99}
-    k = np.arange(n_ev, dtype=np.int64)
-    n_users = max(1, int(15_000 * sf))
-    ts_us = np.sort(rng_ev.integers(0, int(30 * 86400e6), n_ev))
-    pq.write_table(pa.table({
-        "event_id": k,
-        "ts": _ts_array(ts_us, "2024-01-01"),
-        "user_id": rng_ev.integers(0, n_users, n_ev),
-        "event_type": pa.array(list(np.array(EVENT_TYPES)[rng_ev.integers(0, 5, n_ev)])),
-        "value": np.round(rng_ev.exponential(50.0, n_ev), 2),
-        "props": pa.array([f'{{"k": {v}}}' for v in rng_ev.integers(0, 100, n_ev)]),
-    }), f"{out}/events.parquet")
+    if want('events'):
+        # events: ts sorted ascending over 30 days, value ~ Exp(mean 50) 2dp,
+        # users scale with sf (1500 @ sf0.1), props {"k": 0..99}
+        k = np.arange(n_ev, dtype=np.int64)
+        n_users = max(1, int(15_000 * sf))
+        ts_us = np.sort(rng_ev.integers(0, int(30 * 86400e6), n_ev))
+        pq.write_table(pa.table({
+            "event_id": k,
+            "ts": _ts_array(ts_us, "2024-01-01"),
+            "user_id": rng_ev.integers(0, n_users, n_ev),
+            "event_type": pa.array(list(np.array(EVENT_TYPES)[rng_ev.integers(0, 5, n_ev)])),
+            "value": np.round(rng_ev.exponential(50.0, n_ev), 2),
+            "props": pa.array([f'{{"k": {v}}}' for v in rng_ev.integers(0, 100, n_ev)]),
+        }), f"{out}/events.parquet")
 
-    # documents: 10..100 tokens, Zipf(1.05) draw over an SF-scaled
-    # vocabulary (_doc_vocab — Heaps-law growth keeps near-dup density
-    # physical at big SFs); ~0.2% of docs are exact duplicates of an
-    # earlier doc (measured 8/5000 at sf0.1)
-    lens = rng_doc.integers(10, 101, n_doc)
-    vocab, zipf_p = _doc_vocab(sf)
-    texts: list[str] = []
-    for i in range(n_doc):
-        if i > 0 and rng_doc.random() < 0.002:
-            texts.append(texts[int(rng_doc.integers(0, i))])
-        else:
-            texts.append(" ".join(vocab[rng_doc.choice(len(vocab), lens[i], p=zipf_p)]))
-    pq.write_table(pa.table({
-        "doc_id": np.arange(n_doc, dtype=np.int64),
-        "text": pa.array(texts),
-        "lang": pa.array(list(np.array(LANGS)[
-            rng_doc.choice(5, n_doc, p=np.array(LANG_W) / sum(LANG_W))])),
-        "source": pa.array([f"src{int(s)}" for s in rng_doc.integers(0, 20, n_doc)]),
-        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
-    }), f"{out}/documents.parquet")
+    if want('documents'):
+        # documents: 10..100 tokens, Zipf(1.05) draw over an SF-scaled
+        # vocabulary (_doc_vocab — Heaps-law growth keeps near-dup density
+        # physical at big SFs); ~0.2% of docs are exact duplicates of an
+        # earlier doc (measured 8/5000 at sf0.1)
+        lens = rng_doc.integers(10, 101, n_doc)
+        vocab, zipf_p = _doc_vocab(sf)
+        texts: list[str] = []
+        for i in range(n_doc):
+            if i > 0 and rng_doc.random() < 0.002:
+                texts.append(texts[int(rng_doc.integers(0, i))])
+            else:
+                texts.append(" ".join(vocab[rng_doc.choice(len(vocab), lens[i], p=zipf_p)]))
+        pq.write_table(pa.table({
+            "doc_id": np.arange(n_doc, dtype=np.int64),
+            "text": pa.array(texts),
+            "lang": pa.array(list(np.array(LANGS)[
+                rng_doc.choice(5, n_doc, p=np.array(LANG_W) / sum(LANG_W))])),
+            "source": pa.array([f"src{int(s)}" for s in rng_doc.integers(0, 20, n_doc)]),
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }), f"{out}/documents.parquet")
 
-    # embeddings: 64-dim unit-norm float32, 10 Gaussian clusters
-    # (label = cluster), same shape the sf0.1 corpus shows
-    dim, n_lab = 64, 10
-    cents = rng_emb.normal(size=(n_lab, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    lab = rng_emb.integers(0, n_lab, n_emb)
-    pts = cents[lab] + rng_emb.normal(scale=0.35, size=(n_emb, dim))
-    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
-    pq.write_table(pa.table({
-        "vec_id": np.arange(n_emb, dtype=np.int64),
-        "embedding": pa.array(list(pts.astype(np.float32)),
-                              type=pa.list_(pa.float32())),
-        "label": lab.astype(np.int32),
-    }), f"{out}/embeddings.parquet")
+    if want('embeddings'):
+        # embeddings: 64-dim unit-norm float32, 10 Gaussian clusters
+        # (label = cluster), same shape the sf0.1 corpus shows
+        dim, n_lab = 64, 10
+        cents = rng_emb.normal(size=(n_lab, dim))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        lab = rng_emb.integers(0, n_lab, n_emb)
+        pts = cents[lab] + rng_emb.normal(scale=0.35, size=(n_emb, dim))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        pq.write_table(pa.table({
+            "vec_id": np.arange(n_emb, dtype=np.int64),
+            "embedding": pa.array(list(pts.astype(np.float32)),
+                                  type=pa.list_(pa.float32())),
+            "label": lab.astype(np.int32),
+        }), f"{out}/embeddings.parquet")
     print(f"wrote {out}: lineitem={n_li} orders={n_ord} events={n_ev} "
           f"docs={n_doc} emb={n_emb}")
 
@@ -241,4 +263,5 @@ def generate(out: str, sf: float) -> None:
 if __name__ == "__main__":
     out_dir = sys.argv[1]
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
-    generate(out_dir, sf)
+    subset = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    generate(out_dir, sf, subset)
