@@ -753,6 +753,52 @@ def cep_order_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["decisions"]
 
 
+@_q(
+    "cep_decision_invariant",
+    """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS arrived, MAX(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+dec AS (
+  SELECT o.o_orderkey,
+    CASE WHEN COALESCE(p.arrived, 0) >= 1
+          AND NOT COALESCE(p.last_ship > o.o_orderdate + INTERVAL 30 DAY, FALSE)
+         THEN 'ALL_PARCELS_SHIPPED' ELSE 'THRESHOLD_EXCEEDED' END AS decision
+  FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_decisions,
+  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_orders,
+  CAST(sum(CASE WHEN decision = 'ALL_PARCELS_SHIPPED' THEN 1 ELSE 0 END) AS BIGINT) AS n_shipped,
+  CAST(sum(CASE WHEN decision = 'THRESHOLD_EXCEEDED' THEN 1 ELSE 0 END) AS BIGINT) AS n_threshold
+FROM dec
+""",
+)
+def cep_decision_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-VERIFYING decade row for the batch CEP decision (r14): at
+    sf10 `cep_order_fulfillment`'s 15M-row output exceeds the sweep's
+    collect cap, so previous artifacts hand-annotated its cover from
+    the external cep_decade probe.  This row aggregates the SAME
+    MatchDecide output to one row — total decisions, distinct orders,
+    and the per-class decision counts — and the oracle recomputes the
+    identical aggregate from the relational form, so the value-hash
+    certifies the full decision DISTRIBUTION (one decision per order,
+    exact class split) at any SF without collecting row-level output.
+    A regression in the join, timeout rule, or decision predicate
+    shifts a class count and flips the hash."""
+    dec = cep_order_fulfillment(spark, sf_dir)
+    return dec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_decisions"),
+        F.count_distinct("o_orderkey").cast("bigint").alias("n_distinct_orders"),
+        F.sum(
+            (F.col("decision") == "ALL_PARCELS_SHIPPED").cast("int")
+        ).cast("bigint").alias("n_shipped"),
+        F.sum(
+            (F.col("decision") == "THRESHOLD_EXCEEDED").cast("int")
+        ).cast("bigint").alias("n_threshold"),
+    )
+
+
 #: drained streaming CEP results per sf_dir — the query is EAGER (it
 #: runs a real availableNow streaming drain), so repeated registry
 #: sweeps over immutable testdata reuse the first drain

@@ -56,6 +56,10 @@ INVARIANT_COVER = {
     "ivf_index_search": "ann_recall_floor",
     "cosine_lsh_prod": "lsh_auto_recall_floor",
     "semdedup_flags": "semdedup_dup_floor",
+    # r14: the batch CEP row's 15M-row sf10 output exceeds the collect
+    # cap; its registered 1-row aggregate twin value-hashes the full
+    # decision distribution in-sweep (no more hand-annotated covers)
+    "cep_order_fulfillment": "cep_decision_invariant",
 }
 
 #: the second-decade certification subset (r12 verdict task 1): the
@@ -74,7 +78,8 @@ SCALE_SUBSET = [
     "pagerank_order_part", "pagerank_mass_invariant",
     "triangle_doubling_invariant",
     # composites / relational / skew
-    "curation_v5", "cep_order_fulfillment", "hot_key_detection",
+    "curation_v5", "cep_order_fulfillment", "cep_decision_invariant",
+    "hot_key_detection",
     # r14: the previously-excluded pinned-config demo rows, now bounded
     # BY REGISTRATION at their certified design corpus (_EMB_DEMO_CAP /
     # the sf1.0 order keyspace — the triangle_doubling_invariant
