@@ -79,6 +79,16 @@ def main():
         if tmp:
             os.makedirs(tmp, exist_ok=True)
             c.execute(f"SET temp_directory='{tmp}'")
+            # bound the spill so a runaway decade oracle cannot fill
+            # the disk under the SAME chunk's Spark shuffle dirs (r14:
+            # the 900s minhash-clusters oracle wrote 68GB of temp) —
+            # exceeding the cap raises an allocation error that the
+            # resource classifier below records as SKIP-infeasible
+            c.execute(
+                "SET max_temp_directory_size='"
+                + os.environ.get("SPARK_GRAFT_DUCK_TMP_MAX", "40GB")
+                + "'"
+            )
         for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -147,6 +157,29 @@ def main():
                     f"(interrupted) — spark rows={len(srows)}"
                 )
                 failures.append(f"{name}(oracle-timeout)")
+                continue
+            # oracle RESOURCE exhaustion is infeasibility, not a
+            # mismatch: a decade-size replay that outgrows the memory
+            # limit or fills the spill disk earns the same
+            # SKIP-with-invariant-cover a timeout does (r14 — the 900s
+            # minhash-clusters oracle ran the 68GB spill volume out of
+            # disk and mis-classified as FAIL).  Real oracle defects
+            # (syntax, binder, conversion errors) still FAIL.
+            low = msg.lower().replace("-", " ")
+            resource = (
+                "bad allocation" in low
+                or "no space left on device" in low
+                or "out of memory" in low
+                or "could not allocate" in low
+                or "temp directory size limit" in low
+                or "failed to offload" in low
+            )
+            if resource:
+                print(
+                    f"SKIP  {name}: oracle resource-infeasible at this "
+                    f"SF ({msg[:120]}) — spark rows={len(srows)}"
+                )
+                failures.append(f"{name}(oracle-resource)")
                 continue
             print(f"FAIL  {name}: duckdb error: {msg[:300]}")
             failures.append(name)

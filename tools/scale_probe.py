@@ -922,15 +922,22 @@ def streaming_decade_main() -> None:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text",
-        # synthetic event time: spread over a day so the watermark has
-        # room; deterministic from doc_id
-        F.timestamp_seconds(
-            F.lit(1_600_000_000) + F.col("doc_id") % 86_400
-        ).alias("ts"),
-    )
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # deferred reads (r14): with SPARK_GRAFT_STREAMING_ONLY naming only
+    # the dedup op, the probe must run on a documents-only corpus
+    # (testdata_sf100_docs) — an eager events.parquet read would raise
+    # on schema resolution for a table the run never touches
+    def docs():
+        return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text",
+            # synthetic event time: spread over a day so the watermark
+            # has room; deterministic from doc_id
+            F.timestamp_seconds(
+                F.lit(1_600_000_000) + F.col("doc_id") % 86_400
+            ).alias("ts"),
+        )
+
+    def events():
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
 
     def build_dedup(stream):
         from strom_spark.operators.dedup import StreamingExactDedup
@@ -979,7 +986,7 @@ def streaming_decade_main() -> None:
         if only and name not in only.split(","):
             continue
         try:
-            drain_and_meter(build, name, src)
+            drain_and_meter(build, name, src())
         except Exception as e:  # one op's failure must not lose the rest
             out["ops"][name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
             print(json.dumps({name: out["ops"][name]}), flush=True)
