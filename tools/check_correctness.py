@@ -50,7 +50,18 @@ def frame_signature(rows, columns):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    # accept space-separated names, comma-joined lists, and a literal
+    # --queries flag — and REFUSE unknown names instead of silently
+    # filtering to nothing (r14: a comma-joined list matched zero
+    # registry names and the run printed a vacuous ALL GREEN)
+    only: set[str] = set()
+    for a in sys.argv[1:]:
+        if os.path.isdir(a) or a == "--queries":
+            continue
+        only.update(x for x in a.split(",") if x)
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        raise SystemExit(f"unknown query names: {sorted(unknown)}")
     spark = get_spark("correctness")
     spark.sparkContext.setLogLevel("ERROR")
     # big-SF hygiene: bound duck's parallelism (don't fight the Spark
@@ -133,40 +144,15 @@ def main():
         if name not in oracles:
             print(f"ok?   {name}: rows={len(srows)} (no oracle, rows-only) [{t1-t0:.1f}s]")
             continue
-        try:
-            if oracle_timeout:
-                import threading
 
-                # fresh connection per oracle under timeout mode: an
-                # interrupted/OOMed query must not poison later ones
-                con.close()
-                con = fresh_con()
-                timer = threading.Timer(oracle_timeout, con.interrupt)
-                timer.start()
-                try:
-                    ddf = con.execute(oracles[name]).df()
-                finally:
-                    timer.cancel()
-            else:
-                ddf = con.execute(oracles[name]).df()
-        except Exception as e:
-            msg = str(e)
-            if "INTERRUPT" in msg.upper():
-                print(
-                    f"SKIP  {name}: oracle exceeded {oracle_timeout:.0f}s "
-                    f"(interrupted) — spark rows={len(srows)}"
-                )
-                failures.append(f"{name}(oracle-timeout)")
-                continue
+        def _is_resource(msg: str) -> bool:
             # oracle RESOURCE exhaustion is infeasibility, not a
             # mismatch: a decade-size replay that outgrows the memory
-            # limit or fills the spill disk earns the same
-            # SKIP-with-invariant-cover a timeout does (r14 — the 900s
-            # minhash-clusters oracle ran the 68GB spill volume out of
-            # disk and mis-classified as FAIL).  Real oracle defects
-            # (syntax, binder, conversion errors) still FAIL.
+            # limit or fills the spill cap earns the same
+            # SKIP-with-invariant-cover a timeout does (r14).  Real
+            # oracle defects (syntax, binder, conversion) still FAIL.
             low = msg.lower().replace("-", " ")
-            resource = (
+            return (
                 "bad allocation" in low
                 or "no space left on device" in low
                 or "out of memory" in low
@@ -174,18 +160,100 @@ def main():
                 or "temp directory size limit" in low
                 or "failed to offload" in low
             )
-            if resource:
+
+        if oracle_timeout:
+            # CHILD-ISOLATED oracle (r14): a 40-56GB duck high-water
+            # stays resident in this process's allocator even after
+            # con.close(), and the NEXT query's Spark job then dies of
+            # native allocation failure (two sweeps lost a chunk to
+            # exactly this).  A forked child runs the oracle, hands
+            # (cols, rows) back through a pickle file, and dies —
+            # returning every byte to the OS before Spark runs again.
+            # A killed/OOMed child is classified as resource-infeasible
+            # instead of taking the whole chunk down.
+            import multiprocessing as mp
+            import pickle
+            import tempfile
+
+            fd, opath = tempfile.mkstemp(suffix=".orc.pkl")
+            os.close(fd)
+
+            def _child(sql=oracles[name], path=opath):
+                try:
+                    c = fresh_con()
+                    ddf = c.execute(sql).df()
+                    cols = list(ddf.columns)
+                    rows = [
+                        tuple(r)
+                        for r in ddf.itertuples(index=False, name=None)
+                    ]
+                    with open(path, "wb") as f:
+                        pickle.dump(("OK", (cols, rows)), f, protocol=4)
+                    os._exit(0)
+                except BaseException as e:  # noqa: BLE001
+                    try:
+                        with open(path, "wb") as f:
+                            pickle.dump(
+                                ("ERR", f"{type(e).__name__}: {e}"), f,
+                                protocol=4,
+                            )
+                    finally:
+                        os._exit(3)
+
+            proc = mp.get_context("fork").Process(target=_child)
+            proc.start()
+            proc.join(oracle_timeout)
+            if proc.is_alive():
+                proc.kill()
+                proc.join()
+                os.unlink(opath)
                 print(
-                    f"SKIP  {name}: oracle resource-infeasible at this "
-                    f"SF ({msg[:120]}) — spark rows={len(srows)}"
+                    f"SKIP  {name}: oracle exceeded {oracle_timeout:.0f}s "
+                    f"(interrupted) — spark rows={len(srows)}"
                 )
-                failures.append(f"{name}(oracle-resource)")
+                failures.append(f"{name}(oracle-timeout)")
                 continue
-            print(f"FAIL  {name}: duckdb error: {msg[:300]}")
-            failures.append(name)
-            continue
-        dcols = list(ddf.columns)
-        drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+            try:
+                with open(opath, "rb") as f:
+                    status, payload = pickle.load(f)
+            except Exception:
+                status, payload = (
+                    "ERR",
+                    f"oracle child died (exit {proc.exitcode}) — "
+                    "out of memory or killed",
+                )
+            finally:
+                os.unlink(opath)
+            if status == "ERR":
+                msg = str(payload)
+                if _is_resource(msg) or "child died" in msg:
+                    print(
+                        f"SKIP  {name}: oracle resource-infeasible at "
+                        f"this SF ({msg[:120]}) — spark rows={len(srows)}"
+                    )
+                    failures.append(f"{name}(oracle-resource)")
+                else:
+                    print(f"FAIL  {name}: duckdb error: {msg[:300]}")
+                    failures.append(name)
+                continue
+            dcols, drows = payload
+        else:
+            try:
+                ddf = con.execute(oracles[name]).df()
+            except Exception as e:
+                msg = str(e)
+                if _is_resource(msg):
+                    print(
+                        f"SKIP  {name}: oracle resource-infeasible at "
+                        f"this SF ({msg[:120]}) — spark rows={len(srows)}"
+                    )
+                    failures.append(f"{name}(oracle-resource)")
+                    continue
+                print(f"FAIL  {name}: duckdb error: {msg[:300]}")
+                failures.append(name)
+                continue
+            dcols = list(ddf.columns)
+            drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
         t2 = time.time()
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
