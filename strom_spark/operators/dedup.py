@@ -1196,13 +1196,22 @@ class EmbeddingNearDupPairs(Component):
         return reduce(lambda a, b: a.unionAll(b), parts)
 
     def _join(self, df: DataFrame) -> DataFrame:
-        normed = df.select(
-            F.col(self.id_col).alias("id"), V.l2_normalize(self.vec_col).alias("v")
+        # one ~free probe job selects the unrolled codegen fast path
+        # for the quadratic pair dot (and hoists the normalize's norm
+        # out of the per-element lambda); ragged rows fall back to the
+        # HOF form per the vectors.dot size guard — bit-identical
+        dim = V.probe_dim(df, self.vec_col)
+        normed = V.l2_normalize_select(
+            df.select(F.col(self.id_col).alias("id"),
+                      F.col(self.vec_col).alias("__rv")),
+            "id", "__rv", "v", dim=dim,
         )
         a, b = normed.alias("a"), normed.alias("b")
         return (
             a.join(b, F.col("a.id") < F.col("b.id"))
-            .withColumn("cosine", F.round(V.dot(F.col("a.v"), F.col("b.v")), 6))
+            .withColumn(
+                "cosine", F.round(V.dot(F.col("a.v"), F.col("b.v"), dim=dim), 6)
+            )
             .filter(F.col("cosine") >= self.threshold)
             .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"), "cosine")
         )
@@ -2128,7 +2137,17 @@ class SemDeDup(Component):
         rows = slim.orderBy("id").limit(k).collect()
         if not rows:
             raise ValueError("SemDeDup: input has no vectors")
-        normed = slim.select("id", V.l2_normalize("v").alias("nv"))
+        # dim from the collected pivots (no probe job); hoisted-norm
+        # normalize — the one-expression l2_normalize re-evaluates the
+        # norm fold per ELEMENT, O(dim²) interpreted per row.  The
+        # pivot dots stay HOF folds: an unrolled chain embeds the pivot
+        # floats as literals, so every k-pivot set compiles fresh
+        # k×dim-term Janino methods (measured 1.7 s → 6.4 s at sf0.1,
+        # the LloydKMeans lesson).
+        dim = V.maybe_dim(
+            len(rows[0]["v"]) if rows[0]["v"] is not None else None
+        )
+        normed = V.l2_normalize_select(slim, "id", "v", "nv", dim=dim)
         cands = []
         for r in rows:
             p = np.asarray(r["v"], dtype="float64")

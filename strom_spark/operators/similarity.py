@@ -71,6 +71,25 @@ class CosineTopK(Component):
     def transform(self, flow: Flow) -> Flow:
         from functools import reduce
 
+        # Materialize the slim query projection ONCE: the guard's count
+        # and the broadcast scan (and every tile filter) then reuse the
+        # checkpointed rows instead of recomputing upstream lineage.
+        # vectors ride pre-cast to array<double> (r14): float→double is
+        # exact, and casting ONCE per row removes the per-element casts
+        # the interpreted fold would otherwise pay per PAIR (measured
+        # ~9% off the corpus×query scan at sf0.1, 0 value changes)
+        queries = flow[self.queries].select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(self.vec_col).cast("array<double>").alias("__qv"),
+            V.norm(F.col(self.vec_col).cast("array<double>")).alias("__qn"),
+        ).localCheckpoint(eager=True)
+        # dim probe off the checkpointed queries (one ~free job, only
+        # when STROM_SPARK_UNROLL_DIM=1): at production pair volumes the
+        # per-pair dot/norm then unroll into codegen'd chains instead of
+        # interpreted HOF folds — ~2× per pair, bit-identical via the
+        # size-guarded fallback (see vectors.maybe_dim for the measured
+        # compile-cost crossover that keeps this opt-in)
+        dim = V.probe_dim(queries, "__qv")
         # Norms are precomputed ONCE per row (scalar next to the raw
         # vector) and the per-pair cosine is dot/(qn*cn) — the exact
         # double sequence DuckDB's list_cosine_similarity evaluates, so
@@ -79,24 +98,20 @@ class CosineTopK(Component):
         # and could flip the 6th decimal on boundary pairs).
         corpus = flow[self.input].select(
             F.col(self.id_col).alias("neighbor_id"),
-            F.col(self.vec_col).alias("__cv"),
-            V.norm(self.vec_col).alias("__cn"),
+            F.col(self.vec_col).cast("array<double>").alias("__cv"),
+            V.norm(F.col(self.vec_col).cast("array<double>"), dim=dim).alias("__cn"),
         )
-        # Materialize the slim query projection ONCE: the guard's count
-        # and the broadcast scan (and every tile filter) then reuse the
-        # checkpointed rows instead of recomputing upstream lineage.
-        queries = flow[self.queries].select(
-            F.col(self.id_col).alias("query_id"),
-            F.col(self.vec_col).alias("__qv"),
-            V.norm(self.vec_col).alias("__qn"),
-        ).localCheckpoint(eager=True)
 
         def scan(qtile):
             return (
                 corpus.join(F.broadcast(qtile), F.col("query_id") != F.col("neighbor_id"))
                 .withColumn(
                     "cosine",
-                    F.round(V.dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")), 6),
+                    F.round(
+                        V.dot("__qv", "__cv", dim=dim)
+                        / (F.col("__qn") * F.col("__cn")),
+                        6,
+                    ),
                 )
                 .select("query_id", "neighbor_id", "cosine")
             )
@@ -290,10 +305,13 @@ class IVFTopK(Component):
                     }
                 )
 
+        # centroid matrix fixes the vector dim — unrolled codegen
+        # dot/norm with the ragged-row guard, no probe job needed
+        dim = V.maybe_dim(int(C.shape[1]))
         assigned = slim.mapInPandas(
             assign,
             schema=f"neighbor_id {nid_type}, centroid_id int, nv array<double>",
-        ).withColumn("nn", V.norm("nv"))
+        ).withColumn("nn", V.norm("nv", dim=dim))
 
         probe_df = _probe_assign(
             flow[self.queries], C, n_probe, self.id_col, self.vec_col
@@ -303,7 +321,9 @@ class IVFTopK(Component):
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn(
                 "cosine",
-                F.round(V.dot("qv", "nv") / (F.col("qn") * F.col("nn")), 6),
+                F.round(
+                    V.dot("qv", "nv", dim=dim) / (F.col("qn") * F.col("nn")), 6
+                ),
             )
             .select("query_id", "neighbor_id", "cosine")
         )
@@ -455,7 +475,7 @@ def _probe_assign(
 
     out = slim.mapInPandas(
         probe, schema=f"query_id {id_type}, centroid_id int, qv array<double>"
-    ).withColumn("qn", V.norm("qv"))
+    ).withColumn("qn", V.norm("qv", dim=V.maybe_dim(int(C.shape[1]))))
     return out.localCheckpoint(eager=True)
 
 
@@ -504,17 +524,18 @@ def ivf_search(
     needed = sorted(
         r.centroid_id for r in probe_df.select("centroid_id").distinct().collect()
     )
+    dim = V.maybe_dim(int(C.shape[1]))
     index = (
         spark.read.parquet(index_path)
         .filter(F.col("centroid_id").isin(needed))
-        .withColumn("nn", V.norm("nv"))
+        .withColumn("nn", V.norm("nv", dim=dim))
     )
     sims = (
         _probe_join(index, probe_df, max_broadcast_rows)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            F.round(V.dot("qv", "nv") / (F.col("qn") * F.col("nn")), 6),
+            F.round(V.dot("qv", "nv", dim=dim) / (F.col("qn") * F.col("nn")), 6),
         )
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -750,8 +771,15 @@ class CosineLSHJoin(Component):
                 self.dim, n_tables * bits_per_table
             )
         else:
-            normed = df.select(
-                F.col(self.id_col).alias("id"), V.l2_normalize(self.vec_col).alias("v")
+            # dim is a constructor param: hoisted-norm normalize (the
+            # one-expression form re-evaluates the norm fold per
+            # ELEMENT — O(dim²) interpreted, paid TWICE via the v1/v2
+            # verify joins) with the unrolled codegen norm
+            normed = V.l2_normalize_select(
+                df.select(F.col(self.id_col).alias("id"),
+                          F.col(self.vec_col).alias("__rv")),
+                "id", "__rv", "v",
+                dim=V.maybe_dim(self.dim),
             )
             planes = _hyperplanes(self.dim, n_tables * bits_per_table, self.seed)
         # Join key is (table, signature): pure integer equi-join,
@@ -1041,10 +1069,12 @@ class MMRRerank(Component):
         # raw vector + precomputed norm: per-pair cosine is dot/(na*nb)
         # — the same double sequence as DuckDB's list_cosine_similarity
         # (see CosineTopK), so pairwise redundancy rounds identically
+        # pre-cast once per row: the pair dot then folds doubles with no
+        # per-element casts (exact; see CosineTopK)
         vecs = flow[self.vectors].select(
             F.col(self.id_col).alias("__id"),
-            F.col(self.vec_col).alias("__v"),
-            V.norm(self.vec_col).alias("__n"),
+            F.col(self.vec_col).cast("array<double>").alias("__v"),
+            V.norm(F.col(self.vec_col).cast("array<double>")).alias("__n"),
         )
         from pyspark import StorageLevel
 
@@ -1084,6 +1114,10 @@ class MMRRerank(Component):
             .select("__q", "__c", "__rel", "__v", "__n")
             .persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         )
+        # probe off the persisted candidate frame (materializes the
+        # cache the self-join needs anyway): per-pair dot unrolls to a
+        # codegen chain instead of the interpreted HOF fold
+        dim = V.probe_dim(cv, "__v")
         a, b = cv.alias("a"), cv.alias("b")
         pairs = a.join(
             b,
@@ -1093,7 +1127,7 @@ class MMRRerank(Component):
             F.col("a.__c").alias("ca"),
             F.col("b.__c").alias("cb"),
             F.round(
-                V.dot(F.col("a.__v"), F.col("b.__v"))
+                V.dot(F.col("a.__v"), F.col("b.__v"), dim=dim)
                 / (F.col("a.__n") * F.col("b.__n")),
                 6,
             ).alias("s"),
