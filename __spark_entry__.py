@@ -1920,18 +1920,16 @@ def pagerank_mass_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strom_spark import PageRank
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        li.select(
-            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-        )
-        .unionAll(
-            li.select(
-                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-                F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("dst"),
-            )
-        )
-        .distinct()
+    # bigint ids + distinct-before-mirror (r14): same isomorphic-graph
+    # argument as pagerank_order_part — node identity never reaches
+    # this row's output, only the rank distribution, which is
+    # bit-identical under the bijection
+    pairs = li.select(
+        (F.col("l_orderkey") * 2).cast("bigint").alias("src"),
+        (F.col("l_partkey") * 2 + 1).cast("bigint").alias("dst"),
+    ).distinct()
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     pr = PageRank("e", "pr", iterations=5)(Flow({"e": edges}))["pr"]
     # ranks are a probability distribution in units of 10^-12: init =
@@ -7715,24 +7713,39 @@ def pagerank_order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     just one aggregate; a double-rounding formulation diverged on
     ~1% of nodes — graph.py:PageRank docstring).  At 100 TB: state
     is one (node, rank) row per node, each round linear in edges,
-    hot destinations ride AQE skew handling."""
+    hot destinations ride AQE skew handling.
+
+    r14 shuffle-bytes optimization (guide §2.3): the rank loop runs on
+    BIGINT node ids (order k → 2k, part k → 2k+1 — a bijection, so the
+    graph is isomorphic and the fixed-point integer ranks are
+    bit-identical), decoded back to the oracle's 'o<k>'/'p<k>' strings
+    only at output.  Every per-round join/aggregate key is 8 bytes
+    instead of a ~8-char string, and the one-time distinct dedups the
+    600k-row single-direction pair set instead of the mirrored 1.2M
+    rows (mirroring a distinct set preserves distinctness, so the
+    edge multiset is unchanged)."""
     from strom_spark import PageRank
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        li.select(
-            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-        )
-        .unionAll(
-            li.select(
-                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-                F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("dst"),
-            )
-        )
-        .distinct()
+    pairs = li.select(
+        (F.col("l_orderkey") * 2).cast("bigint").alias("src"),
+        (F.col("l_partkey") * 2 + 1).cast("bigint").alias("dst"),
+    ).distinct()
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return PageRank("e", "pr", iterations=5)(Flow({"e": edges}))["pr"]
+    pr = PageRank("e", "pr", iterations=5)(Flow({"e": edges}))["pr"]
+    return pr.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("o"), F.expr("CAST(node DIV 2 AS STRING)")),
+        )
+        .otherwise(
+            F.concat(F.lit("p"), F.expr("CAST((node - 1) DIV 2 AS STRING)"))
+        )
+        .alias("node"),
+        "rank",
+    )
 
 
 @_q(

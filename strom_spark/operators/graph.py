@@ -99,6 +99,13 @@ class ConnectedComponents(Component):
         labels = sym.select("a").distinct().select("a", F.col("a").alias("lab"))
         prev_sum = None
         for _ in range(self.max_iterations):
+            # NOTE (r14): SHUFFLE_HASH hints on the label side (the
+            # PageRank loop move) were tried and REVERTED — measured
+            # cc_label_invariant 3.6 s → 5.8 s at sf0.1.  Unlike
+            # PageRank's two joins per round, the CC round body is
+            # three joins over rapidly-shrinking checkpointed state;
+            # the per-round SHJ build cost across ~log(n) rounds beat
+            # the sorts it saved.
             nbr = (
                 sym.join(labels.select(F.col("a").alias("b"), "lab"), "b")
                 .groupBy("a")
@@ -268,8 +275,18 @@ class PageRank(Component):
             "__node", F.lit(init).cast("bigint").alias("__rank")
         ).localCheckpoint(eager=True)
         for _ in range(self.iterations):
+            # SHUFFLE_HASH hint on the node-sized rank state (r14,
+            # guide §3.1): without it the planner picks sort-merge and
+            # re-SORTS the edge side — the big side, persisted but not
+            # ordered — EVERY round (5 edge-sized sorts per run).  A
+            # shuffled hash join builds its table from the rank rows
+            # (node-sized per partition by construction — the operator
+            # keeps one row per node) and streams edges unsorted.
+            # Join/aggregate results are integer and order-independent,
+            # so the plan change cannot move a single rank bit.
             contrib = (
-                edges.join(ranks, edges["__src"] == ranks["__node"])
+                edges.join(ranks.hint("shuffle_hash"),
+                           edges["__src"] == ranks["__node"])
                 .select(
                     F.col("__dst").alias("__node"),
                     (F.lit(num) * F.col("__rank")).alias("__a"),
@@ -279,7 +296,7 @@ class PageRank(Component):
                 .groupBy("__node")
                 .agg(F.sum("__c").cast("bigint").alias("__in"))
             )
-            ranks = nodes.join(contrib, "__node", "left").select(
+            ranks = nodes.join(contrib.hint("shuffle_hash"), "__node", "left").select(
                 "__node",
                 (F.lit(base) + F.coalesce(F.col("__in"), F.lit(0)))
                 .cast("bigint")
@@ -405,6 +422,15 @@ class TriangleCount(Component):
         from pyspark import StorageLevel
 
         df = flow[self.input]
+        # the canonical distinct edge set feeds BOTH the degree agg and
+        # the orient join — without materialization the caller's whole
+        # edge build (often a self-join + distinct) runs twice.  An
+        # eager localCheckpoint pins it once (r14; a MEMORY_AND_DISK
+        # persist here was measured 2× slower in an earlier round — the
+        # serialized cache write of the full edge table cost more than
+        # the rebuild — but the checkpoint write is cheaper and also
+        # truncates the re-planned lineage; measured ~25% off
+        # triangle_counts at sf0.1, high-variance box)
         und = (
             df.filter(F.col(self.src) != F.col(self.dst))
             .select(
@@ -412,6 +438,7 @@ class TriangleCount(Component):
                 F.greatest(self.src, self.dst).alias("v"),
             )
             .distinct()
+            .localCheckpoint(eager=True)
         )
         # degrees via ONE explode (not a self-unionAll — that consumes
         # the edge build twice); the NODE-sized result is persisted
