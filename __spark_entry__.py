@@ -8255,6 +8255,15 @@ def curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = Decontaminate(
         "train", "eval", "clean", k=3, min_overlap=5, mode="drop"
     )(Flow({"train": train, "eval": ev}))["clean"]
+    # clean feeds the repetition-stats branch AND the audit join's left
+    # side — pin the decontaminated survivor set once instead of
+    # running the dedup+decontaminate subtree per consumer (r14, the
+    # shared-lineage rule; see _curation_v3_split)
+    from pyspark import StorageLevel
+
+    from strom_spark.cache import track as _cache_track
+
+    clean = clean.persist(StorageLevel.MEMORY_AND_DISK).transform(_cache_track)
     reps = TXT.repetition_stats(clean, "doc_id", "text", k=3)
     counts = TXT.pii_counts("text")
     audited = (
@@ -8455,6 +8464,18 @@ def _curation_v3_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("lang") == "en") & (F.col("q") >= 0.4))
     )
+    # gated is consumed TWICE (the repetition-stats branch and the
+    # audit join's left side) and its lineage is the whole dedup →
+    # decontaminate → langid/quality subtree — without pinning, that
+    # subtree (including the quality/langid HOFs) executes once per
+    # consumer.  Persist the survivor set once (r14; MEMORY_AND_DISK,
+    # LRU-evictable, released via strom_spark.release_caches) — the
+    # same shared-lineage rule every auto-mode operator applies.
+    from pyspark import StorageLevel
+
+    from strom_spark.cache import track as _cache_track
+
+    gated = gated.persist(StorageLevel.MEMORY_AND_DISK).transform(_cache_track)
     reps = TXT.repetition_stats(gated, "doc_id", "text", k=3)
     counts = TXT.pii_counts("text")
     audited = (

@@ -519,7 +519,14 @@ class MinHashLSHPairs(Component):
             # sides): persist so the sizing count materializes the
             # cache instead of running tokenization 3x / a composed
             # upstream 4x; tracked for strom_spark.release_caches()
-            # (LRU-evictable until then — CosineLSHJoin discipline)
+            # (LRU-evictable until then — CosineLSHJoin discipline).
+            # r14: extending the persist to the PINNED path was tried
+            # and REVERTED — isolated steady-state runs measured the
+            # pinned dedup_minhash_clusters 2.6 s → 3.7 s at sf0.1:
+            # without the auto count the lazy cache WRITE lands on the
+            # first consumer's critical path and the shingle arrays
+            # are the widest frame in the plan; the two extra
+            # tokenization passes are cheaper.
             doc_sh = doc_sh.persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
             n_docs = doc_sh.count()
             n_part = min(

@@ -422,15 +422,17 @@ class TriangleCount(Component):
         from pyspark import StorageLevel
 
         df = flow[self.input]
-        # the canonical distinct edge set feeds BOTH the degree agg and
-        # the orient join — without materialization the caller's whole
-        # edge build (often a self-join + distinct) runs twice.  An
-        # eager localCheckpoint pins it once (r14; a MEMORY_AND_DISK
-        # persist here was measured 2× slower in an earlier round — the
-        # serialized cache write of the full edge table cost more than
-        # the rebuild — but the checkpoint write is cheaper and also
-        # truncates the re-planned lineage; measured ~25% off
-        # triangle_counts at sf0.1, high-variance box)
+        # NOTE (r14): materializing the canonical edge set here (eager
+        # localCheckpoint, so the caller's edge build runs once instead
+        # of twice) was tried and REVERTED: an interleaved A/B first
+        # suggested ~25% off, but steady-state isolated runs on a
+        # quiet box measured 5.4 s → 7.3 s at sf0.1 — the checkpoint
+        # write of the full edge table costs more than the second
+        # edge build, the same verdict an earlier round recorded for a
+        # MEMORY_AND_DISK persist (docstring above).  The double edge
+        # build stands as the measured-cheaper shape at both small and
+        # large SF (at scale the edge build is one scan+shuffle;
+        # checkpointing writes edge-sized bytes to local disk).
         und = (
             df.filter(F.col(self.src) != F.col(self.dst))
             .select(
@@ -438,7 +440,6 @@ class TriangleCount(Component):
                 F.greatest(self.src, self.dst).alias("v"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # degrees via ONE explode (not a self-unionAll — that consumes
         # the edge build twice); the NODE-sized result is persisted

@@ -69,6 +69,18 @@ def get_spark(
         # it on to read per-stage shuffle volumes from the REST API
         .config("spark.ui.enabled", os.environ.get("STROM_SPARK_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r14: let the planner pick shuffled hash join when its size
+        # conditions hold (muchSmaller build side + canBuildLocalHashMap
+        # — both stats-guarded, so a huge build side still plans SMJ,
+        # and AQE skew splitting applies to SHJ too).  Full-bench A/B
+        # at sf0.1: 113.9 s → 99.4 s (−13%), wins spread across ~80 of
+        # 96 queries (sorts on the probe side disappear), zero
+        # plan-shape risk rows (no new BNLJ/cartesian).  Env-restorable
+        # for comparison runs.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("STROM_SPARK_PREFER_SMJ", "false"),
+        )
         # InferFiltersFromGenerate turns explode(f(x)) into a pushed-down
         # `size(f(x)) > 0` filter; predicate pushdown then drags the WHOLE
         # expensive expression (tokenize+shingle HOFs) below the
