@@ -31,7 +31,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
-from strom_spark import get_spark
+from strom_spark import get_spark, release_caches
 
 #: headline subset: scan-agg, join-heavy, window, routing, stateful,
 #: dedup family, ANN, CEP — one per operator family in SURVEY §2.3
@@ -330,6 +330,23 @@ def main() -> None:
         sp = _steal_pct(s_before, _steal_sample())
         if sp is not None:
             steal[name] = sp
+        # Per-query cache isolation (r14 measurement fix, guide §1):
+        # operator-internal persists (tracked in strom_spark.cache) used
+        # to ACCUMULATE across the whole 96-query session — cache.py's
+        # own contract says the driver releases "between sweep queries"
+        # (check_correctness and tools/r14_measure do; bench.py did
+        # not).  Two distortions, both measured in the r14 A/B: late
+        # queries inherit eviction churn from dozens of stale cached
+        # frames (minhash_recall_floor printed 8.99 s warm-min late in
+        # an aged session vs 3.1-4.0 s isolated), and a query whose
+        # lineage matches an EARLIER query's persisted frame silently
+        # reuses that cache, flattering its number.  Releasing AFTER
+        # each query's runs keeps the intra-query warm-cache behavior
+        # identical (run 1 populates, runs 2-3 reuse) while isolating
+        # queries from each other.  SPARK_GRAFT_BENCH_KEEP_CACHES=1
+        # restores the old accumulate-forever behavior for comparison.
+        if os.environ.get("SPARK_GRAFT_BENCH_KEEP_CACHES", "") != "1":
+            release_caches()
 
     total = round(sum(timings.values()), 3)
 
