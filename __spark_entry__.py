@@ -6109,8 +6109,22 @@ LIMIT 100
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume orders): group on the order key
     with HAVING over the exact decimal quantity sum; distributed
-    TakeOrdered for the top 100.  The orders⋈lineitem join shuffles on
-    the orderkey (no hint)."""
+    TakeOrdered for the top 100.
+
+    r14 (guide §2.3 "aggregate before you shuffle"): the HAVING
+    predicate depends ONLY on lineitem, so the per-order quantity sum
+    runs FIRST — map-side partial aggregation over the two narrowest
+    lineitem columns — and the >300 filter prunes the fact table down
+    to the qualifying orderkeys BEFORE any join.  orders/customer then
+    join a handful of rows instead of the full fact table, and the old
+    5-wide-key re-aggregation (strings riding the shuffle as group
+    keys) disappears entirely: o_orderkey is unique in orders, so
+    attaching customer/order attributes after the agg is equivalent —
+    the exact decimal sum per order is computed from the identical row
+    set either way, proven against the unchanged DuckDB oracle.  At
+    100 TB this is the difference between shuffling the whole fact
+    table wide (plus customer attrs) and shuffling (orderkey, qty)
+    pairs once."""
     flow = Flow(
         {
             "customer": load_table(spark, sf_dir, "customer"),
@@ -6120,31 +6134,30 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = Pipeline(
         [
-            Join("orders", "customer", "oc", on=F.expr("o_custkey = c_custkey")),
-            Join("lineitem", "oc", "ocl", on=F.expr("l_orderkey = o_orderkey")),
             Agg(
-                "ocl",
-                "per_order",
-                by=[
-                    F.col("c_name"),
-                    F.col("c_custkey"),
-                    F.col("o_orderkey"),
-                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-                    F.col("o_totalprice").cast("double").alias("totalprice"),
-                ],
+                "lineitem",
+                "oq",
+                by=[F.col("l_orderkey")],
                 aggs={"sum_qty_dec": F.sum(_dec("l_quantity"))},
             ),
-            Filter("per_order", F.col("sum_qty_dec") > 300),
+            Filter("oq", F.col("sum_qty_dec") > 300),
+            Join("orders", "oq", "ooq", on=F.expr("o_orderkey = l_orderkey")),
+            Join("ooq", "customer", "ocl", on=F.expr("o_custkey = c_custkey")),
             TopK(
-                "per_order",
+                "ocl",
                 "q18",
                 k=100,
-                order_by=[F.col("totalprice").desc(), F.col("o_orderkey")],
+                order_by=[
+                    F.col("o_totalprice").cast("double").desc(),
+                    F.col("o_orderkey"),
+                ],
             ),
         ]
     )(flow)
     return out["q18"].select(
-        "c_name", "c_custkey", "o_orderkey", "orderdate", "totalprice",
+        "c_name", "c_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.col("o_totalprice").cast("double").alias("totalprice"),
         F.col("sum_qty_dec").cast("double").alias("sum_qty"),
     )
 
