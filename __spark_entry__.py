@@ -5130,6 +5130,15 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size; pairs sharing >= 5 fingerprints survive."""
     flow = Flow({"docs": load_table(spark, sf_dir, "documents")})
     fps = WinnowFingerprints("docs", "fps", k=3, window=4)(flow)["fps"]
+    # fps feeds the hot-fp frequency agg AND both posting sides of the
+    # self-join: pin the narrow (id, fp) frame once instead of running
+    # the tokenize+3-gram-hash+window-min HOF chain per consumer (r14,
+    # the shared-lineage rule; plan showed the documents scan 4x)
+    from pyspark import StorageLevel
+
+    from strom_spark.cache import track as _cache_track
+
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK).transform(_cache_track)
     freq_ok = fps.groupBy("fp").agg(F.count("*").alias("__n")).filter(F.col("__n") <= 50).select("fp")
     posting = fps.join(freq_ok, "fp")
     a, b = posting.alias("a"), posting.alias("b")

@@ -892,9 +892,20 @@ class SimHashPairs(Component):
         self.label = label
 
     def transform(self, flow: Flow) -> Flow:
+        from pyspark import StorageLevel
+
         df = flow[self.input]
         bits = self.bits
-        sig = _simhash_sig_int(df, self.id_col, self.text_col, bits)
+        # the (id, sig) frame feeds BOTH sides of the block self-join;
+        # without a pin each side re-runs the tokenize+hash+bit-agg
+        # signature pipeline (r14, the shared-lineage rule — the plan
+        # showed the documents scan and both Generates twice).  Two
+        # longs per doc, the cheapest cache in the family.
+        sig = (
+            _simhash_sig_int(df, self.id_col, self.text_col, bits)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+            .transform(_track)
+        )
         n_blocks = self.max_distance + 1
         width = bits // n_blocks
         # block i covers bits [i*width, i*width+L) from the MSB; the

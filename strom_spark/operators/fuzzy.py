@@ -160,6 +160,14 @@ class EditDistanceJoin(Component):
         # and pre-satisfies the join's distribution (the same fix
         # CosineLSHJoin carries, similarity.py).
         n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # prefix feeds BOTH self-join sides — pin post-repartition so
+        # the cached partitioning satisfies the join on each side
+        # instead of re-running the gram/frequency/rank subtree twice
+        # (r14, the shared-lineage rule)
+        from pyspark import StorageLevel
+
+        from ..cache import track as _track
+
         prefix = (
             grams.join(freq, "__g")
             .withColumn("__rk", F.row_number().over(w))
@@ -168,6 +176,8 @@ class EditDistanceJoin(Component):
             .unionByName(sent)
             .join(base.select("__id", "__s"), "__id")
             .repartition(n_part, "__g")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+            .transform(_track)
         )
         a, b = prefix.alias("a"), prefix.alias("b")
         out = (
@@ -216,9 +226,23 @@ class EditDistanceJoin(Component):
         n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         # explicit width on the variant shuffle: same AQE fan-out
         # blindness guard as the q-gram path / CosineLSHJoin
-        exploded = base.select(
-            "__id", "__len", "__s", F.explode(F.expr(variants)).alias("__v")
-        ).repartition(n_part, "__v")
+        # the variant-exploded frame feeds BOTH self-join sides: pin it
+        # once (post-repartition, so the persisted partitioning is the
+        # join's own and neither side re-shuffles) instead of paying
+        # scan + variant explosion + exchange per side (r14, the
+        # shared-lineage rule)
+        from pyspark import StorageLevel
+
+        from ..cache import track as _track
+
+        exploded = (
+            base.select(
+                "__id", "__len", "__s", F.explode(F.expr(variants)).alias("__v")
+            )
+            .repartition(n_part, "__v")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+            .transform(_track)
+        )
         a, b = exploded.alias("a"), exploded.alias("b")
         out = (
             a.join(

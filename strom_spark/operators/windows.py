@@ -89,12 +89,23 @@ class CountWindow(Component):
     def transform(self, flow: Flow) -> Flow:
         df = self._with_window_id(flow[self.input])
         keys = [*self.partition_by, "window_id"]
-        if self.drop_partial:
-            counts = F.count("*").over(W.partitionBy(*keys))
-            df = df.withColumn("__wn", counts).filter(F.col("__wn") == self.size).drop("__wn")
         if self.aggs is not None:
             exprs = [_resolve_expr(e, df).alias(n) for n, e in self.aggs.items()]
-            df = df.groupBy(*keys).agg(*exprs)
+            if self.drop_partial:
+                # completeness rides the user aggregation (same move as
+                # SlidingCountWindow, r14): one hash agg + post-filter
+                # on count == size instead of an extra sort+window pass
+                df = (
+                    df.groupBy(*keys)
+                    .agg(F.count(F.lit(1)).alias("__wn"), *exprs)
+                    .filter(F.col("__wn") == self.size)
+                    .drop("__wn")
+                )
+            else:
+                df = df.groupBy(*keys).agg(*exprs)
+        elif self.drop_partial:
+            counts = F.count("*").over(W.partitionBy(*keys))
+            df = df.withColumn("__wn", counts).filter(F.col("__wn") == self.size).drop("__wn")
         return flow.without(self.input).with_stream(self.output, df)
 
     def input_names(self) -> Sequence[str]:
@@ -166,12 +177,29 @@ class SlidingCountWindow(Component):
             "window_id", F.explode(F.sequence(lo.cast("bigint"), hi.cast("bigint")))
         ).drop("__rn")
         keys = [*self.partition_by, "window_id"]
-        if not self.keep_partial:
-            n = F.count("*").over(W.partitionBy(*keys))
-            df = df.withColumn("__wn", n).filter(F.col("__wn") == self.size).drop("__wn")
         if self.aggs is not None:
             exprs = [_resolve_expr(e, df).alias(a) for a, e in self.aggs.items()]
-            df = df.groupBy(*keys).agg(*exprs)
+            if not self.keep_partial:
+                # completeness check rides the SAME hash aggregate as
+                # the user aggs (count == size post-filter) instead of
+                # a separate sort+window pass over the exploded frame —
+                # one exchange and zero sorts where the old shape paid
+                # an extra window sort (r14, guide §2.4: two operations
+                # keyed the same way share one exchange).  Identical
+                # output: a window is complete iff its row count is
+                # exactly ``size``, whether counted before or inside
+                # the aggregation.
+                df = (
+                    df.groupBy(*keys)
+                    .agg(F.count(F.lit(1)).alias("__wn"), *exprs)
+                    .filter(F.col("__wn") == self.size)
+                    .drop("__wn")
+                )
+            else:
+                df = df.groupBy(*keys).agg(*exprs)
+        elif not self.keep_partial:
+            n = F.count("*").over(W.partitionBy(*keys))
+            df = df.withColumn("__wn", n).filter(F.col("__wn") == self.size).drop("__wn")
         return flow.without(self.input).with_stream(self.output, df)
 
     def _transform_streaming(self, df: DataFrame) -> DataFrame:

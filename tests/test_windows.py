@@ -59,6 +59,32 @@ def test_sliding_overlap_full(spark):
     assert [r.s for r in sorted(out["w"].collect(), key=lambda r: r.window_id)] == [6, 9, 12]
 
 
+def test_complete_window_filter_rides_the_aggregation(spark):
+    """r14: with ``aggs`` given, the complete-windows-only filter must
+    ride the SAME hash aggregate (count == size post-filter), not a
+    second sort+window pass over the exploded frame — exactly one
+    Window node (the rank) in the plan, and values unchanged."""
+    flow = Source("n", list(range(1, 10)), spark=spark)()
+    out = SlidingCountWindow(
+        "n", "w", size=3, step=2, order_by=["value"], aggs={"s": F.sum("value")}
+    )(flow)["w"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") <= 1, plan
+    assert [r.s for r in sorted(out.collect(), key=lambda r: r.window_id)] == [6, 12, 18, 24]
+    # keep_partial still emits the trailing partial window
+    partial = SlidingCountWindow(
+        "n", "w", size=3, step=2, order_by=["value"],
+        aggs={"s": F.sum("value")}, keep_partial=True,
+    )(flow)["w"]
+    assert [r.s for r in sorted(partial.collect(), key=lambda r: r.window_id)] == [6, 12, 18, 24, 9]
+    out2 = CountWindow(
+        "n", size=5, order_by=["value"], aggs={"n": F.count("*")}, drop_partial=True
+    )(flow)["n"]
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Window") <= 1, plan2
+    assert {r.window_id: r.n for r in out2.collect()} == {0: 5}
+
+
 def test_time_window(spark, sf_dir):
     from strom_spark import load_table
 
