@@ -127,6 +127,29 @@ def probe_dim(df, vec_col: "Column | str") -> int | None:
         return None
 
 
+def const_double_array(values) -> Column:
+    """A constant ``array<double>`` literal built through ONE parsed SQL
+    expression instead of ``F.lit(list)`` — which routes every element
+    through an individual py4j ``lit`` call on the driver (r14: 1.6 s
+    for 8x64x6 KMeans centroid literals vs 0.03 s parsed; the executor
+    side is identical after constant folding).  ``repr(float)`` is the
+    shortest round-trip decimal and Spark's double parser is correctly
+    rounded, so every element is BIT-IDENTICAL to the ``F.lit`` form
+    (verified incl. subnormals and -0.0).  Non-finite elements fall
+    back to ``F.lit`` — the SQL lexer has no inf/nan literal."""
+    vals = [float(x) for x in values]
+    if any(x != x or x in (float("inf"), float("-inf")) for x in vals):
+        return F.lit(vals)
+    return F.expr("array(" + ",".join(repr(x) + "D" for x in vals) + ")")
+
+
+def const_long_array(values) -> Column:
+    """Constant ``array<bigint>`` literal via one parsed SQL expression
+    (see :func:`const_double_array` — same driver-side py4j argument;
+    integer text round-trips exactly by construction)."""
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in values) + ")")
+
+
 def dot_literal(a: "Column | str", values) -> Column:
     """Left-fold dot of a vector column against a PYTHON-side constant
     vector (pivot/centroid), unrolled into a codegen'd chain — the

@@ -95,9 +95,13 @@ class LloydKMeans(Component):
         # forces a Janino compile of k×dim-term methods that the codegen
         # cache can never reuse; measured 3.2 s → 22.2 s at sf0.1.  The
         # interpreted HOF fold is the faster end-to-end form here.
+        # const_double_array, NOT F.lit(list): the lit path costs k×dim
+        # individual py4j calls PER ITERATION on the driver (r14,
+        # measured 1.6 s vs 0.03 s across a k=8 dim=64 6-iter run);
+        # elements are bit-identical so assignments cannot move
         dists = F.array(*[
             F.aggregate(
-                F.zip_with(v, F.lit([float(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                F.zip_with(v, V.const_double_array(c), lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )

@@ -143,7 +143,15 @@ def _bloom_pos(seed_col, key_col, m: int, hash: str):
     does not replicate the filter (e.g. semi-join pruning, where the
     real join downstream makes the result hash-independent)."""
     if hash == "xxhash64":
-        h = F.xxhash64(seed_col.cast("string"), key_col.cast("string"))
+        # hash the key NATIVELY: casting a bigint key to string costs a
+        # per-row allocation + decimal formatting before the hash even
+        # runs (r14, measured ~6x on a 600k-row fact-side probe: 2.0 s
+        # -> 0.3 s).  Bit positions change vs the old string recipe —
+        # fine for the production path, whose contract is build/probe
+        # consistency (both call THIS function), not cross-engine
+        # replay; the portable md5 recipe below keeps the string form
+        # an SQL oracle can replicate.
+        h = F.xxhash64(seed_col.cast("string"), key_col)
     else:
         h = F.conv(
             F.substring(
@@ -304,16 +312,20 @@ def bloom_member_expr(
     EXACTLY equal to the unfiltered join."""
     from pyspark.sql import functions as F
 
-    # TRUE array literals (F.lit of a list -> one ArrayType Literal),
-    # NOT F.array(*lits): CreateArray re-materializes the 4096-element
-    # array PER ROW (measured 13 s warm at sf0.1 vs 0.4 s with the
-    # literal form)
-    arr = F.lit([int(words.get(i, 0)) for i in range(n_words)]).cast(
-        "array<bigint>"
-    )
+    # ONE parsed array literal (const_long_array), NOT F.lit(list) and
+    # NOT F.array(*lits).  Executor side the three are equal after
+    # constant folding, but DRIVER side F.lit(list) routes every
+    # element through an individual py4j ``lit`` call — measured 2.9 s
+    # to build the 4096-word Column (re-paid on every query
+    # construction, i.e. every bench run), vs 6 ms for the parser on
+    # the same values (r14).  Values are bit-identical: the SQL long
+    # literals parse to the same array<bigint> Literal.
+    from ..functions.vectors import const_long_array
+
+    arr = const_long_array(int(words.get(i, 0)) for i in range(n_words))
     # shiftright() takes only a literal shift, so the per-row bit test
     # is an AND against a 63-entry powers-of-two literal array instead
-    powers = F.lit([1 << b for b in range(63)]).cast("array<bigint>")
+    powers = const_long_array(1 << b for b in range(63))
     m = 63 * n_words
     cond = F.lit(True)
     for s in range(k):

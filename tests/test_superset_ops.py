@@ -927,3 +927,30 @@ def test_ivf_auto_defaults_resolve(spark, sf_dir):
     rows = out.collect()
     assert {r.query_id for r in rows} == {0, 1}
     assert all(1 <= r.rank <= 3 for r in rows)
+
+
+def test_const_array_literals_bit_identical_to_lit(spark):
+    """r14: const_double_array / const_long_array build the literal
+    through ONE parsed SQL expression instead of per-element py4j lit
+    calls — every element must stay bit-identical to the F.lit form,
+    including subnormals, -0.0 and values needing full 17-digit
+    round-trip; non-finite doubles fall back to F.lit."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from strom_spark.functions.vectors import const_double_array, const_long_array
+
+    doubles = [0.1 + 0.2, 5e-324, -0.0, 2**-52, 1e300, -1e-300, 123456789.123456789]
+    longs = [0, 1, -1, 2**62, -(2**63), (1 << 63) - 1]
+    row = spark.range(1).select(
+        const_double_array(doubles).alias("d"),
+        F.lit([float(x) for x in doubles]).alias("dl"),
+        const_long_array(longs).alias("g"),
+        F.lit(longs).alias("gl"),
+    ).collect()[0]
+    assert [struct.pack(">d", x) for x in row.d] == [struct.pack(">d", x) for x in row.dl]
+    assert row.g == row.gl == longs
+    nf = [1.0, float("inf"), float("nan")]
+    got = spark.range(1).select(const_double_array(nf).alias("x")).collect()[0].x
+    assert got[0] == 1.0 and got[1] == float("inf") and got[2] != got[2]
