@@ -45,7 +45,16 @@ class Iterate(Component):
         body: Callable[[DataFrame], DataFrame],
         exit_when: Any,
         max_iterations: int = 100,
-        checkpoint_every: int = 10,
+        # r14 (guide §5 localCheckpoint-to-cut-lineage): every round
+        # ADDS two filters + the body to the lineage, and the exit
+        # branches replay that whole chain again in the final union —
+        # with the old cadence of 10 the loop re-scanned the source
+        # O(rounds) times.  A/B on the 10-round golden workload at
+        # sf0.1 (fresh sessions, warm-min): every=10 1.21 s, every=2
+        # 1.08 s, every=3 0.94 s — truncating every ~3 rounds balances
+        # checkpoint writes (shrinking remainder) against lineage
+        # replay, and at scale keeps the replayed-plan depth bounded.
+        checkpoint_every: int = 3,
         label: str | None = None,
     ):
         self.input = input

@@ -92,6 +92,17 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # shuffle/spill codec, env-parameterised (guide §2.3): lz4 is
+        # the measured winner on THIS box (single-machine local[*] —
+        # shuffle rides the page cache, so compression CPU is pure
+        # overhead; r14 A/B: zstd cost +8-15% on the shuffle-heavy
+        # queries with zero network to save).  On a real cluster whose
+        # shuffle crosses NICs, zstd's better ratio usually wins —
+        # flip with STROM_SPARK_IO_CODEC=zstd and measure there.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("STROM_SPARK_IO_CODEC", "lz4"),
+        )
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config(
             "spark.sql.warehouse.dir",
