@@ -219,3 +219,135 @@ def l2_normalize_select(df, id_col: str, vec_col, out_col: str,
         F.transform(F.col("__l2v"),
                     lambda x: x.cast("double") / F.col("__l2n")).alias(out_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native pair kernels (r14, guide §4.2): vectorize the per-pair
+# fold across a batch instead of evaluating it interpreted per element.
+# ---------------------------------------------------------------------------
+
+def arrow_pairs_enabled() -> bool:
+    """Gate for the Arrow pair kernels — ON by default; set
+    ``STROM_SPARK_ARROW_PAIRS=0`` to restore the pure-JVM expression
+    forms (comparison runs / environments without numpy workers)."""
+    import os
+
+    return os.environ.get("STROM_SPARK_ARROW_PAIRS", "1") != "0"
+
+
+def _fold_dot_row(xa, xb):
+    """Exact Python replica of the JVM ``aggregate(zip_with(a,b,x*y),
+    0.0, acc+x)`` fold for ONE pair: Python floats are IEEE doubles,
+    so ``acc + x * y`` performs the identical rounded operations in
+    the identical order.  ``zip_with`` null-pads ragged pairs and a
+    null product poisons the running sum, so any length mismatch,
+    missing array or null element yields null — replicated here."""
+    if xa is None or xb is None or len(xa) != len(xb):
+        return None
+    acc = 0.0
+    for x, y in zip(xa, xb):
+        if x is None or y is None:
+            return None
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _uniform_matrix(col, n):
+    """(n, d) float64 matrix view of an Arrow list column when every
+    row is a null-free list of one common length — the shape the
+    vectorized kernel needs; ``None`` routes the batch to the per-row
+    fold fallback.  float32 sources are cast (exact, same as the JVM
+    fold's per-element ``cast("double")``)."""
+    import numpy as np
+
+    if col.null_count:
+        return None
+    lens = col.value_lengths().to_numpy(zero_copy_only=False)
+    if len(lens) == 0:
+        return None
+    d = int(lens[0])
+    if not (lens == d).all():
+        return None
+    flat = col.flatten()
+    if flat.null_count:
+        return None
+    try:
+        vals = flat.to_numpy(zero_copy_only=False)
+    except Exception:
+        return None
+    if vals.dtype != np.float64:
+        vals = vals.astype(np.float64)
+    return vals.reshape(n, d) if d else vals.reshape(n, 0)
+
+
+def _np_fold_dot(A, B):
+    """Fold-ordered dot for every row pair of two (n, d) matrices:
+    ``acc_i = ((0.0 + a_i0*b_i0) + a_i1*b_i1) + …`` — each elementwise
+    multiply and add is one IEEE-rounded numpy ufunc, so the per-pair
+    double sequence (association order AND the +0.0 seed) is
+    bit-identical to the JVM fold / :func:`_fold_dot_row`."""
+    import numpy as np
+
+    n, d = A.shape
+    acc = np.zeros(n)
+    for i in range(d):
+        acc = acc + A[:, i] * B[:, i]
+    return acc
+
+
+def fold_dot_pairs(df, a_col: str, b_col: str, out_col: str, keep_cols):
+    """Per-pair dot over a joined pair frame via ONE vectorized
+    ``mapInArrow`` pass (guide §4.2) — bit-identical to
+    ``dot(a_col, b_col)`` (see :func:`_np_fold_dot`) at a fraction of
+    the interpreted-HOF cost, amortized over the whole batch.  Returns
+    ``keep_cols + [out_col double]``; the vector columns are consumed
+    inside the kernel and never reach the downstream exchange.  Ragged
+    or null-bearing batches fall back to the per-row fold."""
+    import pyarrow as pa
+
+    keep_cols = list(keep_cols)
+    fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+    schema = f"{fields}, {out_col} double"
+    slim = df.select(*keep_cols, a_col, b_col)
+    ia, ib = len(keep_cols), len(keep_cols) + 1
+
+    def compute(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            A = _uniform_matrix(batch.column(ia), n)
+            B = _uniform_matrix(batch.column(ib), n)
+            if A is not None and B is not None and A.shape[1] == B.shape[1]:
+                dots = pa.array(_np_fold_dot(A, B), type=pa.float64())
+            else:
+                xs = batch.column(ia).to_pylist()
+                ys = batch.column(ib).to_pylist()
+                dots = pa.array(
+                    [_fold_dot_row(x, y) for x, y in zip(xs, ys)],
+                    type=pa.float64(),
+                )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(len(keep_cols))] + [dots],
+                names=keep_cols + [out_col],
+            )
+
+    return slim.mapInArrow(compute, schema)
+
+
+_PA_TYPES = {
+    "tinyint": "int8", "smallint": "int16", "int": "int32",
+    "bigint": "int64", "float": "float32", "double": "float64",
+    "string": "string",
+}
+
+
+def pa_type_for(spark_type: str):
+    """pyarrow type for a Spark simpleString id/scalar type, or None
+    when unmapped (caller falls back to the JVM path)."""
+    import pyarrow as pa
+
+    name = _PA_TYPES.get(spark_type)
+    return getattr(pa, name)() if name else None

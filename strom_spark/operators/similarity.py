@@ -126,7 +126,20 @@ class CosineTopK(Component):
 
         probe_bounded_broadcast("CosineTopK/queries", n_q, self.max_broadcast_rows)
         if n_q <= self.max_broadcast_rows:
-            sims = scan(queries)
+            # Arrow broadcast-matrix scan (r14, guide §4.2): the same
+            # bounded query tile a broadcast join would ship, crossed
+            # with corpus batches in one vectorized mapInArrow pass —
+            # fold-ordered numpy dots are bit-identical to the JVM HOF
+            # fold at a fraction of its interpreted per-element cost.
+            # Falls back to the JVM broadcast-join scan on unmapped id
+            # types or STROM_SPARK_ARROW_PAIRS=0.
+            sims = (
+                self._scan_arrow(corpus, queries)
+                if V.arrow_pairs_enabled()
+                else None
+            )
+            if sims is None:
+                sims = scan(queries)
         elif self.on_overflow == "error":
             raise ValueError(
                 f"CosineTopK: query set has {n_q} rows > max_broadcast_rows="
@@ -155,6 +168,147 @@ class CosineTopK(Component):
             .filter(F.col("rank") <= self.k)
         )
         return flow.without(self.input, self.queries).with_stream(self.output, out)
+
+    def _scan_arrow(self, corpus: DataFrame, queries: DataFrame):
+        """Broadcast-matrix pair scan (r14, guide §4.2): collect the
+        guard-bounded query tile once (the exact rows a broadcast join
+        ships to every executor anyway), cross it with corpus batches
+        inside ONE vectorized ``mapInArrow`` pass, and emit
+        (neighbor, query, dot) rows.  Only the slim corpus projection
+        crosses the Python boundary; per batch the kernel runs two
+        numpy ufuncs per dimension instead of an interpreted lambda
+        eval per element per pair.  The per-pair double sequence is
+        bit-identical to the JVM fold (vectors._np_fold_dot: same
+        association order, same +0.0 seed, float→double casts exact),
+        and the division by the JVM-precomputed norms plus the 6dp
+        round stay in the JVM — so cosines cannot move by one bit.
+        Ragged corpus batches and malformed query rows take a per-row
+        Python fold that replicates ``zip_with`` null semantics.
+        Returns None when an id type has no Arrow mapping (caller
+        keeps the JVM broadcast-join scan)."""
+        import numpy as np
+        import pyarrow as pa
+
+        nid_t = corpus.schema["neighbor_id"].dataType.simpleString()
+        qid_t = queries.schema["query_id"].dataType.simpleString()
+        qid_pa = V.pa_type_for(qid_t)
+        if qid_pa is None or V.pa_type_for(nid_t) is None:
+            return None
+        rows = queries.collect()  # bounded by the broadcast guard above
+        good, bad = [], []
+        d0 = None
+        for r in rows:
+            v = r["__qv"]
+            if v is not None and all(x is not None for x in v):
+                if d0 is None:
+                    d0 = len(v)
+                if len(v) == d0:
+                    good.append(r)
+                    continue
+            bad.append(r)
+        Q = (
+            np.array([r["__qv"] for r in good], dtype="float64")
+            if good
+            else np.zeros((0, d0 or 0))
+        )
+        qn = np.array([r["__qn"] for r in good], dtype="float64")
+        qids = [r["query_id"] for r in good]
+        bad_rows = [(r["query_id"], r["__qv"], r["__qn"]) for r in bad]
+        bq = corpus.sparkSession.sparkContext.broadcast(
+            (qids, Q, qn, bad_rows)
+        )
+        schema = (
+            f"neighbor_id {nid_t}, __cn double, query_id {qid_t}, "
+            f"__qn double, __dot double"
+        )
+        names = ["neighbor_id", "__cn", "query_id", "__qn", "__dot"]
+        uniform, fold_row = V._uniform_matrix, V._fold_dot_row
+
+        def compute(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            qids, Q, qn, bad_rows = bq.value
+            m, d = Q.shape
+            qid_arr = pa.array(qids, type=qid_pa)
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                nid_col, cn_col = batch.column(0), batch.column(2)
+                C = uniform(batch.column(1), n)
+                matrix_ok = C is not None and C.shape[1] == d and m > 0
+                if matrix_ok:
+                    # bound each emitted batch at ~4M pair rows
+                    qc_step = max(1, 4_000_000 // max(n, 1))
+                    for q0 in range(0, m, qc_step):
+                        Qc = Q[q0:q0 + qc_step]
+                        qc = Qc.shape[0]
+                        acc = np.zeros((n, qc))
+                        for i in range(d):
+                            acc = acc + C[:, i:i + 1] * Qc[None, :, i]
+                        rep = pa.array(
+                            np.repeat(np.arange(n, dtype="int64"), qc)
+                        )
+                        til = pa.array(
+                            np.tile(np.arange(q0, q0 + qc, dtype="int64"), n)
+                        )
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                nid_col.take(rep),
+                                cn_col.take(rep),
+                                qid_arr.take(til),
+                                pa.array(
+                                    np.tile(qn[q0:q0 + qc], n),
+                                    type=pa.float64(),
+                                ),
+                                pa.array(acc.ravel(), type=pa.float64()),
+                            ],
+                            names=names,
+                        )
+                # per-row fold: malformed queries always; ALL queries
+                # when the corpus batch itself is ragged/null-bearing
+                leftovers = (
+                    bad_rows
+                    if matrix_ok
+                    else [
+                        (q, Q[j].tolist(), float(qn[j]))
+                        for j, q in enumerate(qids)
+                    ]
+                    + bad_rows
+                )
+                if leftovers:
+                    xs = batch.column(1).to_pylist()
+                    nids = nid_col.to_pylist()
+                    cns = cn_col.to_pylist()
+                    out = {k: [] for k in names}
+                    for qid_v, qv, qn_v in leftovers:
+                        for i in range(n):
+                            out["neighbor_id"].append(nids[i])
+                            out["__cn"].append(cns[i])
+                            out["query_id"].append(qid_v)
+                            out["__qn"].append(qn_v)
+                            out["__dot"].append(fold_row(xs[i], qv))
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(out["neighbor_id"], type=nid_col.type),
+                            pa.array(out["__cn"], type=pa.float64()),
+                            pa.array(out["query_id"], type=qid_pa),
+                            pa.array(out["__qn"], type=pa.float64()),
+                            pa.array(out["__dot"], type=pa.float64()),
+                        ],
+                        names=names,
+                    )
+
+        sims = corpus.mapInArrow(compute, schema)
+        return (
+            sims.filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "cosine",
+                F.round(F.col("__dot") / (F.col("__qn") * F.col("__cn")), 6),
+            )
+            .select("query_id", "neighbor_id", "cosine")
+        )
 
     def input_names(self) -> Sequence[str]:
         return (self.input, self.queries)
@@ -316,17 +470,10 @@ class IVFTopK(Component):
         probe_df = _probe_assign(
             flow[self.queries], C, n_probe, self.id_col, self.vec_col
         )
-        sims = (
-            _probe_join(assigned, probe_df, self.max_broadcast_rows)
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn(
-                "cosine",
-                F.round(
-                    V.dot("qv", "nv", dim=dim) / (F.col("qn") * F.col("nn")), 6
-                ),
-            )
-            .select("query_id", "neighbor_id", "cosine")
-        )
+        joined = _probe_join(
+            assigned, probe_df, self.max_broadcast_rows
+        ).filter(F.col("query_id") != F.col("neighbor_id"))
+        sims = _rerank_cosine(joined, dim)
         w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
         out = sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= self.k)
         return flow.without(self.input, self.queries).with_stream(self.output, out)
@@ -479,6 +626,26 @@ def _probe_assign(
     return out.localCheckpoint(eager=True)
 
 
+def _rerank_cosine(joined: DataFrame, dim: int | None) -> DataFrame:
+    """Exact cosine rerank of a probe-join pair frame carrying
+    (query_id, neighbor_id, qv, nv, qn, nn) — the JVM HOF fold.
+
+    NOTE (r14): routing this dot through vectors.fold_dot_pairs
+    (mapInArrow) was tried and REVERTED — on a PAIR frame both
+    64-dim vectors must cross the JVM→Arrow boundary per candidate
+    pair, and the isolated warm noop numbers moved the wrong way
+    (ivf_index_search 3.79 s → 4.54, ann_recall_floor 3.49 → 4.21,
+    sq8_recall_floor 2.03 → 2.43 at sf0.1, equal canaries): list-array
+    serialization of ~1 KB/pair outweighs the interpreted-fold saving.
+    The Arrow win needs the broadcast-matrix shape where only ONE side
+    crosses once (CosineTopK._scan_arrow); pair-joined frames keep the
+    JVM expression."""
+    return joined.withColumn(
+        "cosine",
+        F.round(V.dot("qv", "nv", dim=dim) / (F.col("qn") * F.col("nn")), 6),
+    ).select("query_id", "neighbor_id", "cosine")
+
+
 def _probe_join(
     corpus_side: DataFrame, probe_df: DataFrame, max_broadcast_rows: int
 ) -> DataFrame:
@@ -530,14 +697,11 @@ def ivf_search(
         .filter(F.col("centroid_id").isin(needed))
         .withColumn("nn", V.norm("nv", dim=dim))
     )
-    sims = (
-        _probe_join(index, probe_df, max_broadcast_rows)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(V.dot("qv", "nv", dim=dim) / (F.col("qn") * F.col("nn")), 6),
-        )
-        .select("query_id", "neighbor_id", "cosine")
+    sims = _rerank_cosine(
+        _probe_join(index, probe_df, max_broadcast_rows).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        ),
+        dim,
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     out = sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -2761,3 +2761,63 @@ def test_pagerank_requires_batch(spark):
     )
     with pytest.raises(TypeError, match="PageRank is batch-only"):
         PageRank("e", "pr")(Flow({"e": stream}))
+
+
+def test_arrow_pair_kernels_bit_identical(spark, monkeypatch):
+    """r14 Arrow kernels: CosineTopK's broadcast-matrix mapInArrow scan
+    and vectors.fold_dot_pairs must be BIT-identical to the JVM HOF
+    fold on every pair — including the edge cases the fold defines the
+    semantics for: ragged rows (zip_with null-pads -> null), null
+    elements (poisoned running sum -> null), empty vectors (fold seed
+    0.0), and -0.0 products (the +0.0 fold seed makes the first
+    -0.0 product round to +0.0)."""
+    from strom_spark import CosineTopK, Flow
+    from strom_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [
+            (0, [0.3, -0.7, 0.11]),
+            (1, [1e-300, 2.0, -3.5]),          # subnormal-product territory
+            (2, [-0.0, 1.0, 0.25]),            # -0.0 element
+            (3, [0.5, 0.25]),                  # ragged (dim 2)
+            (4, None),                         # missing vector
+            (5, [float(i + 1) / 7 for i in range(3)]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 3)
+
+    def knn_rows():
+        out = CosineTopK("c", "q", "o", k=10)(Flow({"c": df, "q": q}))["o"]
+        return sorted(tuple(r) for r in out.collect())
+
+    monkeypatch.setenv("STROM_SPARK_ARROW_PAIRS", "0")
+    jvm = knn_rows()
+    monkeypatch.setenv("STROM_SPARK_ARROW_PAIRS", "1")
+    arrow = knn_rows()
+    assert arrow == jvm and len(jvm) > 0
+
+    # fold_dot_pairs on a joined pair frame vs the JVM fold expression
+    a, b = df.alias("a"), df.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("i"),
+        F.col("b.vec_id").alias("j"),
+        F.col("a.embedding").alias("va"),
+        F.col("b.embedding").alias("vb"),
+    )
+    got = {
+        (r.i, r.j): r.d
+        for r in V.fold_dot_pairs(pairs, "va", "vb", "d", ["i", "j"]).collect()
+    }
+    want = {
+        (r.i, r.j): r.d
+        for r in pairs.select("i", "j", V.dot("va", "vb").alias("d")).collect()
+    }
+    assert got == want and len(want) == 15
+    # -0.0 vs +0.0 distinguishes via repr through struct round-trip
+    import math
+    for k in want:
+        x, y = got[k], want[k]
+        assert (x is None) == (y is None)
+        if x is not None:
+            assert math.copysign(1.0, x) == math.copysign(1.0, y)
