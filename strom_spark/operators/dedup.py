@@ -487,11 +487,22 @@ class MinHashLSHPairs(Component):
             (rng.randrange(1, self._P), rng.randrange(0, self._P))
             for _ in range(num_hashes)
         ]
-        mins = [
-            F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(self._P))).alias(f"h{i}")
+        # ONE parsed named_struct of all n min-aggs instead of n
+        # Column trees built through individual py4j calls (r14, the
+        # const_double_array discipline): the 72-agg auto config cost
+        # ~0.6 s of DRIVER time per query build the parser does in
+        # ~0.06 s — and the bench (build + count per run) pays that
+        # build on every run.  Values bit-identical: same bigint
+        # pmod(a*h+b, P) arithmetic, literals parsed as the same longs.
+        se = "named_struct(" + ", ".join(
+            f"'h{i}', min(pmod({a}L * __h + {b}L, {self._P}L))"
             for i, (a, b) in enumerate(coeffs)
-        ]
-        return postings.groupBy("id").agg(*mins)
+        ) + ")"
+        return (
+            postings.groupBy("id")
+            .agg(F.expr(se).alias("__sig"))
+            .select("id", "__sig.*")
+        )
 
     def transform(self, flow: Flow) -> Flow:
         from pyspark import StorageLevel
@@ -537,14 +548,16 @@ class MinHashLSHPairs(Component):
         # one LONG key per band: xxhash64(band, row hashes...) — integer
         # shuffle/join keys; a (vanishingly rare) 64-bit collision only
         # adds a candidate, which exact verification then rejects
-        band_keys = F.array(
-            *[
-                F.xxhash64(
-                    F.lit(b),
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                )
+        # one parsed array literal (see the signature named_struct
+        # note): SQL int literals hash identically to F.lit(int)
+        band_keys = F.expr(
+            "array(" + ",".join(
+                "xxhash64(" + ",".join(
+                    [str(b)]
+                    + [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+                ) + ")"
                 for b in range(n_bands)
-            ]
+            ) + ")"
         )
         # ONE explicit exchange on bk (at the auto-sized width) feeds
         # the hot-bucket window AND pre-satisfies the self-join's
