@@ -409,18 +409,39 @@ def main() -> None:
         # compresses it at small SF)
         "cep_stream_probe": cep_probe,
     }
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL_DETAIL.json" if full
-                         else "BENCH_DETAIL.json"), "w"
-        ) as f:
-            json.dump({"value": total, "queries": timings, "sf": sf,
-                       **detail, **({"errors": errors} if errors else {})},
-                      f, indent=1)
-    except OSError:
-        pass  # read-only checkout must not lose the stdout artifact
+    # r15 (verdict #2b): the 8-core scaling re-run used to CLOBBER the
+    # 32-core BENCH_DETAIL.json — per-query evidence for the main run
+    # was destroyed by the driver's own follow-up.  Detail now ALSO
+    # goes to a per-cpus file (BENCH_DETAIL_c{cpus}.json) so runs at
+    # different core counts never overwrite each other; the legacy
+    # un-suffixed name stays for existing tooling (latest run wins
+    # there, as before).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    detail_payload = {"value": total, "queries": timings, "sf": sf,
+                      "cpus": cpus,
+                      **detail, **({"errors": errors} if errors else {})}
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_name = ("BENCH_FULL_DETAIL.json" if full else "BENCH_DETAIL.json")
+    cpus_name = (f"BENCH_FULL_DETAIL_c{cpus}.json" if full
+                 else f"BENCH_DETAIL_c{cpus}.json")
+    for fname in (detail_name, cpus_name):
+        try:
+            with open(os.path.join(repo_dir, fname), "w") as f:
+                json.dump(detail_payload, f, indent=1)
+        except OSError:
+            pass  # read-only checkout must not lose the stdout artifact
     print(json.dumps({"detail": detail}, separators=(",", ":")))
+    # r15 (verdict #2a): the per-query map on its OWN guaranteed stdout
+    # line.  Arithmetic forced this: the 96 headline names alone sum to
+    # ~1.6 KB, so a single final line carrying metric+value+queries
+    # cannot fit the driver's 2000-char tail window at ANY value
+    # precision (3-dec: 2591 B, 1-dec: 2406 B, measured) — the r6
+    # failure mode would lose the headline metric itself.  A separate
+    # line keeps the final line short and parseable while the full map
+    # is still in stdout (and in both detail files) for any consumer
+    # that reads more than the tail.
+    print(json.dumps({"queries": {k: round(v, 3) for k, v in timings.items()},
+                      "cpus": cpus}, separators=(",", ":")))
 
     payload = {
         "metric": "full_registry_total_runtime" if full
@@ -451,7 +472,11 @@ def main() -> None:
     if len(line) > 1900:  # last resort: keep the headline metric parseable
         payload.pop("queries")
         payload.pop("errors", None)
-        payload["queries_in"] = "BENCH_DETAIL.json"
+        # point at the per-cpus detail file (r15: survives a
+        # different-cpus re-run; the full map is also on the stdout
+        # line printed above)
+        payload["queries_in"] = cpus_name
+        payload["queries_n"] = len(timings)
         line = json.dumps(payload, separators=(",", ":"))
     print(line)
     spark.stop()
