@@ -97,7 +97,22 @@ class ConnectedComponents(Component):
         probe_loop_plan("ConnectedComponents/setup", sym)
         sym = sym.repartition("b").persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
         labels = sym.select("a").distinct().select("a", F.col("a").alias("lab"))
-        prev_sum = None
+        # r15 (guide §2.3, verdict #5): FRONTIER-SHRINKING propagation.
+        # The neighbor-min join only needs labels that CHANGED last
+        # round: a node absorbed every neighbor's label the round after
+        # that neighbor last changed (labels only decrease, so an
+        # unchanged neighbor can never contribute a new minimum).  The
+        # per-round label states are therefore BIT-IDENTICAL to the old
+        # full-state join — same labels every round, same round count,
+        # same output — but the edge-sized join's label side shrinks
+        # with the frontier (empirically ~n → ~0 over the ~log(n)
+        # rounds), so per-round shuffle bytes fall off instead of
+        # staying node-sized.  The pointer-jump join stays full-state:
+        # it is node-sized on both sides and its source (stepped) is
+        # needed in full anyway.  Termination: empty frontier ⟺ no
+        # label changed ⟺ the old sum-potential is stable (decrease-
+        # only), one count per round on the just-checkpointed frame.
+        frontier = labels
         for _ in range(self.max_iterations):
             # NOTE (r14): SHUFFLE_HASH hints on the label side (the
             # PageRank loop move) were tried and REVERTED — measured
@@ -107,23 +122,30 @@ class ConnectedComponents(Component):
             # the per-round SHJ build cost across ~log(n) rounds beat
             # the sorts it saved.
             nbr = (
-                sym.join(labels.select(F.col("a").alias("b"), "lab"), "b")
+                sym.join(frontier.select(F.col("a").alias("b"), "lab"), "b")
                 .groupBy("a")
                 .agg(F.min("lab").alias("nmin"))
             )
             stepped = labels.join(nbr, "a", "left").select(
-                "a", F.least("lab", F.coalesce("nmin", "lab")).alias("lab")
+                "a",
+                F.col("lab").alias("__old"),
+                F.least("lab", F.coalesce("nmin", "lab")).alias("lab"),
             )
             jump = stepped.select(F.col("a").alias("p"), F.col("lab").alias("plab"))
             labels = stepped.join(jump, stepped.lab == jump.p, "left").select(
-                "a", F.least("lab", F.coalesce("plab", "lab")).alias("lab")
+                "a",
+                "__old",
+                F.least("lab", F.coalesce("plab", "lab")).alias("lab"),
             )
             probe_loop_plan("ConnectedComponents/round", labels)
             labels = labels.localCheckpoint(eager=True)
-            cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
-            if cur_sum == prev_sum:
+            frontier = labels.filter(F.col("lab") != F.col("__old")).select(
+                "a", "lab"
+            )
+            n_changed = frontier.count()
+            labels = labels.select("a", "lab")
+            if n_changed == 0:
                 break
-            prev_sum = cur_sum
         out = labels.select(
             F.col("a").alias(self.node_col), F.col("lab").alias(self.component_col)
         )
@@ -168,9 +190,12 @@ class PageRank(Component):
     are computed once and PERSISTED PARTITIONED ON ``src`` (GraphX's
     static edge-partitioning discipline — a localCheckpoint would
     report unknown partitioning and re-shuffle the edge table every
-    round; measured −51% shuffle/round at 10× edges); per round only
-    the node-sized rank state exchanges plus the dst-keyed
-    contribution aggregate — linear in edges, state linear in nodes;
+    round; measured −51% shuffle/round at 10× edges); rank state is
+    likewise persisted per round (r15) so it comes out of the
+    nodes⋈contrib join already hash-partitioned on the node id and the
+    next round's joins reuse the layout — the ONLY per-round shuffle
+    left is the dst-keyed contribution aggregate, PageRank's
+    irreducible data movement — linear in edges, state linear in nodes;
     hot destination nodes (the web's power law) hit the same AQE skew
     path as any keyed aggregate.  Dangling nodes (out-degree 0) keep the base rank
     and leak their damped mass — the standard simplification; pass
@@ -220,6 +245,12 @@ class PageRank(Component):
         self.damping = float(damping)
         self.precision = int(precision)
         self.label = label
+
+    #: lazy-unroll lineage-truncation cadence (r15): rounds between
+    #: localCheckpoints of the rank state.  6 keeps planning linear for
+    #: arbitrary iteration counts while the registered 5-round queries
+    #: never truncate (one job, zero rank-side exchanges).
+    _TRUNCATE_EVERY = 6
 
     def transform(self, flow: Flow) -> Flow:
         from pyspark import StorageLevel
@@ -271,10 +302,31 @@ class PageRank(Component):
         init = scale // n
         base = (den - num) * scale // (den * n)
 
+        # r15 (guide §2.4, verdict #4): the rank loop UNROLLS LAZILY —
+        # no per-round localCheckpoint/persist/action at all.  The old
+        # eager checkpoint reported unknown partitioning, so every
+        # round paid (a) one rank-side Exchange into the edges⋈ranks
+        # join and (b) one driver job to materialize; the unrolled plan
+        # lets partitioning FLOW instead: initial ranks project off the
+        # __node-partitioned nodes cache, each round's output comes out
+        # of the nodes⋈contrib join hash-partitioned on __node, and the
+        # next round's SHJ against the __src-partitioned edge cache
+        # consumes it in place.  Loop-probe audit
+        # (plans/r15/pagerank_order_part_loop_*.txt): round 1 shrinks
+        # 25 → 14 Exchanges; the one per-round shuffle left is the
+        # dst-keyed contribution aggregate — PageRank's irreducible
+        # data movement.  (A persist+count per round was tried first
+        # and REVERTED: planning over the growing cached lineage cost
+        # 55 s of driver time at 5 rounds.)  Lineage is truncated every
+        # ``_TRUNCATE_EVERY`` rounds so high iteration counts cannot
+        # blow up planning — at the registered iterations=5 the plan
+        # never truncates and the whole run is ONE job.  Arithmetic is
+        # untouched integer fixed-point — bit-identical under any
+        # caching/partitioning/pipelining.
         ranks = nodes.select(
             "__node", F.lit(init).cast("bigint").alias("__rank")
-        ).localCheckpoint(eager=True)
-        for _ in range(self.iterations):
+        )
+        for it in range(self.iterations):
             # SHUFFLE_HASH hint on the node-sized rank state (r14,
             # guide §3.1): without it the planner picks sort-merge and
             # re-SORTS the edge side — the big side, persisted but not
@@ -303,7 +355,14 @@ class PageRank(Component):
                 .alias("__rank"),
             )
             probe_loop_plan("PageRank/round", ranks)
-            ranks = ranks.localCheckpoint(eager=True)
+            if (it + 1) % self._TRUNCATE_EVERY == 0 and (
+                it + 1
+            ) < self.iterations:
+                # cadence truncation only (never on the last round):
+                # the checkpoint costs one eager job and the NEXT round
+                # re-exchanges the rank state once — amortized over
+                # _TRUNCATE_EVERY rounds of zero-exchange flow
+                ranks = ranks.localCheckpoint(eager=True)
         out = ranks.select(
             F.col("__node").alias(self.node_col),
             (F.col("__rank").cast("double") / F.lit(float(scale))).alias(
@@ -335,14 +394,19 @@ class TriangleCount(Component):
     celebrity node with a million raw neighbors no longer owns a
     10^12-row reducer — the skew is provably sheared before the join.
 
-    Plan: canonical-edge distinct (1 shuffle), degree agg (1), two
-    keyed degree joins, the wedge self-join keyed on the apex, the
-    closure equi-join on the (x, y) pair, one final exploded count —
-    every join is equi-keyed, nothing is quadratic in a raw degree.
-    The oriented edge table is consumed three times (both wedge sides
-    + closure) and is persisted, not recomputed (the shared-lineage
-    discipline).  Counts are exact integers: bit-identical in any
-    engine.
+    Plan (r15 adjacency-intersect): canonical-edge distinct (1
+    shuffle), degree agg (1), two keyed degree joins, then ONE
+    node-sized adjacency build (collect_list of oriented out-neighbors,
+    bounded at sqrt(2m) per node) joined onto both endpoints of every
+    oriented edge; triangles close per edge via ``array_intersect`` —
+    each triangle found exactly once at its (deg, id)-lowest edge with
+    the third vertex as witness.  Every join is equi-keyed, nothing is
+    quadratic in a raw degree, and the former wedge self-join (which
+    materialized and SHUFFLED Σd_out² three-column rows to a closure
+    join) is gone.  The oriented edge table is consumed twice
+    (adjacency build + edge stream) and is persisted, not recomputed
+    (the shared-lineage discipline).  Counts are exact integers:
+    bit-identical in any engine.
 
     **Bounded modes (r13 — the decade defense).**  The orientation
     bounds d_out at sqrt(2m), but TOTAL wedge volume Σ d_out² is
@@ -386,6 +450,13 @@ class TriangleCount(Component):
     Output: (node_col, count_col) for every node in >= 1 triangle
     (bigint exact, or double estimate under ``edge_sample``).
     """
+
+    #: closure strategy: "adj" (r15 adjacency-intersect, default) or
+    #: "wedge" (pre-r15 wedge self-join + closure equi-join) — both
+    #: compute the identical integer credit multiset; the wedge arm is
+    #: kept for the interleaved A/B (tools/r15_triangle_ab.py) and the
+    #: bit-identity test.
+    _CLOSURE = "adj"
 
     def __init__(
         self,
@@ -514,33 +585,115 @@ class TriangleCount(Component):
         fwd = (F.col("du") < F.col("dv")) | (
             (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
         )
+        # db is no longer carried on the default path: the r15
+        # adjacency-intersect closure needs only the oriented (a, b)
+        # pair — narrower persist.  The wedge arm still needs db for
+        # its (deg, id) wedge ordering.
         ori = withdeg.select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+            *(
+                []
+                if self._CLOSURE == "adj"
+                else [F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db")]
+            ),
         ).persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
 
-        e1, e2 = ori.alias("e1"), ori.alias("e2")
-        # (deg, id)-order the wedge pair so the closing edge, if it
-        # exists, appears in ori in exactly this orientation
-        wedges = e1.join(
-            e2,
-            (F.col("e1.a") == F.col("e2.a"))
-            & (
-                (F.col("e1.db") < F.col("e2.db"))
-                | ((F.col("e1.db") == F.col("e2.db")) & (F.col("e1.b") < F.col("e2.b")))
-            ),
-        ).select(
-            F.col("e1.a").alias("apex"),
-            F.col("e1.b").alias("x"),
-            F.col("e2.b").alias("y"),
+        if self._CLOSURE == "wedge":
+            # pre-r15 closure, kept selectable for interleaved A/B and
+            # the adj≡wedge bit-identity test: (deg, id)-ordered wedge
+            # self-join + (x, y) closure equi-join.  Produces the same
+            # integer credit multiset as the adjacency intersect.
+            e1, e2 = ori.alias("e1"), ori.alias("e2")
+            wedges = e1.join(
+                e2,
+                (F.col("e1.a") == F.col("e2.a"))
+                & (
+                    (F.col("e1.db") < F.col("e2.db"))
+                    | (
+                        (F.col("e1.db") == F.col("e2.db"))
+                        & (F.col("e1.b") < F.col("e2.b"))
+                    )
+                ),
+            ).select(
+                F.col("e1.a").alias("apex"),
+                F.col("e1.b").alias("x"),
+                F.col("e2.b").alias("y"),
+            )
+            closing = ori.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            tris = wedges.join(closing, ["x", "y"])
+            counts = (
+                tris.select(
+                    F.explode(F.array("apex", "x", "y")).alias(self.node_col)
+                )
+                .groupBy(self.node_col)
+                .agg(F.count(F.lit(1)).cast("bigint").alias(self.count_col))
+            )
+            if self.edge_sample is not None and self.edge_sample < 1.0:
+                counts = counts.withColumn(
+                    self.count_col,
+                    F.col(self.count_col) / F.lit(float(self.edge_sample) ** 3),
+                )
+            return flow.without(self.input).with_stream(self.output, counts)
+
+        # r15 (guide §2.3, verdict #1): ADJACENCY-INTERSECT instead of
+        # the wedge self-join + closure equi-join.  The old shape
+        # materialized Σd_out² wedge ROWS and shuffled them (plus a
+        # second shuffle of ori) to the (x, y) closure join — the
+        # measured dominant cost.  Equivalent formulation: orient each
+        # triangle x<y<z by the same (deg, id) total order; its three
+        # oriented edges are x→y, x→z, y→z, so z ∈ N⁺(x) ∩ N⁺(y) holds
+        # at edge (x, y) and at NO other edge of that triangle (y∉N⁺(z),
+        # x∉N⁺(y)) — each triangle is found exactly once, at its unique
+        # lowest edge, with the third vertex as the intersect witness.
+        # Per triangle the credits are x += 1, y += 1 (the edge
+        # endpoints, once per witness) and z += 1 (each witness) —
+        # the identical integer multiset the wedge plan produced.
+        # Cost shape: one node-sized adjacency build (collect_list is
+        # bounded at d_out ≤ sqrt(2m) by the orientation), two keyed
+        # joins of the edge list against it, and a per-edge
+        # array_intersect — the only bulky exchange carries adjacency
+        # ARRAYS (8 B/element) instead of 3-column wedge rows, and the
+        # wedge-row materialization + its (x, y) exchange are gone
+        # (plan: 2 of 4 post-orient Exchanges removed; AQE broadcasts
+        # the node-sized adj at small SF).  Σd² still bounds the
+        # intersect WORK, so the wedge_budget guard above is unchanged.
+        adj = ori.groupBy("a").agg(F.collect_list("b").alias("__nb"))
+        withadj = ori.join(
+            adj.select(F.col("a"), F.col("__nb").alias("__na")), "a"
+        ).join(
+            adj.select(F.col("a").alias("b"), F.col("__nb").alias("__onb")), "b"
         )
-        closing = ori.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        tris = wedges.join(closing, ["x", "y"])
+        tri_w = withadj.select(
+            "a", "b", F.array_intersect("__na", "__onb").alias("__w")
+        ).filter(F.size("__w") > 0)
+        # single-pass per-node credit explode: (a, |w|), (b, |w|), and
+        # each witness z with 1 — no second consumption of tri_w
+        credits = tri_w.select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(
+                            F.col("a").alias("n"),
+                            F.size("__w").cast("bigint").alias("c"),
+                        ),
+                        F.struct(
+                            F.col("b").alias("n"),
+                            F.size("__w").cast("bigint").alias("c"),
+                        ),
+                    ),
+                    F.transform(
+                        "__w",
+                        lambda z: F.struct(
+                            z.alias("n"), F.lit(1).cast("bigint").alias("c")
+                        ),
+                    ),
+                )
+            ).alias("__p")
+        )
         counts = (
-            tris.select(F.explode(F.array("apex", "x", "y")).alias(self.node_col))
-            .groupBy(self.node_col)
-            .agg(F.count(F.lit(1)).cast("bigint").alias(self.count_col))
+            credits.groupBy(F.col("__p.n").alias(self.node_col))
+            .agg(F.sum("__p.c").cast("bigint").alias(self.count_col))
         )
         if self.edge_sample is not None and self.edge_sample < 1.0:
             # DOULION unbias: each triangle survives the coin w.p. p³

@@ -2412,6 +2412,38 @@ def test_triangle_count_hand_computed(spark):
     assert TriangleCount("e", "t")(Flow({"e": path}))["t"].count() == 0
 
 
+def test_triangle_count_adj_wedge_bit_identity(spark):
+    """The r15 adjacency-intersect closure and the pre-r15 wedge
+    self-join must produce the IDENTICAL (node, count) set — same
+    triangles found once each, same integer credit multiset — on a
+    seeded random multigraph with duplicate edges, reversed
+    duplicates, self-loops, hubs, and dangling nodes."""
+    import random
+
+    from strom_spark import Flow, TriangleCount
+
+    rng = random.Random(1543)
+    rows = [(rng.randrange(40), rng.randrange(40)) for _ in range(400)]
+    rows += [(0, i) for i in range(1, 30)]  # hub
+    rows += [(7, 7), (3, 3)]  # self loops
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    old = TriangleCount._CLOSURE
+    try:
+        TriangleCount._CLOSURE = "adj"
+        a = {
+            r.node: r.n_triangles
+            for r in TriangleCount("e", "t")(Flow({"e": edges}))["t"].collect()
+        }
+        TriangleCount._CLOSURE = "wedge"
+        w = {
+            r.node: r.n_triangles
+            for r in TriangleCount("e", "t")(Flow({"e": edges}))["t"].collect()
+        }
+    finally:
+        TriangleCount._CLOSURE = old
+    assert a == w and len(a) > 10
+
+
 def test_triangle_count_bounded_modes(spark):
     """r13 decade modes.  max_degree: a hub (node 0, degree 5) sits in
     triangles with every spoke pair; capping at its spokes' degree
@@ -2624,11 +2656,14 @@ def test_pagerank_star_graph(spark):
 
 
 def test_capture_loop_plans_sees_iterative_bodies(spark):
-    """localCheckpoint hides loop bodies from the final plan; the
-    planprobe hook must expose one pre-truncation DataFrame per round
-    whose plan shows the REAL per-round cost (>= 1 shuffle exchange
-    for PageRank's dst-keyed aggregate), while the post-loop plan
-    shows none — the exact blindness the probe exists to close."""
+    """The planprobe hook must expose one DataFrame per round whose
+    plan shows the REAL per-round cost (>= 1 shuffle exchange for
+    PageRank's dst-keyed aggregate).  Since the r15 lazy unroll,
+    iteration counts below ``_TRUNCATE_EVERY`` keep the whole loop in
+    ONE un-truncated plan (that is the optimization: partitioning
+    flows between rounds instead of being erased by a per-round
+    localCheckpoint), while counts past the cadence still truncate —
+    so the probe remains the only way to see EVERY round's body."""
     from strom_spark import Flow, PageRank, capture_loop_plans
 
     edges = spark.createDataFrame(
@@ -2643,7 +2678,17 @@ def test_capture_loop_plans_sees_iterative_bodies(spark):
     body_plan = body._jdf.queryExecution().executedPlan().toString()
     final_plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in body_plan  # the per-round shuffle is visible
-    assert "Exchange" not in final_plan  # ...and hidden post-loop
+    # lazy unroll: below the truncation cadence the final plan keeps
+    # the whole loop's lineage (no checkpoint erases it)
+    assert PageRank._TRUNCATE_EVERY > 3
+    assert "Exchange" in final_plan
+    # past the cadence, lineage IS truncated: the final plan starts at
+    # the last checkpoint and the probe is the only view of rounds 1..6
+    with capture_loop_plans() as captured7:
+        out7 = PageRank("e", "pr", iterations=7)(Flow({"e": edges}))["pr"]
+    assert [s for s, _ in captured7].count("PageRank/round") == 7
+    plan7 = out7._jdf.queryExecution().executedPlan().toString()
+    assert "ScanExistingRDD" in plan7 or "Scan ExistingRDD" in plan7
     # inactive outside the context: no stray capture, no cost
     from strom_spark import planprobe
 
