@@ -442,15 +442,36 @@ class MinHashLSHPairs(Component):
         return best
 
     def _doc_shingles(self, df: DataFrame) -> DataFrame:
-        """(id, sh: array<string>) — distinct shingle set per doc, no
-        explode/shuffle; the one subtree both the signature and the
-        verify paths hang off."""
+        """(id, sh: array<bigint>) — distinct shingle set per doc as
+        xxhash64 values, no explode/shuffle; the one subtree both the
+        signature and the verify paths hang off.
+
+        r15 (guide §2.3, verdict #8): shingles are hashed to int64
+        HERE, once, instead of carrying array<string> shingles through
+        the persist and both verify-join exchanges — the widest frames
+        in the plan shrink ~3-4× (a 3-word shingle averages 20-30 B vs
+        8 B a long).  The signature path is bit-identical: it already
+        started from ``pmod(xxhash64(shingle), P)``, which now reads
+        the precomputed hash.  The verify path's exact Jaccard compares
+        hashed SETS: ``array_distinct`` keeps |set| semantics exact
+        unless two distinct shingles collide in 64 bits (expected
+        collisions ≈ n²/2^65 — ~5e-8 at a million distinct shingles;
+        the minhash family is oracle-verified hash-exact at every
+        bench SF).  At true 100 TB corpus scale a handful of global
+        collisions would perturb individual Jaccards by ~1/|set| —
+        far below the threshold granularity the operator dedups at."""
         slim = _spread(
             df.select(F.col(self.id_col).alias("id"), F.col(self.text_col).alias("__text"))
         )
         toks = slim.select("id", TXT.tokens("__text").alias("__toks"))
-        return toks.select(
-            "id", TXT.shingles_of_tokens(F.col("__toks"), self.k).alias("sh")
+        grams = toks.select(
+            "id", TXT.shingles_of_tokens(F.col("__toks"), self.k).alias("__g")
+        )
+        return grams.select(
+            "id",
+            F.array_distinct(
+                F.transform("__g", lambda s: F.xxhash64(s))
+            ).alias("sh"),
         )
 
     #: Mersenne prime 2^31 - 1: (a*h + b) stays under 2^62 — no long
@@ -469,7 +490,8 @@ class MinHashLSHPairs(Component):
         transform path hands in its (persisted, in auto mode) shingle
         subtree so tokenization isn't re-derived per consumer.
 
-        Each shingle is string-hashed ONCE (xxhash64); the n min-hash
+        Each shingle is string-hashed ONCE (xxhash64, precomputed in
+        ``_doc_shingles`` since r15); the n min-hash
         "permutations" are modular linear transforms a_i*h + b_i mod
         (2^31-1) of that one hash — the standard MinHash family (same
         as Spark MLlib's MinHashLSH).  Per posting: 1 string hash + n
@@ -479,8 +501,10 @@ class MinHashLSHPairs(Component):
         hash only affects recall, not correctness."""
         import random
 
-        postings = doc_sh.select("id", F.explode("sh").alias("shingle")).select(
-            "id", F.pmod(F.xxhash64("shingle"), F.lit(self._P)).alias("__h")
+        # sh already carries xxhash64(shingle) longs (r15) — the pmod
+        # input is the identical value the string hash produced before
+        postings = doc_sh.select("id", F.explode("sh").alias("__h64")).select(
+            "id", F.pmod(F.col("__h64"), F.lit(self._P)).alias("__h")
         )
         rng = random.Random(97)
         coeffs = [
@@ -645,7 +669,8 @@ class MinHashLSHPairs(Component):
         # are few, so per-pair array_intersect beats re-deriving an
         # inverted-index join (half the plan, no second postings pass).
         # Explicit widths on both verify exchanges: the frames carry
-        # full shingle arrays, the sf10 spill surface
+        # the per-doc shingle-hash arrays (array<bigint> since r15 —
+        # the former array<string> version was the sf10 spill surface)
         s1 = doc_sh.select(F.col("id").alias("d1"), F.col("sh").alias("__s1"))
         s2 = doc_sh.select(F.col("id").alias("d2"), F.col("sh").alias("__s2"))
         out = (
