@@ -1453,16 +1453,23 @@ class CoOccurrenceJaccard(Component):
     and the transactional twin of the text-side NgramJaccardPairs:
     ``J(u, v) = |groups(u) ∩ groups(v)| / |groups(u) ∪ groups(v)|``.
 
-    Plan: distinct (group, item) postings; groups larger than
-    ``max_group_size`` are DROPPED (the stop-shingle discipline — a
-    pathological mega-basket would contribute |basket|^2 pairs and
-    owns the worst reducer; a ceiling this generous only ever sheds
-    degenerate carts); pair counts from ONE equi-self-join keyed on
-    the group; sizes joined in; Jaccard rounded 6dp (small-integer
-    ratios — engine-exact).  With ``top_k`` set, pairs are
-    symmetrized and ranked per item ((jaccard desc, id) — one keyed
-    window).  Fan-out is sum of |group|^2 — linear in rows when group
-    sizes are bounded, which the cap enforces rather than assumes.
+    Plan (r15, guide §2.3/§2.4): ONE ``collect_set`` aggregate keyed
+    on the group replaces the old distinct-postings pass + cap
+    semi-join + group-keyed equi-self-join — dedup, the
+    ``max_group_size`` cap (groups over it are DROPPED: the
+    stop-shingle discipline — a pathological mega-basket would
+    contribute |basket|^2 pairs and owns the worst reducer; a ceiling
+    this generous only ever sheds degenerate carts), and pair
+    generation all ride the same exchange.  Pairs explode in-row from
+    the sorted item set (i < j ⇒ u < v, the identical pair multiset
+    the self-join produced) straight into the map-side-partial
+    (u, v) count; item sizes explode from the same persisted group
+    frame — which is group-sized, far narrower than the old postings
+    cache.  Jaccard is rounded 6dp (small-integer ratios —
+    engine-exact).  With ``top_k`` set, pairs are symmetrized and
+    ranked per item ((jaccard desc, id) — one keyed window).  Fan-out
+    is sum of |group|^2 — linear in rows when group sizes are
+    bounded, which the cap enforces rather than assumes.
 
     Output: (item_col, other, jaccard) pairs (item < other), or with
     ``top_k``: (item_col, other, jaccard, rank) per-item top-k.
@@ -1496,28 +1503,45 @@ class CoOccurrenceJaccard(Component):
     def transform(self, flow: Flow) -> Flow:
         from pyspark import StorageLevel
 
-        li0 = (
+        # r15 (guide §2.3/§2.4): one group-keyed collect_set does the
+        # distinct (set semantics), the size cap, and feeds in-row pair
+        # generation — the old plan shuffled distinct postings, joined
+        # the cap back, then self-joined the postings on the group key.
+        # collect_set partial-merges map-side, so the single exchange
+        # carries per-group partial sets (≈ the same bytes the distinct
+        # shuffle carried, in far fewer rows).
+        groups = (
             flow[self.input]
             .select(F.col(self.group_col).alias("__g"), F.col(self.item_col).alias("__i"))
-            .distinct()
+            .groupBy("__g")
+            .agg(F.sort_array(F.collect_set("__i")).alias("__items"))
+            .filter(F.size("__items") <= self.max_group_size)
+            .select("__items")
         )
-        ok = li0.groupBy("__g").agg(F.count(F.lit(1)).alias("__n")).filter(
-            F.col("__n") <= self.max_group_size
+        # consumed twice (pairs + sizes): persist the group-sized sets
+        # frame — strictly narrower than the old postings cache
+        groups = groups.persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
+        sizes = (
+            groups.select(F.explode("__items").alias("__i"))
+            .groupBy("__i")
+            .agg(F.count(F.lit(1)).alias("__n"))
         )
-        # the capped postings are consumed 3x (sizes + both self-join
-        # sides): persist THIS table once — its materialization runs
-        # the scan+distinct+cap lineage a single time, and the two
-        # join sides + sizes read the cache (without it the plan
-        # re-derives the postings five times)
-        li = li0.join(ok.select("__g"), "__g").persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
-        sizes = li.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
-        a, b = li.alias("a"), li.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__i") < F.col("b.__i")),
+        # sorted set ⇒ index order IS item order: pairs (i < j) are
+        # exactly the (u < v) pairs the equi-self-join produced
+        pair_expr = F.explode(
+            F.flatten(
+                F.transform(
+                    "__items",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("__items"), i + F.lit(2), F.size("__items")),
+                        lambda y: F.struct(x.alias("u"), y.alias("v")),
+                    ),
+                )
             )
-            .groupBy(F.col("a.__i").alias("u"), F.col("b.__i").alias("v"))
+        )
+        pairs = (
+            groups.select(pair_expr.alias("__p"))
+            .groupBy(F.col("__p.u").alias("u"), F.col("__p.v").alias("v"))
             .agg(F.count(F.lit(1)).alias("__c"))
         )
         jac = (
