@@ -235,6 +235,23 @@ def arrow_pairs_enabled() -> bool:
     return os.environ.get("STROM_SPARK_ARROW_PAIRS", "1") != "0"
 
 
+def arrow_tile_max_bytes() -> int:
+    """Driver-memory cap for an Arrow pair-kernel query tile, in BYTES
+    (r15, verdict #9): the broadcast-row guard bounds how many rows a
+    tile may hold, but driver memory scales with rows × dim × 8 — a
+    million 4096-dim doubles is ~32 GB even though it passes a 1M-row
+    guard.  Tiles whose estimated matrix exceeds this cap skip the
+    Arrow scan and stay on the JVM broadcast-join path (same results;
+    the JVM relation is subject to Spark's own 8 GB broadcast cap).
+    Tune with ``STROM_SPARK_ARROW_TILE_MAX_BYTES``; default 256 MiB —
+    comfortable beside a default 1-4 GB driver heap."""
+    import os
+
+    return int(
+        os.environ.get("STROM_SPARK_ARROW_TILE_MAX_BYTES", str(256 << 20))
+    )
+
+
 def _fold_dot_row(xa, xb):
     """Exact Python replica of the JVM ``aggregate(zip_with(a,b,x*y),
     0.0, acc+x)`` fold for ONE pair: Python floats are IEEE doubles,

@@ -33,6 +33,17 @@ from ..flow import Flow
 from ..functions import vectors as V
 from ..io import spread as _io_spread
 
+import weakref
+
+#: k-means training memo, scoped to a corpus DataFrame OBJECT (r15):
+#: ivf_index_search trains IVFIndex and the in-memory IVFTopK off the
+#: same frame in one build — identical seeded training, two sample
+#: jobs.  Weak keys mean the entry dies with the frame; a fresh
+#: DataFrame per bench run guarantees nothing survives across runs.
+_TRAIN_MEMO: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 class CosineTopK(Component):
     """Exact top-k nearest neighbors (cosine) for each query vector.
@@ -134,7 +145,7 @@ class CosineTopK(Component):
             # Falls back to the JVM broadcast-join scan on unmapped id
             # types or STROM_SPARK_ARROW_PAIRS=0.
             sims = (
-                self._scan_arrow(corpus, queries)
+                self._scan_arrow(corpus, queries, n_q)
                 if V.arrow_pairs_enabled()
                 else None
             )
@@ -169,7 +180,7 @@ class CosineTopK(Component):
         )
         return flow.without(self.input, self.queries).with_stream(self.output, out)
 
-    def _scan_arrow(self, corpus: DataFrame, queries: DataFrame):
+    def _scan_arrow(self, corpus: DataFrame, queries: DataFrame, n_q: int):
         """Broadcast-matrix pair scan (r14, guide §4.2): collect the
         guard-bounded query tile once (the exact rows a broadcast join
         ships to every executor anyway), cross it with corpus batches
@@ -194,7 +205,18 @@ class CosineTopK(Component):
         qid_pa = V.pa_type_for(qid_t)
         if qid_pa is None or V.pa_type_for(nid_t) is None:
             return None
-        rows = queries.collect()  # bounded by the broadcast guard above
+        # BYTE guard (r15, verdict #9): the row guard alone lets a
+        # high-dim tile blow the driver — rows × dim × 8 is the real
+        # footprint.  Probe one row's dim off the checkpointed frame
+        # (a ~free job) and bail to the JVM broadcast scan when the
+        # estimated matrix exceeds the cap; under the cap, ONE collect
+        # of the slim (id, vec, norm) projection is bounded by
+        # construction.
+        r0 = queries.select(F.size("__qv").alias("__d")).first()
+        d_probe = int(r0["__d"]) if r0 is not None and r0["__d"] is not None else 0
+        if n_q * max(d_probe, 1) * 8 > V.arrow_tile_max_bytes():
+            return None
+        rows = queries.collect()  # bounded by the byte guard above
         good, bad = [], []
         d0 = None
         for r in rows:
@@ -405,6 +427,20 @@ class IVFTopK(Component):
         return k, min(n_probe, k)
 
     def _train(self, corpus: DataFrame, n_centroids: int) -> np.ndarray:
+        # r15: memoized per (corpus DataFrame OBJECT, params) — NOT
+        # per data/path.  ivf_index_search builds IVFIndex and the
+        # in-memory IVFTopK off the SAME corpus frame in one query
+        # build; both trained identically (seeded) and each paid the
+        # TakeOrdered+toPandas sample job.  A WeakKeyDictionary on the
+        # frame object scopes the memo to one build: every bench run
+        # constructs a fresh DataFrame, so nothing survives across
+        # runs (the intra-execution-reuse discipline, same as persist).
+        key = (n_centroids, self.sample_size, self.iters, self.seed,
+               self.id_col, self.vec_col)
+        per_df = _TRAIN_MEMO.setdefault(corpus, {})
+        hit = per_df.get(key)
+        if hit is not None:
+            return hit
         sample = (
             corpus.select(F.col(self.id_col).alias("id"), F.col(self.vec_col).alias("v"))
             .orderBy("id")
@@ -423,6 +459,7 @@ class IVFTopK(Component):
                 if len(members):
                     c = members.mean(axis=0)
                     C[j] = c / max(np.linalg.norm(c), 1e-30)
+        per_df[key] = C
         return C
 
     def transform(self, flow: Flow) -> Flow:
@@ -567,7 +604,18 @@ class IVFIndex(Component):
             assign,
             schema=f"neighbor_id {nid_type}, centroid_id int, nv array<double>",
         )
-        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(self.path)
+        # r15 (guide §6): repartition ON the write-partition key first.
+        # A dynamic-partition write without it has every upstream task
+        # write one file per centroid it holds — tasks × centroids tiny
+        # files at scale (and at small SF, ONE task writing all k files
+        # sequentially); hash-clustering by centroid_id gives each
+        # centroid one writer, ≤ k files total, written in parallel.
+        (
+            assigned.repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(self.path)
+        )
         with open(f"{self.path}/_centroids.json", "w") as f:
             json.dump(C.tolist(), f)
         return flow  # index write is a side effect; flow unchanged

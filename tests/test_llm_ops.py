@@ -2842,6 +2842,16 @@ def test_arrow_pair_kernels_bit_identical(spark, monkeypatch):
     arrow = knn_rows()
     assert arrow == jvm and len(jvm) > 0
 
+    # r15 byte guard (verdict #9): with a 1-byte tile cap the Arrow
+    # scan must bail to the JVM broadcast path — identical rows, and
+    # the executed plan carries no MapInArrow node
+    monkeypatch.setenv("STROM_SPARK_ARROW_TILE_MAX_BYTES", "1")
+    out_capped = CosineTopK("c", "q", "o", k=10)(Flow({"c": df, "q": q}))["o"]
+    plan_capped = out_capped._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan_capped
+    assert sorted(tuple(r) for r in out_capped.collect()) == jvm
+    monkeypatch.delenv("STROM_SPARK_ARROW_TILE_MAX_BYTES")
+
     # fold_dot_pairs on a joined pair frame vs the JVM fold expression
     a, b = df.alias("a"), df.alias("b")
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
