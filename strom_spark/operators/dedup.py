@@ -408,6 +408,11 @@ class MinHashLSHPairs(Component):
         self.target_partition_docs = int(target_partition_docs)
         self.label = label
 
+    #: persist the (id, shingle-hash set) frame on the PINNED path too
+    #: (r15; A/B hook for tools/r15_minhash_ab.py --pin) — see the
+    #: history note in transform()
+    _PERSIST_PINNED = True
+
     def _resolve(self) -> tuple[int, int]:
         """(num_hashes, rows_per_band) with the auto (None) defaults
         resolved from the threshold's S-curve — pure math, no data
@@ -549,20 +554,22 @@ class MinHashLSHPairs(Component):
             # instead of a second exchange.
             df = _spread(df)
         doc_sh = self._doc_shingles(df)
-        if auto:
-            # shared three ways (signature postings + both verify
-            # sides): persist so the sizing count materializes the
-            # cache instead of running tokenization 3x / a composed
-            # upstream 4x; tracked for strom_spark.release_caches()
-            # (LRU-evictable until then — CosineLSHJoin discipline).
-            # r14: extending the persist to the PINNED path was tried
-            # and REVERTED — isolated steady-state runs measured the
-            # pinned dedup_minhash_clusters 2.6 s → 3.7 s at sf0.1:
-            # without the auto count the lazy cache WRITE lands on the
-            # first consumer's critical path and the shingle arrays
-            # are the widest frame in the plan; the two extra
-            # tokenization passes are cheaper.
+        # shared three ways (signature postings + both verify sides):
+        # persist so one materialization feeds all consumers instead of
+        # running tokenization 3x / a composed upstream 4x; tracked for
+        # strom_spark.release_caches() (LRU-evictable until then —
+        # CosineLSHJoin discipline).
+        # History: r14 tried extending the persist to the PINNED path
+        # and REVERTED (pinned dedup_minhash_clusters 2.6 s → 3.7 s at
+        # sf0.1 — the lazy cache WRITE of array<string> shingles, the
+        # widest frame in the plan, landed on the first consumer's
+        # critical path).  r15's int64 shingle sets shrink that frame
+        # 3-4×, which flips the trade: re-measured via the pinned-arm
+        # A/B (plans/r15/minhash_pin_ab.jsonl, _PERSIST_PINNED is the
+        # A/B hook), the persist now wins on the pinned path too.
+        if auto or self._PERSIST_PINNED:
             doc_sh = doc_sh.persist(StorageLevel.MEMORY_AND_DISK).transform(_track)
+        if auto:
             n_docs = doc_sh.count()
             n_part = min(
                 2048, max(n_part, -(-n_docs // self.target_partition_docs))
